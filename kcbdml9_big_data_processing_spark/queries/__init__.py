@@ -1,0 +1,19 @@
+"""Named query registry — the surface consumed by ``__spark_entry__.py``.
+
+Importing this package registers every query. Each query is a
+``(spark, sf_dir) -> DataFrame`` callable paired (where SQL can
+express it) with an equivalent DuckDB oracle SQL string; the driver
+compares the two at sf=0.01.
+"""
+
+from .registry import QUERIES, QuerySpec, register  # noqa: F401
+
+# populate the registry
+from . import parity  # noqa: F401,E402
+from . import olap  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import text  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402
+from . import stream  # noqa: F401,E402
+
+__all__ = ["QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,417 @@
+"""General OLAP queries over the TPC-H-ish star schema.
+
+The reference's operator surface stops at one join + windowed sums
+(SURVEY.md §2.5-2.8); a user switching engines also needs the rest of
+the relational vocabulary. These queries exercise multi-way joins,
+analytic window functions, set ops, pivot, rollup, as-of joins and
+sessionization — all built-in DataFrame ops, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql
+from ..sources.parquet import read_table
+from .registry import register
+
+
+# --- TPC-H Q1 analog -----------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               {dsum_sql('l_extendedprice')} AS sum_base_price,
+               {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+               {dsum_sql('(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)')} AS sum_charge,
+               {davg_sql('l_quantity')} AS avg_qty,
+               {davg_sql('l_extendedprice')} AS avg_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with multiple measures.
+    One shuffle (partial+final HashAggregate); the shipdate filter and
+    8-column projection push to the parquet scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3 analog -----------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+        SELECT o.o_orderkey, o.o_orderdate,
+               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    headline=True,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective filters on both
+    dimensions, then grouped revenue. Filters push below the joins;
+    customer (selective) broadcasts under AQE at this scale."""
+    cust = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+# --- TPC-H Q5 analog -----------------------------------------------------
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+        SELECT n.n_name,
+               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    headline=True,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. region/nation/supplier/customer
+    all broadcast (dims); only orders x lineitem shuffles, on the join
+    key both sides already share."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+# --- TPC-H Q6 analog: single-row forecast --------------------------------
+
+
+@register(
+    "revenue_forecast",
+    oracle=f"""
+        SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0
+    """,
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-global-agg; every predicate
+    reaches PushedFilters, no shuffle beyond the final single-partition
+    reduce."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- analytic window functions -------------------------------------------
+
+
+@register(
+    "top_orders_per_priority",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 5
+    """,
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ROW_NUMBER — Spark plans a partial top-K
+    (WindowGroupLimit) before the shuffle, so the full sort never
+    happens at scale. Tie-broken on o_orderkey for determinism."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+        SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+            SELECT user_id,
+                   CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 3600000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM (
+                SELECT user_id, ts,
+                       LAG(epoch_ms(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_ms
+                FROM events
+            )
+        )
+        GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a session break is a >1 h gap between a user's
+    consecutive events (lag + conditional sum — one shuffle on user_id,
+    reused by both the window and the final aggregate)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ms", F.lag(F.unix_millis("ts")).over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ms").isNull()
+                | (F.unix_millis("ts") - F.col("prev_ms") > 3_600_000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "asof_last_click_before_purchase",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT MAX(c.ts) FROM events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts <= p.ts) AS last_click_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each purchase, the
+    latest click by the same user at-or-before it. Implemented as a
+    single event-time window over the union of both event kinds — one
+    shuffle on user_id, no self-join, no cross product; this is the
+    scalable formulation (a join on user + ts<=ts explodes quadratically
+    on hot users)."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("last_click_ts", F.max(click_ts).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# --- set operations -------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS). The orders side is reduced to its
+    join key before the shuffle by Catalyst's column pruning."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "buyers_with_errors",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def buyers_with_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two filtered scans."""
+    ev = read_table(spark, sf_dir, "events")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    erroring = ev.where(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(erroring)
+
+
+@register(
+    "event_users_not_in_building",
+    oracle="""
+        SELECT DISTINCT user_id FROM events
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def event_users_not_in_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) across two tables with heterogeneous key names."""
+    ev = read_table(spark, sf_dir, "events").select("user_id").distinct()
+    building = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return ev.exceptAll(building.distinct()).distinct()
+
+
+# --- multi-dimensional aggregation ----------------------------------------
+
+
+@register(
+    "lineitem_rollup",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping sets) — one pass, Spark expands
+    grouping sets inside the aggregate, still a single shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "event_type_stats",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               {davg_sql('value')} AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure profile incl. exact distinct count (expands to a
+    two-phase aggregate; min/max/avg ride along)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        davg("value").alias("avg_value"),
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_col(t: str) -> str:
+    p = 10**6
+    return (
+        f"(CAST(CAST(SUM(CAST(FLOOR(value * {p}.0) AS BIGINT)) "
+        f"FILTER (WHERE event_type = '{t}') AS BIGINT) AS DOUBLE) / {p}.0) AS {t}"
+    )
+
+
+@register(
+    "user_value_pivot",
+    oracle=f"""
+        SELECT user_id, {', '.join(_pivot_col(t) for t in _PIVOT_TYPES)}
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def user_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column of summed value per event_type. With the pivot
+    values listed explicitly Spark skips the extra distinct-values job."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").pivot("event_type", _PIVOT_TYPES).agg(dsum("value"))

@@ -1,0 +1,257 @@
+"""Reference-parity queries (SURVEY.md §2), phrased over the driver
+testdata per FIXTURES.md §C:
+
+    device_message -> events   (timestamp->ts, bytes->value,
+                                antenna_id->event_type, id->user_id,
+                                app->props.k)
+    user_metadata  -> customer (id->c_custkey, email->c_name,
+                                quota->c_acctbal)
+
+Each query pairs the engine operator with a DuckDB oracle that shares
+deterministic fixed-point arithmetic (functions.exact), so value
+hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import bucket_start_sql, dsum, dsum_sql
+from ..operators.enrich import enrich
+from ..operators.metrics import conform_metric, windowed_sum
+from ..operators.parse import parse_json_payload
+from ..operators.quota import quota_violations
+from ..schemas import EVENT_PROPS_SCHEMA
+from ..sinks.parquet import write_partitioned_archive
+from ..sources.parquet import read_partitioned_archive, read_table
+from .registry import register
+
+HOUR = 3600
+NINETY_SECONDS = 90
+
+
+def _metric_oracle(key_sql: str, seconds: int, tag: str, from_sql: str = "events") -> str:
+    bucket = bucket_start_sql("ts", seconds)
+    return f"""
+        SELECT {bucket} AS "timestamp",
+               CAST({key_sql} AS VARCHAR) AS id,
+               {dsum_sql('value')} AS value,
+               '{tag}' AS type
+        FROM {from_sql}
+        GROUP BY 1, 2
+    """
+
+
+# --- A1-A3 analogs: 90-second tumbling windows (speed layer,
+#     StreamingJobImpl.scala:43-77; batch-equivalent phrasing) ----------
+
+
+@register(
+    "bytes_antenna_90s",
+    oracle=_metric_oracle("event_type", NINETY_SECONDS, "antenna_bytes_total"),
+    headline=True,
+)
+def bytes_antenna_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: sum(value) per antenna (event_type) per 90 s tumbling window,
+    conformed to the metric layout (StreamingJobImpl.scala:43-53)."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = windowed_sum(
+        ev, "event_type", "90 seconds", ts_col="ts", value_col="value", agg=dsum("value")
+    )
+    return conform_metric(agg, "event_type", "antenna_bytes_total")
+
+
+@register(
+    "bytes_user_90s",
+    oracle=_metric_oracle("user_id", NINETY_SECONDS, "user_bytes_total"),
+)
+def bytes_user_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: sum(value) per user per 90 s window (StreamingJobImpl.scala:55-65)."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = windowed_sum(
+        ev, "user_id", "90 seconds", ts_col="ts", value_col="value", agg=dsum("value")
+    )
+    return conform_metric(agg, "user_id", "user_bytes_total")
+
+
+@register(
+    "bytes_app_90s",
+    oracle=_metric_oracle(
+        "json_extract_string(props, '$.k')", NINETY_SECONDS, "app_bytes_total"
+    ),
+)
+def bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: sum(value) per app per 90 s window (StreamingJobImpl.scala:67-77).
+    The app key plays through the JSON payload (events.props.k),
+    exercising get_json_object on the hot path."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "app", F.get_json_object("props", "$.k")
+    )
+    agg = windowed_sum(
+        ev, "app", "90 seconds", ts_col="ts", value_col="value", agg=dsum("value")
+    )
+    return conform_metric(agg, "app", "app_bytes_total")
+
+
+# --- A4-A6 analogs: 1-hour batch windows (BatchJobImpl.scala:46-77) ----
+
+
+@register(
+    "bytes_antenna_hourly",
+    oracle=_metric_oracle("event_type", HOUR, "antenna_bytes_total"),
+    headline=True,
+)
+def bytes_antenna_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: hourly sum(value) per antenna (BatchJobImpl.scala:46-55)."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = windowed_sum(
+        ev, "event_type", "1 hour", ts_col="ts", value_col="value", agg=dsum("value")
+    )
+    return conform_metric(agg, "event_type", "antenna_bytes_total")
+
+
+@register(
+    "bytes_email_hourly",
+    oracle=_metric_oracle(
+        "c.c_name",
+        HOUR,
+        "email_bytes_total",
+        from_sql="events e JOIN customer c ON e.user_id = c.c_custkey",
+    ),
+)
+def bytes_email_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: hourly sum(value) per user email, via the J1 enrichment join
+    (BatchJobImpl.scala:57-66; email plays as customer.c_name).
+    The dimension is broadcast — the fact side never shuffles for the join."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    enriched = enrich(ev, cust, "user_id", "c_custkey")
+    agg = windowed_sum(
+        enriched, "c_name", "1 hour", ts_col="ts", value_col="value", agg=dsum("value")
+    )
+    return conform_metric(agg, "c_name", "email_bytes_total")
+
+
+@register(
+    "bytes_app_hourly",
+    oracle=_metric_oracle("json_extract_string(props, '$.k')", HOUR, "app_bytes_total"),
+)
+def bytes_app_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: hourly sum(value) per app (BatchJobImpl.scala:68-77)."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "app", F.get_json_object("props", "$.k")
+    )
+    agg = windowed_sum(
+        ev, "app", "1 hour", ts_col="ts", value_col="value", agg=dsum("value")
+    )
+    return conform_metric(agg, "app", "app_bytes_total")
+
+
+# --- J1: enrichment join ------------------------------------------------
+
+
+@register(
+    "enrich_events_with_customer",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               c.c_name AS name, c.c_mktsegment AS segment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def enrich_events_with_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi-join fact x dimension, duplicate key dropped
+    (BatchJobImpl.scala:40-44). Broadcast-hinted: at 100 TB the events
+    side stays shuffle-free."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    return enrich(ev, cust, "user_id", "c_custkey").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# --- A7 + F2: quota violations ------------------------------------------
+
+_QUOTA_ORACLE = f"""
+    SELECT c.c_name AS email,
+           {dsum_sql('e.value')} AS "usage",
+           c.c_acctbal AS quota,
+           {bucket_start_sql('e.ts', HOUR)} AS "timestamp"
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_name, c.c_acctbal, 4
+    HAVING {dsum_sql('e.value')} > c.c_acctbal
+"""
+
+
+@register("quota_violations_hourly", oracle=_QUOTA_ORACLE)
+def quota_violations_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+F2: hourly usage per user HAVING usage > quota
+    (BatchJobImpl.scala:79-88). email->c_name, quota->c_acctbal."""
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    enriched = enrich(ev, cust, "user_id", "c_custkey")
+    out = quota_violations(
+        enriched,
+        user_col="c_name",
+        quota_col="c_acctbal",
+        ts_col="ts",
+        value_col="value",
+        window_duration="1 hour",
+        usage_agg=dsum("value"),
+    )
+    return out.select(
+        F.col("c_name").alias("email"), "usage", F.col("c_acctbal").alias("quota"), "timestamp"
+    )
+
+
+# --- P2-P4: JSON payload parse ------------------------------------------
+
+
+@register(
+    "parse_json_props",
+    oracle="""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+)
+def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P4: from_json with explicit schema + struct flatten
+    (StreamingJobImpl.scala:27-41), on events.props."""
+    ev = read_table(spark, sf_dir, "events")
+    return parse_json_payload(ev, "props", EVENT_PROPS_SCHEMA, keep=["event_id"])
+
+
+# --- K2 -> S2: partitioned archive round-trip ---------------------------
+
+
+@register(
+    "archive_partition_roundtrip",
+    oracle="""
+        SELECT event_id, user_id, event_type, value,
+               CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+               CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour
+        FROM events
+        WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15
+    """,
+)
+def archive_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 -> S2 + P8 + F1: write events hive-partitioned by
+    year/month/day/hour of ts (StreamingJobImpl.scala:96-109), re-read
+    with a partition filter (BatchJobImpl.scala:17-27). The filter is
+    satisfied by directory pruning — the scan never opens non-matching
+    files (asserted via PartitionFilters in tests)."""
+    ev = read_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="kcbdml9_archive_") + "/events_archive"
+    write_partitioned_archive(ev, path, ts_col="ts", mode="overwrite")
+    df = read_partitioned_archive(spark, path)
+    df = df.where((F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 15))
+    return df.select(
+        "event_id", "user_id", "event_type", "value", "year", "month", "day", "hour"
+    )
