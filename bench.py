@@ -1,0 +1,70 @@
+"""Benchmark harness: times every registered query at sf0.1.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized with the noop datasource writer — full
+computation (scan→shuffle→agg) with zero driver-side collect cost, so
+the number reflects the engine, not Py4J row transfer.
+
+Env: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     $SPARK_GRAFT_CPUS (default os.cpu_count()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# excluded from timing: performs a full archive write inside the query
+# (round-trip correctness proof, not a read-path benchmark)
+EXCLUDE = {"archive_partition_roundtrip"}
+
+
+def main() -> None:
+    from kcbdml9_big_data_processing_spark.queries import QUERIES
+    from kcbdml9_big_data_processing_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+
+    # one warm-up action so JVM/codegen startup doesn't land on q1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        if name in EXCLUDE:
+            continue
+        t0 = time.time()
+        try:
+            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record the failure, keep benching
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            times[name] = -1.0
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "all_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

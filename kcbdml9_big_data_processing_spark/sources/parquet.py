@@ -17,7 +17,23 @@ from pyspark.sql import functions as F
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata table (TESTDATA.md)."""
+    """Read one driver testdata table (TESTDATA.md).
+
+    ``events.parquet`` stores nanosecond timestamps, which Spark
+    refuses to read natively (PARQUET_TYPE_ILLEGAL). We read them as
+    bigint nanos (``spark.sql.legacy.parquet.nanosAsLong`` — a runtime
+    conf, set here because the caller may own the session) and truncate
+    to microseconds with integer division, matching how DuckDB (and any
+    micros-precision engine) reads the same file. ``div`` keeps the
+    arithmetic in int64 — a double division would lose precision above
+    2^53 ns (~1970+104 days). Assumes positive (post-1970) epochs.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
