@@ -78,8 +78,12 @@ def bucket_start(ts: Column | str, seconds: int) -> Column:
 def bucket_start_sql(expr: str, seconds: int) -> str:
     """DuckDB SQL for the same epoch-aligned tumbling-window start.
 
-    Uses integer millisecond arithmetic (``//`` is integer division in
-    DuckDB for BIGINT operands) — exact, no float involved.
+    Pure integer millisecond arithmetic, with an explicit floored
+    modulus ``((a % m) + m) % m`` so pre-1970 (negative-epoch)
+    timestamps bucket identically to Spark's floor-aligned windows —
+    DuckDB's ``//`` and ``%`` truncate toward zero, which would round
+    negative epochs the wrong way.
     """
     ms = seconds * 1000
-    return f"make_timestamp((epoch_ms({expr}) // {ms}) * {ms} * 1000)"
+    e = f"epoch_ms({expr})"
+    return f"make_timestamp(({e} - ((({e} % {ms}) + {ms}) % {ms})) * 1000)"

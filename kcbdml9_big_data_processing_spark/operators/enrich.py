@@ -4,12 +4,13 @@ J1 in SURVEY.md §2.5 (batch/BatchJobImpl.scala:40-44): inner equi-join
 of the device fact stream with the user_metadata dimension, dropping
 the duplicate key.
 
-Scale: the dimension side of this class of join is small (20 rows in
-the reference; user/customer dims are usually << facts), so we hint
-``broadcast`` by default — a broadcast hash join replicates the dim to
-every executor and the 100 TB fact side never shuffles. Set
-``broadcast_dim=False`` for a genuinely large dimension and Catalyst
-(with AQE) picks sort-merge / shuffled hash instead.
+Scale: by default we do NOT hint a join strategy — AQE sees the
+dimension's actual runtime size and picks broadcast when it fits
+(``spark.sql.autoBroadcastJoinThreshold``), sort-merge / shuffled-hash
+when it doesn't. A forced ``F.broadcast`` on a table that merely
+*looks* dimensional (e.g. customer) is an executor OOM at 100×, so the
+hint is opt-in: pass ``broadcast_dim=True`` only for provably-bounded
+dims (the reference's 20-row user_metadata class).
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ def enrich(
     fact_key: str,
     dim_key: str | None = None,
     how: str = "inner",
-    broadcast_dim: bool = True,
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Join ``fact`` with ``dim`` on fact_key == dim_key, keeping one
     key column (the fact's)."""

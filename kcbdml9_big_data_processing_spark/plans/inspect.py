@@ -20,8 +20,21 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    """Explain string via JVM internals (classic PySpark only).
+
+    Spark Connect DataFrames have no ``_jdf``; raise a clear error
+    rather than an AttributeError deep in py4j.
+    """
+    try:
+        jdf = df._jdf
+        jvm = df._sc._jvm
+    except AttributeError as e:  # Spark Connect / future API drift
+        raise RuntimeError(
+            "plan inspection requires classic (non-Connect) PySpark; "
+            "use df.explain() output instead"
+        ) from e
+    return jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     )
 
 
@@ -49,5 +62,18 @@ def partition_filters(df: DataFrame) -> list[str]:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen subtrees in the physical plan."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", physical_plan(df, "simple"))))
+    """Number of WholeStageCodegen subtrees in the physical plan.
+
+    Under AQE the pre-execution plan is an unfinalized
+    AdaptiveSparkPlan with no codegen nodes yet, so we re-plan with
+    AQE off just for the count (the codegen structure is the same —
+    AQE re-plans exchanges, not codegen fusion).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = physical_plan(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -79,8 +79,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join with selective filters on both
-    dimensions, then grouped revenue. Filters push below the joins;
-    customer (selective) broadcasts under AQE at this scale."""
+    dimensions, then grouped revenue. Filters push below the joins; no
+    join hints — AQE broadcasts the filtered customer side when its
+    runtime size fits, falls back to shuffle joins when it doesn't
+    (customer scales with the fact data, so a forced broadcast would
+    not survive 100×)."""
     cust = read_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -90,7 +93,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(revenue).alias("revenue"))
     )
@@ -118,9 +121,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. region/nation/supplier/customer
-    all broadcast (dims); only orders x lineitem shuffles, on the join
-    key both sides already share."""
+    """TPC-H Q5 shape: 6-way star join. Only the constant-cardinality
+    dims (region=5 rows, nation=25 rows) carry a broadcast hint;
+    customer and supplier scale with the data, so their join strategy
+    is left to AQE — broadcast at small SF, shuffle at 100 TB."""
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -133,9 +137,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

@@ -125,7 +125,9 @@ def bytes_antenna_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bytes_email_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: hourly sum(value) per user email, via the J1 enrichment join
     (BatchJobImpl.scala:57-66; email plays as customer.c_name).
-    The dimension is broadcast — the fact side never shuffles for the join."""
+    Join strategy left to AQE: broadcast while the dim fits, shuffle
+    beyond — customer scales with the data, unlike the reference's
+    fixed 20-row user_metadata."""
     ev = read_table(spark, sf_dir, "events")
     cust = read_table(spark, sf_dir, "customer")
     enriched = enrich(ev, cust, "user_id", "c_custkey")
@@ -163,8 +165,9 @@ def bytes_app_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def enrich_events_with_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: inner equi-join fact x dimension, duplicate key dropped
-    (BatchJobImpl.scala:40-44). Broadcast-hinted: at 100 TB the events
-    side stays shuffle-free."""
+    (BatchJobImpl.scala:40-44). No forced hint — AQE broadcasts the
+    dim while it fits, so the events side stays shuffle-free at any SF
+    where customer is genuinely dimensional."""
     ev = read_table(spark, sf_dir, "events")
     cust = read_table(spark, sf_dir, "customer")
     return enrich(ev, cust, "user_id", "c_custkey").select(
@@ -238,20 +241,28 @@ def parse_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
                CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour
         FROM events
-        WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15
+        WHERE date_trunc('day', ts) =
+              (SELECT date_trunc('day', min(ts)) FROM events)
     """,
 )
 def archive_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 -> S2 + P8 + F1: write events hive-partitioned by
     year/month/day/hour of ts (StreamingJobImpl.scala:96-109), re-read
-    with a partition filter (BatchJobImpl.scala:17-27). The filter is
-    satisfied by directory pruning — the scan never opens non-matching
-    files (asserted via PartitionFilters in tests)."""
+    with a partition filter (BatchJobImpl.scala:17-27). The filter day
+    is derived from the data (the earliest event's day) so the result
+    is non-empty at every SF — no vacuously-passing hardcoded date.
+    The filter is satisfied by directory pruning — the scan never
+    opens non-matching files (asserted via PartitionFilters in tests)."""
     ev = read_table(spark, sf_dir, "events")
+    first_day = ev.agg(F.min("ts").alias("m")).first()["m"]
     path = tempfile.mkdtemp(prefix="kcbdml9_archive_") + "/events_archive"
     write_partitioned_archive(ev, path, ts_col="ts", mode="overwrite")
     df = read_partitioned_archive(spark, path)
-    df = df.where((F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 15))
+    df = df.where(
+        (F.col("year") == first_day.year)
+        & (F.col("month") == first_day.month)
+        & (F.col("day") == first_day.day)
+    )
     return df.select(
         "event_id", "user_id", "event_type", "value", "year", "month", "day", "hour"
     )

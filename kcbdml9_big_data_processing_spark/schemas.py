@@ -48,25 +48,30 @@ USER_METADATA_SCHEMA = T.StructType(
     ]
 )
 
-#: Long/narrow metric rows — `bytes` and `bytes_hourly` serving tables
-#: (JdbcProvisioner.scala:52,55). `type` discriminates the producing
-#: aggregation (antenna_bytes_total / user_bytes_total / app_bytes_total /
-#: email_bytes_total).
+#: Long/narrow metric rows — `bytes` and `bytes_hourly` serving tables.
+#: `type` discriminates the producing aggregation (antenna_bytes_total /
+#: user_bytes_total / app_bytes_total / email_bytes_total).
+#: DIVERGENCE from JdbcProvisioner.scala:52,55: the reference declares
+#: `value BIGINT` because its device messages carry integer byte counts;
+#: the driver testdata's `events.value` is DOUBLE, and this engine's
+#: metric queries emit the deterministic fixed-point double (functions
+#: .exact.dsum) — so the canonical serving schema here is DoubleType.
 METRIC_SCHEMA = T.StructType(
     [
         T.StructField("timestamp", T.TimestampType(), True),
         T.StructField("id", T.StringType(), True),
-        T.StructField("value", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
         T.StructField("type", T.StringType(), False),
     ]
 )
 
-#: user_quota_limit serving table (JdbcProvisioner.scala:58).
+#: user_quota_limit serving table (JdbcProvisioner.scala:58; same
+#: BIGINT→DOUBLE divergence for `usage`/`quota` as METRIC_SCHEMA).
 QUOTA_LIMIT_SCHEMA = T.StructType(
     [
         T.StructField("email", T.StringType(), True),
-        T.StructField("usage", T.LongType(), True),
-        T.StructField("quota", T.LongType(), True),
+        T.StructField("usage", T.DoubleType(), True),
+        T.StructField("quota", T.DoubleType(), True),
         T.StructField("timestamp", T.TimestampType(), True),
     ]
 )

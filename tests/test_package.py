@@ -1,0 +1,46 @@
+"""Package import + driver-contract smoke tests.
+
+Round-1 post-mortem: the package's own __init__ imported modules that
+didn't exist and the entry stub was never filled — these tests make
+that class of delivery failure impossible to miss.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+
+def test_package_imports():
+    pkg = importlib.import_module("kcbdml9_big_data_processing_spark")
+    assert pkg is not None
+
+
+def test_registry_populated():
+    from kcbdml9_big_data_processing_spark.queries import QUERIES
+
+    assert len(QUERIES) >= 20
+    for name, spec in QUERIES.items():
+        assert callable(spec.fn), name
+
+
+def test_entry_module_contract():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    entry_mod = importlib.import_module("__spark_entry__")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    # every oracle key must exist in queries()
+    assert set(oracles) <= set(qs)
+    # oracles must be non-empty SQL strings
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+
+
+def test_entry_runs_and_returns_rows(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    entry_mod = importlib.import_module("__spark_entry__")
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
