@@ -11,5 +11,9 @@ from .registry import QUERIES, QuerySpec, register  # noqa: F401
 # populate the registry
 from . import parity  # noqa: F401,E402
 from . import olap  # noqa: F401,E402
+from . import text  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,334 @@
+"""Deduplication operators over the ``documents`` table — exact,
+n-gram-Jaccard, MinHash-LSH, and SimHash near-dup detection: the
+dedup stage of a training-data pipeline.
+
+The reference has no dedup surface (north-star extension). Since the
+driver's synthetic corpus has no natural duplicates, each query builds
+a deterministic duplicate corpus inside the query (original docs
+UNION ALL an exact or perturbed copy with offset ids) and the oracle
+builds the identical corpus — so results are non-vacuous at every SF
+and still hash-checked.
+
+Scale discipline (the whole point of these formulations):
+- exact:     one shuffle on the content hash; no pairwise work at all.
+- n-gram:    pairs only inside a blocking key (prefix here; a MinHash
+             band in production) — never an all-pairs cross join.
+- MinHash:   ``pyspark.ml`` MinHashLSH — signatures are a linear scan,
+             candidate pairs come from a shuffle on (band, hash
+             bucket); verified with exact Jaccard afterwards.
+- SimHash:   64-bit signature per doc computed with higher-order array
+             functions (no explode), banded self-join on the top bits,
+             Hamming filter via xor+bit_count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import read_table
+from .registry import register
+
+#: id offset for the duplicated copy of the corpus
+_DUP_OFFSET = 10_000_000
+
+_WS = r"\s+"
+
+
+def _toks(col="text"):
+    return F.split(F.trim(F.col(col)), _WS)
+
+
+def _toks_sql(expr: str = "text") -> str:
+    return f"string_split_regex(trim({expr}), '{_WS}')"
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_DUP_OFFSET}, text FROM documents
+        )
+        SELECT sha256(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g'))
+                   AS content_hash,
+               CAST(min(doc_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM corpus
+        GROUP BY 1
+    """,
+    headline=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lowercase, trim, collapse whitespace),
+    SHA-256, group by hash keeping the lowest id as canonical. One
+    shuffle on the 32-byte hash regardless of document size — the 100
+    TB formulation (content never shuffles, only hashes)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text")
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    return (
+        corpus.withColumn("content_hash", F.sha2(norm, 256))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- n-gram Jaccard near-dup (blocked, fully oracled) ---------------------
+
+#: word-3-gram shingles, Jaccard threshold, and the prefix blocking key
+_NGRAM = 3
+_JACCARD_MIN = 0.5
+_PREFIX = 3
+#: perturbation: the near-dup copy drops the last _DROP tokens
+_DROP = 2
+
+_SHINGLES_SQL = f"""list_distinct(list_transform(
+    generate_series(1, greatest(len({{t}}) - {_NGRAM - 1}, 1)),
+    i -> array_to_string(list_slice({{t}}, CAST(i AS INT), CAST(i + {_NGRAM - 1} AS INT)), ' ')))"""
+
+
+def _shingles_sql(tokens_expr: str) -> str:
+    return _SHINGLES_SQL.format(t=tokens_expr)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, {_toks_sql()} AS toks FROM documents
+            UNION ALL
+            SELECT doc_id + {_DUP_OFFSET},
+                   list_slice({_toks_sql()}, 1,
+                              greatest(len({_toks_sql()}) - {_DROP}, 1))
+            FROM documents
+        ),
+        prepped AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, 1, {_PREFIX}), ' ') AS block,
+                   {_shingles_sql('toks')} AS sh
+            FROM corpus
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                   len(a.sh) + len(b.sh)
+                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+            FROM prepped a JOIN prepped b
+              ON a.block = b.block AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS jaccard
+        FROM pairs
+        WHERE (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= {_JACCARD_MIN}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard, blocked on the
+    first-3-token prefix so the join is shuffle-on-block-key,
+    never an all-pairs cross join (at 100 TB the blocking key would be
+    a MinHash band — see dedup_minhash_lsh; the pair-verification
+    algebra here is identical). Jaccard is one integer-over-integer
+    division — cross-engine exact."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    perturbed = docs.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - _DROP, F.lit(1))).alias(
+            "toks"
+        ),
+    )
+    corpus = docs.unionAll(perturbed)
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(toks) - {_NGRAM - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(toks, i, {_NGRAM}))))"
+    )
+    prepped = corpus.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", 1, _PREFIX)).alias("block"),
+        shingles.alias("sh"),
+    )
+    a = prepped.alias("a")
+    b = prepped.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jaccard = inter.cast("double") / uni.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_MIN)
+    )
+
+
+# --- MinHash-LSH near-dup (pyspark.ml, exact-verified) --------------------
+
+_MINHASH_TABLES = 8
+_LSH_SEED = 42
+#: approxSimilarityJoin threshold on Jaccard *distance* (1 - sim);
+#: generous so LSH recall isn't the correctness boundary — the exact
+#: Jaccard re-check below is.
+_LSH_DIST_MAX = 0.5
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, {_toks_sql()} AS toks FROM documents
+            UNION ALL
+            SELECT doc_id + {_DUP_OFFSET},
+                   list_slice({_toks_sql()}, 1,
+                              greatest(len({_toks_sql()}) - {_DROP}, 1))
+            FROM documents
+        ),
+        prepped AS (
+            SELECT doc_id, {_shingles_sql('toks')} AS sh FROM corpus
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                   len(a.sh) + len(b.sh)
+                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+            FROM prepped a JOIN prepped b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS jaccard
+        FROM pairs
+        WHERE (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= {_JACCARD_MIN}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: shingle -> HashingTF -> MinHash signature
+    (8 tables, seed 42) -> banded bucket join
+    (approxSimilarityJoin explodes signatures and shuffles on (band,
+    bucket) — linear in corpus size, never all-pairs) -> exact word-
+    3-gram Jaccard verification of the candidates.
+
+    The oracle is the *exact* all-pairs Jaccard answer: LSH is the
+    scalable candidate generator, and with the distance cutoff set
+    well past the decision threshold its recall at the threshold is
+    ~1, so candidates-then-verify equals the exact answer (the driver
+    hash-check proves it at sf0.01)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    perturbed = docs.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - _DROP, F.lit(1))).alias(
+            "toks"
+        ),
+    )
+    corpus = docs.unionAll(perturbed)
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(toks) - {_NGRAM - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(toks, i, {_NGRAM}))))"
+    )
+    prepped = corpus.select("doc_id", shingles.alias("sh"))
+
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(prepped)
+    lsh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=_MINHASH_TABLES,
+        seed=_LSH_SEED,
+    )
+    model = lsh.fit(feats)
+    cand = model.approxSimilarityJoin(feats, feats, _LSH_DIST_MAX, distCol="dist")
+    pairs = cand.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.col("datasetA.sh").alias("sh_a"),
+        F.col("datasetB.sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    jaccard = inter.cast("double") / uni.cast("double")
+    return (
+        pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_MIN)
+        .distinct()
+    )
+
+
+# --- SimHash near-dup -----------------------------------------------------
+
+_SIMHASH_BITS = 48  # positive-long-safe signature width
+_BAND_BITS = 12
+_HAMMING_MAX = 6
+
+
+@register("dedup_simhash")  # xxhash64 has no DuckDB twin -> rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: per doc a 48-bit signature (sign of per-bit
+    votes over xxhash64(token)), banded self-join on the low 12 bits,
+    Hamming-distance filter via xor + bit_count.
+
+    The signature is built with higher-order array functions — the
+    token array never explodes into rows, so signature computation is
+    a scan. Banding bounds the join: only docs agreeing on a 12-bit
+    band ever meet (at 100 TB: repeat for B bands, union, distinct —
+    still linear). xxhash64 is Spark-native with no DuckDB equivalent,
+    so this is a rows-only-checked query."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    perturbed = docs.select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - _DROP, F.lit(1))).alias(
+            "toks"
+        ),
+    )
+    corpus = docs.unionAll(perturbed).withColumn(
+        # hash each token once; the per-bit vote lambda below reads the
+        # precomputed hash instead of re-hashing per bit
+        "hashes",
+        F.expr("transform(toks, t -> xxhash64(t))"),
+    )
+    # one self-contained expression (bit votes -> sign -> packed long):
+    # splitting it across projections lets Catalyst's projection
+    # collapse inline the full vote aggregate once per bit (48x work)
+    sig = F.expr(
+        f"""aggregate(
+            transform(sequence(0, {_SIMHASH_BITS - 1}),
+                i -> if(aggregate(hashes, 0L,
+                            (acc, h) -> acc + if(((h >> i) & 1L) = 1L, 1L, -1L)
+                        ) > 0,
+                        shiftleft(1L, i), 0L)),
+            0L, (acc, v) -> acc + v)"""
+    )
+    sigs = corpus.select("doc_id", sig.alias("simhash"))
+    band = F.col("simhash").bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+    banded = sigs.withColumn("band", band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _HAMMING_MAX)
+    )

@@ -1,0 +1,247 @@
+"""Text-analysis operators over the ``documents`` table — the
+text-side of a large-scale training-data pipeline (tokenization,
+quality scoring, language ID, fingerprinting).
+
+The reference has no text surface at all (its strings are opaque ids —
+SURVEY.md §2.9); these are north-star extension operators. Everything
+is built-in ``pyspark.sql.functions`` (JVM-side, codegen'd) — zero
+Python UDFs — and every query has a DuckDB oracle sharing the exact
+same deterministic arithmetic (single IEEE divisions on integer
+inputs, fixed-point where sums of doubles would be order-dependent).
+
+Scale: each query is a narrow projection + per-row expressions + one
+hash aggregation at most; no joins, no data-dependent shuffles beyond
+the final groupBy. At 100 TB these run scan-speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql
+from ..sources.parquet import read_table
+from .registry import register
+
+#: whitespace tokenizer shared by every query (and its oracle).
+_WS = r"\s+"
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+_TOKEN_RE = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+#: fixed stopword list for quality scoring (shared with oracle).
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), _WS)
+
+
+def _tokens_sql(expr: str = "text") -> str:
+    return f"string_split_regex(trim({expr}), '{_WS}')"
+
+
+# --- per-document stats ---------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_tokens_sql()}) AS BIGINT) AS n_words,
+               CAST(len(list_distinct({_tokens_sql()})) AS BIGINT) AS n_unique_words,
+               (CAST(list_sum(list_transform({_tokens_sql()}, t -> length(t))) AS DOUBLE)
+                / CAST(len({_tokens_sql()}) AS DOUBLE)) AS avg_word_len
+        FROM documents
+    """,
+    headline=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: char count, word count, unique
+    words, average word length. Pure per-row expressions — scan-speed,
+    no shuffle. avg_word_len is one integer-over-integer IEEE division,
+    bit-identical across engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_words"),
+        (total_len.cast("double") / F.size(toks).cast("double")).alias("avg_word_len"),
+    )
+
+
+@register(
+    "lang_profile",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               {davg_sql('n_chars')} AS avg_chars,
+               CAST(SUM(len({_tokens_sql()})) AS BIGINT) AS total_words
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language tag: doc/source counts, average
+    length, total words. One hash aggregation."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        davg("n_chars").alias("avg_chars"),
+        F.sum(F.size(_tokens()).cast("long")).alias("total_words"),
+    )
+
+
+# --- BPE-ish regex token counting ----------------------------------------
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT)
+                   AS n_unique_tokens
+        FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style counting with a BPE-ish regex (letter runs /
+    digit runs / punctuation singletons) — the cheap proxy for "how
+    many LLM tokens is this corpus" that runs at scan speed."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+# --- quality scoring ------------------------------------------------------
+
+_SW_ARR_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+        SELECT doc_id,
+               (CAST(least(length(text), 500) AS DOUBLE) / 500.0) AS length_score,
+               (CAST(len(list_filter({_tokens_sql()},
+                        t -> list_contains({_SW_ARR_SQL}, t))) AS DOUBLE)
+                / CAST(len({_tokens_sql()}) AS DOUBLE)) AS stopword_ratio,
+               (CAST(len(list_distinct({_tokens_sql()})) AS DOUBLE)
+                / CAST(len({_tokens_sql()}) AS DOUBLE)) AS lexical_diversity
+        FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: length saturation, stopword ratio,
+    lexical diversity — the standard pre-training corpus filters. Each
+    signal is a single integer-ratio division (cross-engine exact);
+    thresholding/combination is left to the caller so the signals stay
+    reusable."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks).cast("double")
+    sw = F.array([F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return docs.select(
+        "doc_id",
+        (F.least(F.length("text"), F.lit(500)).cast("double") / F.lit(500.0)).alias(
+            "length_score"
+        ),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_words).alias(
+            "lexical_diversity"
+        ),
+    )
+
+
+# --- language ID (stopword-profile heuristic) -----------------------------
+
+#: marker-word profiles per language. With the driver's synthetic
+#: vocabulary these are demonstration profiles; the operator's
+#: correctness claim is determinism (Spark == oracle), not label
+#: recovery on synthetic text.
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "fast", "slow"],
+    "es": ["order", "customer", "value", "data", "line"],
+    "de": ["window", "batch", "group", "stream", "merge"],
+    "fr": ["join", "table", "column", "filter", "sort"],
+    "zh": ["spark", "hash", "scan", "key", "vector"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in _LANG_PROFILES[lang]) + "]"
+    return (
+        f"CAST(len(list_filter({_tokens_sql()}, t -> list_contains({arr}, t)))"
+        f" AS BIGINT)"
+    )
+
+
+@register(
+    "language_id",
+    oracle=f"""
+        SELECT doc_id, lang,
+               {_lang_score_sql('de')} AS score_de,
+               {_lang_score_sql('en')} AS score_en,
+               {_lang_score_sql('es')} AS score_es,
+               {_lang_score_sql('fr')} AS score_fr,
+               {_lang_score_sql('zh')} AS score_zh
+        FROM documents
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language scoring: per-language marker-word hit
+    counts per document (argmax/threshold is the caller's policy).
+    Per-row array expressions only — scan-speed, shuffle-free."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    cols = [F.col("doc_id"), F.col("lang")]
+    for lang in sorted(_LANG_PROFILES):
+        profile = F.array([F.lit(w) for w in _LANG_PROFILES[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+        cols.append(score.cast("long").alias(f"score_{lang}"))
+    return docs.select(*cols)
+
+
+# --- document fingerprinting ----------------------------------------------
+
+_SHINGLE = 16
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               list_min(list_transform(
+                   generate_series(1, greatest(length(text) - {_SHINGLE - 1}, 1)),
+                   i -> md5(substr(text, CAST(i AS INT), {_SHINGLE})))) AS fingerprint
+        FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: min-MD5 over all {_SHINGLE}-char
+    shingles (a 1-permutation MinHash). Two docs sharing any extremal
+    shingle collide — the cheap near-dup pre-filter. Higher-order
+    array functions, no explode: the shingle array never leaves the
+    row."""
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.expr(
+        f"array_min(transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1)),"
+        f" i -> md5(substring(text, i, {_SHINGLE}))))"
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
