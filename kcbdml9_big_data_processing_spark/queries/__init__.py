@@ -15,5 +15,6 @@ from . import text  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
+from . import stream  # noqa: F401,E402
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,99 @@
+"""Streaming queries, driver-checkable: each runs a REAL Structured
+Streaming query (file source over the events table, availableNow
+trigger, complete-mode memory sink), blocks until the bounded stream
+drains, and returns the materialized result — which must equal the
+batch answer, so the DuckDB oracle applies to the streaming engine
+too (A1-A3 / T1-T2 / T5, streaming/StreamingJobImpl.scala:43-77).
+
+Output mode choice: complete (not the reference's append) because a
+bounded replay under append+watermark never finalizes the trailing
+windows — the stream ends before the watermark passes them. Complete
+mode emits every window, making stream == batch an exact equality.
+Append+watermark semantics (late-data eviction) are pinned in
+tests/test_streaming.py instead, where micro-batch boundaries are
+controlled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..operators.metrics import conform_metric, windowed_sum
+from ..streaming.sources import read_events_stream
+from .parity import NINETY_SECONDS, _metric_oracle
+from .registry import register
+
+
+def _run_bounded_metric(
+    spark: SparkSession, sf_dir: str, key, tag: str, name: str
+) -> DataFrame:
+    """Run one windowed metric as a bounded stream into a complete-mode
+    memory sink; return the sink table."""
+    src = read_events_stream(spark, sf_dir)
+    agg = windowed_sum(
+        src, key, "90 seconds", ts_col="ts", value_col="value", agg=dsum("value")
+    )
+    metric = conform_metric(agg, key if isinstance(key, str) else "app", tag)
+    q = (
+        metric.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_bytes_antenna_90s",
+    oracle=_metric_oracle("event_type", NINETY_SECONDS, "antenna_bytes_total"),
+)
+def stream_bytes_antenna_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as true streaming: file-source replay -> 90 s tumbling
+    window -> sum -> metric conformance, executed by the streaming
+    engine (StreamExecution micro-batches + state store), result
+    hash-checked against the same oracle as the batch phrasing."""
+    return _run_bounded_metric(
+        spark, sf_dir, "event_type", "antenna_bytes_total", "stream_antenna_90s"
+    )
+
+
+@register(
+    "stream_bytes_user_90s",
+    oracle=_metric_oracle("user_id", NINETY_SECONDS, "user_bytes_total"),
+)
+def stream_bytes_user_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as true streaming (key user_id)."""
+    return _run_bounded_metric(
+        spark, sf_dir, "user_id", "user_bytes_total", "stream_user_90s"
+    )
+
+
+@register(
+    "stream_bytes_app_90s",
+    oracle=_metric_oracle(
+        "json_extract_string(props, '$.k')", NINETY_SECONDS, "app_bytes_total"
+    ),
+)
+def stream_bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 as true streaming: the key comes out of the JSON payload
+    (P3) on the stream before windowing."""
+    src = read_events_stream(spark, sf_dir).withColumn(
+        "app", F.get_json_object("props", "$.k")
+    )
+    agg = windowed_sum(
+        src, "app", "90 seconds", ts_col="ts", value_col="value", agg=dsum("value")
+    )
+    metric = conform_metric(agg, "app", "app_bytes_total")
+    q = (
+        metric.writeStream.format("memory")
+        .queryName("stream_app_90s")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_app_90s")

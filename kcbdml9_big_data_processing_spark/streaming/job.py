@@ -1,0 +1,110 @@
+"""Speed-layer job: N concurrent streaming aggregations + raw archive
+on one SparkSession — the re-expression of the reference's run()
+orchestration (streaming/StreamingJob.scala:26-46: parse once, three
+windowed aggs to JDBC, one archive, block forever).
+
+Differences on purpose:
+- parameterized (keys/window/watermark/sinks are config, not
+  hardcoded x3 copies like StreamingJobImpl.scala:43-77);
+- every query is checkpointed, not just the archive (T4);
+- no thread-per-query Futures: ``start()`` is non-blocking in Python,
+  so orchestration is start-all + ``awaitAnyTermination`` (T6).
+
+Each started query is an independent StreamExecution re-reading the
+source (same as the reference — SURVEY.md §3.1 step 3 notes the
+non-sharing); at scale, prefer one query fanning out in foreachBatch
+if source reads dominate.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.metrics import conform_metric, windowed_sum
+from .sinks import BatchWriter, start_foreach_batch, start_partitioned_archive
+
+
+@dataclass
+class StreamingJobConfig:
+    #: (key column, metric tag) per aggregation — the reference runs
+    #: antenna/user/app (StreamingJobImpl.scala:43-77)
+    metrics: list[tuple[str, str]] = field(
+        default_factory=lambda: [
+            ("antenna_id", "antenna_bytes_total"),
+            ("id", "user_bytes_total"),
+            ("app", "app_bytes_total"),
+        ]
+    )
+    window: str = "90 seconds"
+    watermark: str = "15 seconds"
+    ts_col: str = "timestamp"
+    value_col: str = "bytes"
+    archive_path: str | None = None
+    checkpoint_root: str = "/tmp/kcbdml9-checkpoints"
+    available_now: bool = False
+
+
+class StreamingJob:
+    """Start the configured streaming queries; caller owns lifecycle."""
+
+    def __init__(self, spark: SparkSession, config: StreamingJobConfig):
+        self.spark = spark
+        self.config = config
+        self.queries: list[StreamingQuery] = []
+
+    def start(self, source: DataFrame, metric_writer: BatchWriter) -> list[StreamingQuery]:
+        """Start one foreachBatch metric query per configured (key,
+        tag) plus the archive (when configured). ``source`` is the
+        parsed stream (P2-P4 already applied — see
+        operators/parse.parse_json_payload for the Kafka payload
+        path)."""
+        cfg = self.config
+        for key, tag in cfg.metrics:
+            agg = windowed_sum(
+                source,
+                key,
+                cfg.window,
+                ts_col=cfg.ts_col,
+                value_col=cfg.value_col,
+                watermark=cfg.watermark,
+            )
+            metric = conform_metric(agg, key, tag)
+            q = start_foreach_batch(
+                metric,
+                metric_writer,
+                checkpoint_dir=os.path.join(cfg.checkpoint_root, tag),
+                query_name=tag,
+                trigger_available_now=cfg.available_now,
+            )
+            self.queries.append(q)
+        if cfg.archive_path:
+            q = start_partitioned_archive(
+                source,
+                cfg.archive_path,
+                checkpoint_dir=os.path.join(cfg.checkpoint_root, "archive"),
+                ts_col=cfg.ts_col,
+                trigger_available_now=cfg.available_now,
+            )
+            self.queries.append(q)
+        return self.queries
+
+    def await_all(self) -> None:
+        """Block until every query terminates (availableNow runs) —
+        the bounded-run analog of the reference's Await.result(
+        Future.sequence(...), Duration.Inf) (StreamingJob.scala:43)."""
+        for q in self.queries:
+            q.awaitTermination()
+
+    def await_any(self) -> None:
+        """Block until any query terminates/fails (T6) — the unbounded
+        production mode."""
+        self.spark.streams.awaitAnyTermination()
+
+    def stop(self) -> None:
+        for q in self.queries:
+            if q.isActive:
+                q.stop()

@@ -1,0 +1,205 @@
+"""Streaming semantics tests: watermark late-data eviction (T1),
+foreachBatch (K1/T3), checkpoint restart (T4), multi-query
+orchestration (T6). These pin behaviors the driver's batch-equality
+oracle can't see — micro-batch boundaries are controlled by feeding
+files one at a time and draining with processAllAvailable().
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kcbdml9_big_data_processing_spark.operators.metrics import (
+    conform_metric,
+    windowed_sum,
+)
+from kcbdml9_big_data_processing_spark.sources.files import read_file_stream
+from kcbdml9_big_data_processing_spark.streaming.job import (
+    StreamingJob,
+    StreamingJobConfig,
+)
+from kcbdml9_big_data_processing_spark.streaming.sinks import (
+    start_foreach_batch,
+    start_partitioned_archive,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("bytes", T.LongType(), True),
+    ]
+)
+
+
+def _t(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _write_file(spark, path: str, rows) -> None:
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    """T1: after the watermark passes a window, late rows for it are
+    silently discarded (StreamingJobImpl.scala:46 semantics)."""
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: a row in window [0,90) and one at 03:30 pushing the
+    # watermark to 195s — finalizing [0,90)
+    _write_file(spark, src_dir, [(_t(0, 10), "a", 10), (_t(3, 30), "a", 1)])
+
+    stream = read_file_stream(spark, src_dir, SCHEMA, fmt="parquet")
+    agg = windowed_sum(stream, "key", "90 seconds", watermark="15 seconds")
+    out = conform_metric(agg, "key", "wm_test")
+
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        seen.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .queryName("wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-finalized [0,90) window,
+        # plus an on-time row advancing the watermark past [180,270)
+        _write_file(spark, src_dir, [(_t(0, 20), "a", 999), (_t(5, 0), "a", 2)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_window = {(r[0], r[1]): r[2] for r in seen}
+    # [0,90) emitted with only the on-time row — late 999 discarded
+    assert by_window[(_t(0, 0), "a")] == 10
+    # [180,270) finalized by batch 2's watermark advance
+    assert by_window[(_t(3, 0), "a")] == 1
+    # the trailing window [300,390) never finalized -> never emitted
+    assert (_t(5, 0), "a") not in by_window
+    assert 999 not in [v for v in by_window.values()]
+
+
+def test_foreach_batch_sink_appends_all_batches(spark, tmp_path):
+    """K1/T3: every micro-batch reaches the writer callable; union of
+    batches equals the batch-mode answer."""
+    src_dir = str(tmp_path / "src")
+    _write_file(spark, src_dir, [(_t(0, 10), "a", 10), (_t(0, 20), "b", 20)])
+    _write_file(spark, src_dir, [(_t(2, 0), "a", 30)])
+
+    stream = read_file_stream(
+        spark, src_dir, SCHEMA, fmt="parquet", max_files_per_trigger=1
+    )
+    got: list[tuple] = []
+    batch_ids: list[int] = []
+
+    def writer(batch_df, batch_id: int) -> None:
+        batch_ids.append(batch_id)
+        got.extend((r["key"], r["bytes"]) for r in batch_df.collect())
+
+    q = start_foreach_batch(
+        stream, writer, str(tmp_path / "ckpt"), "fb_test", trigger_available_now=True
+    )
+    q.awaitTermination()
+
+    assert sorted(got) == [("a", 10), ("a", 30), ("b", 20)]
+    assert len(batch_ids) == 2  # one per file (maxFilesPerTrigger=1)
+
+
+def test_archive_checkpoint_no_reprocess_on_restart(spark, tmp_path):
+    """K2/T4: restarting the archive query from its checkpoint picks up
+    only new files — no duplicate rows from reprocessing."""
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    _write_file(spark, src_dir, [(_t(0, 10), "a", 10), (_t(1, 0), "b", 20)])
+
+    def run_once():
+        stream = read_file_stream(spark, src_dir, SCHEMA, fmt="parquet")
+        q = start_partitioned_archive(
+            stream, out_dir, ckpt, ts_col="timestamp", trigger_available_now=True
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 2
+    # layout: hive partitions derived from event time (P8)
+    assert (tmp_path / "archive" / "year=2024" / "month=1" / "day=1").exists()
+
+    _write_file(spark, src_dir, [(_t(2, 0), "c", 30)])
+    run_once()
+    archived = spark.read.parquet(out_dir)
+    assert archived.count() == 3  # 2 + 1, old file NOT reprocessed
+    assert archived.where(F.col("key") == "a").count() == 1
+
+
+def test_multi_query_orchestration(spark, tmp_path):
+    """T6: the job starts N metric queries + archive concurrently on
+    one session and drains them all (StreamingJob.scala:37-43 shape)."""
+    src_dir = str(tmp_path / "src")
+    _write_file(
+        spark,
+        src_dir,
+        [(_t(0, 10), "a", 10), (_t(0, 20), "b", 20), (_t(2, 0), "a", 5)],
+    )
+    stream = read_file_stream(spark, src_dir, SCHEMA, fmt="parquet")
+
+    rows: list[tuple] = []
+
+    def writer(batch_df, batch_id: int) -> None:
+        rows.extend(tuple(r) for r in batch_df.collect())
+
+    job = StreamingJob(
+        spark,
+        StreamingJobConfig(
+            metrics=[("key", "key_bytes_total")],
+            window="90 seconds",
+            watermark="15 seconds",
+            archive_path=str(tmp_path / "archive"),
+            checkpoint_root=str(tmp_path / "ckpts"),
+            available_now=True,
+        ),
+    )
+    queries = job.start(stream, writer)
+    assert len(queries) == 2  # 1 metric + archive
+    job.await_all()
+
+    assert spark.read.parquet(str(tmp_path / "archive")).count() == 3
+    # append-mode metric query emitted only watermark-finalized windows:
+    # [0,90) finalized by the 02:00 row; [90,180)-of-02:00 still open
+    assert (_t(0, 0), "a", 10, "key_bytes_total") in rows
+    assert (_t(0, 0), "b", 20, "key_bytes_total") in rows
+
+
+@pytest.mark.parametrize("tag", ["antenna_bytes_total"])
+def test_stream_equals_batch_on_events(spark, tag):
+    """Bounded stream result == batch result on the same input (the
+    registry's stream queries rely on this equality; pin it here too)."""
+    from kcbdml9_big_data_processing_spark.functions.exact import dsum
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+    from kcbdml9_big_data_processing_spark.queries.stream import (
+        stream_bytes_antenna_90s,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["timestamp"], r["id"]): r["value"]
+        for r in stream_bytes_antenna_90s(spark, sf).collect()
+    }
+    ev = read_table(spark, sf, "events")
+    batch = conform_metric(
+        windowed_sum(ev, "event_type", "90 seconds", ts_col="ts", value_col="value",
+                     agg=dsum("value")),
+        "event_type",
+        tag,
+    )
+    want = {(r["timestamp"], r["id"]): r["value"] for r in batch.collect()}
+    assert got == want
