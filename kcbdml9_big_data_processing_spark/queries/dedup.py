@@ -242,7 +242,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepped = corpus.select("doc_id", shingles.alias("sh"))
 
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
-    feats = tf.transform(prepped)
+    # materialize once: both sides of the similarity self-join (and the
+    # fit) reuse the shingled/hashed frame instead of recomputing it
+    feats = tf.transform(prepped).persist()
+    feats.count()
     lsh = MinHashLSH(
         inputCol="features",
         outputCol="hashes",
@@ -311,7 +314,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         shiftleft(1L, i), 0L)),
             0L, (acc, v) -> acc + v)"""
     )
-    sigs = corpus.select("doc_id", sig.alias("simhash"))
+    # materialize: the banded self-join below reads this twice
+    sigs = corpus.select("doc_id", sig.alias("simhash")).persist()
+    sigs.count()
     band = F.col("simhash").bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
     banded = sigs.withColumn("band", band)
     a = banded.alias("a")

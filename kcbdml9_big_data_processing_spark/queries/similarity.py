@@ -326,9 +326,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emb"),
     )
     corpus = base.unionAll(perturbed)
-    prepped = corpus.withColumn(
-        "nf", F.expr(_dot_fixed_expr("emb", "emb"))
-    )
+    # materialize: both sides of the label-blocked self-join reuse it
+    prepped = corpus.withColumn("nf", F.expr(_dot_fixed_expr("emb", "emb"))).persist()
+    prepped.count()
     a = prepped.alias("a")
     b = prepped.alias("b")
     cosine = F.expr(
