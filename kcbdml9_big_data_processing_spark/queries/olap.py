@@ -419,3 +419,168 @@ def user_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     values listed explicitly Spark skips the extra distinct-values job."""
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").pivot("event_type", _PIVOT_TYPES).agg(dsum("value"))
+
+
+# --- semi join (EXISTS) ---------------------------------------------------
+
+
+@register(
+    "late_shipped_priority_counts",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+    """,
+)
+def late_shipped_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS): orders with at least one lineitem
+    shipped after the order date, counted per priority. A left-semi
+    join — the lineitem side is pruned to its join+filter columns and
+    never duplicates orders rows, so the aggregate input stays
+    |orders|-sized at any SF."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- scalar aggregate subquery (per-group threshold) ----------------------
+
+
+@register(
+    "small_quantity_revenue",
+    oracle=f"""
+        SELECT ({dsum_sql('l.l_extendedprice')} / 7.0) AS avg_yearly
+        FROM lineitem l
+        JOIN (
+            SELECT l_partkey, {davg_sql('l_quantity')} AS threshold
+            FROM lineitem GROUP BY l_partkey
+        ) t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity < 0.2 * t.threshold
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity. The correlated scalar subquery is decorrelated into an
+    aggregate + self-join on l_partkey — both sides shuffle on the
+    same key once; no per-row subquery execution."""
+    li = read_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        davg("l_quantity").alias("threshold")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("threshold"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# --- exact rank-based percentiles ----------------------------------------
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_type,
+               MAX(CASE WHEN rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                   THEN value END) AS p50,
+               MAX(CASE WHEN rn - 1 = CAST(floor(0.9 * (n - 1)) AS BIGINT)
+                   THEN value END) AS p90,
+               MAX(CASE WHEN rn - 1 = CAST(floor(0.99 * (n - 1)) AS BIGINT)
+                   THEN value END) AS p99
+        FROM ranked
+        GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles per event_type (element at
+    floor(p*(n-1)) of the sorted values — integer rank selection, no
+    interpolation, so every engine agrees bit-for-bit; Spark's
+    percentile()/approx variants interpolate differently per engine).
+    One shuffle on event_type shared by both windows and the final
+    aggregate. For 100 TB dashboards swap in percentile_approx and
+    accept the documented error bound."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(
+                F.col("rk") == F.floor(F.lit(p) * (F.col("n") - 1)).cast("long"),
+                F.col("value"),
+            )
+        )
+
+    return ranked.groupBy("event_type").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99")
+    )
+
+
+# --- global top-k ---------------------------------------------------------
+
+
+@register(
+    "top100_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+)
+def top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    each partition keeps its local top 100, the driver merges k*P rows;
+    the full sort never materializes at any SF. Tie-broken on
+    o_orderkey for determinism."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+# --- CUBE grouping sets ---------------------------------------------------
+
+
+@register(
+    "status_flag_cube",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def status_flag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    pass — Spark expands the sets inside a single hash aggregate
+    (rows replicate x4 map-side, still one shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice").alias("sum_price")
+    )
