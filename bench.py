@@ -37,8 +37,17 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # one warm-up action so JVM/codegen startup doesn't land on q1
+    # warm-up: JVM/codegen startup plus one footer-read per table so
+    # file-index building doesn't land on whichever query runs first
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from kcbdml9_big_data_processing_spark.schemas import TESTDATA_TABLES
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    for t in TESTDATA_TABLES:
+        try:
+            read_table(spark, sf_dir, t).limit(1).collect()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name, spec in QUERIES.items():

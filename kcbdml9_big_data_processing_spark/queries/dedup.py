@@ -317,8 +317,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize: the banded self-join below reads this twice
     sigs = corpus.select("doc_id", sig.alias("simhash")).persist()
     sigs.count()
-    band = F.col("simhash").bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
-    banded = sigs.withColumn("band", band)
+    # OR-construction over 4 bands of 12 bits: a pair is a candidate if
+    # it agrees on ANY band — a pair within the Hamming budget (<=6
+    # differing bits) almost always leaves at least one band clean,
+    # where a single band misses any pair whose differing bit lands in
+    # it. distinct() dedupes pairs matching on several bands.
+    n_bands = _SIMHASH_BITS // _BAND_BITS
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"(simhash >> (band * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(
@@ -328,6 +340,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -336,4 +349,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
     )

@@ -1,0 +1,122 @@
+"""Known-answer unit tests for the LLM-pipeline query building blocks
+(tiny inputs, hand-computed expectations) — the oracle checks prove
+Spark==DuckDB; these prove both match the SPEC."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_text_stats_known_answer(spark):
+    from kcbdml9_big_data_processing_spark.queries.text import text_stats
+
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(1, "the cat sat", "en", "s", 11), (2, "a a a", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in text_stats(spark, d).collect()}
+    assert rows[1]["n_words"] == 3
+    assert rows[1]["n_unique_words"] == 3
+    assert rows[1]["avg_word_len"] == 9 / 3  # the(3)+cat(3)+sat(3)
+    assert rows[2]["n_words"] == 3
+    assert rows[2]["n_unique_words"] == 1
+
+
+def test_jaccard_pair_known_answer(spark):
+    """Two docs sharing their first 5 of 6 tokens: shingle sets overlap
+    3-of-4+3-of-4 -> jaccard = |inter|/|union| computed by hand."""
+    a = ["w1", "w2", "w3", "w4", "w5", "x"]
+    b = ["w1", "w2", "w3", "w4", "w5", "y"]
+    # word-3-gram shingles: a has 4, b has 4, 3 shared -> 3/5
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, toks array<string>")
+    sh = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> concat_ws(' ', slice(toks, i, 3))))"
+    )
+    p = df.select("doc_id", sh.alias("sh"))
+    x = p.alias("x")
+    y = p.alias("y")
+    inter = F.size(F.array_intersect("x.sh", "y.sh"))
+    uni = F.size(F.col("x.sh")) + F.size(F.col("y.sh")) - inter
+    r = (
+        x.join(y, F.col("x.doc_id") < F.col("y.doc_id"))
+        .select((inter.cast("double") / uni.cast("double")).alias("j"))
+        .first()
+    )
+    assert r["j"] == 3 / 5
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    from kcbdml9_big_data_processing_spark.queries.dedup import dedup_simhash
+
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    # 20 tokens: the perturbed copy (last 2 dropped) keeps 90% of the
+    # token multiset, so signatures stay within the Hamming budget
+    text = " ".join(f"tok{i}" for i in range(18)) + " omega zeta"
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = dedup_simhash(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_a"] == 1 and rows[0]["doc_b"] == 10_000_001
+    assert 0 <= rows[0]["hamming"] <= 6
+
+
+def test_cosine_fixed_point_known_answer(spark):
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _cos_expr,
+        _dot_fixed_expr,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [0.6, 0.8, 0.0])], "a array<float>, b array<float>"
+    )
+    r = df.select(
+        F.expr(
+            _cos_expr(
+                _dot_fixed_expr("a", "b"),
+                _dot_fixed_expr("a", "a"),
+                _dot_fixed_expr("b", "b"),
+            )
+        ).alias("cos")
+    ).first()
+    # unit vectors at cos=0.6 (0.6/1*1); fixed-point floor introduces
+    # <=1e-9 per-term error
+    assert math.isclose(r["cos"], 0.6, abs_tol=1e-8)
+
+
+def test_multimodal_features_digest_matches_hashlib(spark):
+    import hashlib
+
+    from kcbdml9_big_data_processing_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "hello world", "src")], "doc_id long, text string, source string"
+    )
+    out = extract_features(
+        attach_binary_payload(df, "doc_id", "text", "source")
+    ).first()
+    assert out["asset_id"] == 7
+    assert out["n_bytes"] == 11
+    assert out["digest"] == hashlib.sha256(b"hello world").hexdigest()
+    assert out["width"] == 12 and out["height"] == 12
+
+
+def test_decode_image_is_gated():
+    import pytest as _pytest
+
+    from kcbdml9_big_data_processing_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(None)
