@@ -266,3 +266,79 @@ def archive_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "event_id", "user_id", "event_type", "value", "year", "month", "day", "hour"
     )
+
+
+# --- T7 extensions: sliding + session windows (absent in the
+#     reference — SURVEY.md §2.10 T7; first-class in this engine) -------
+
+
+@register(
+    "bytes_antenna_sliding",
+    oracle=f"""
+        SELECT make_timestamp(((epoch_ms(ts) // 1800000) - g.k) * 1800000 * 1000)
+                   AS "timestamp",
+               CAST(event_type AS VARCHAR) AS id,
+               {dsum_sql('value')} AS value,
+               'antenna_bytes_sliding' AS type
+        FROM events, (SELECT unnest([0, 1]) AS k) g
+        GROUP BY 1, 2
+    """,
+)
+def bytes_antenna_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 h duration, 30 min slide — every event lands
+    in exactly 2 overlapping windows. Spark's window() replicates rows
+    per overlap map-side, then it's the same single-shuffle partial+
+    final aggregate as tumbling; state at any moment is bounded by
+    duration/slide windows per key. The oracle phrases the overlap as
+    a 2-element offset cross join over the same epoch-integer bucket
+    math (positive-epoch testdata, so `//` truncation == floor)."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.col("event_type"),
+        F.window(F.col("ts"), "1 hour", "30 minutes"),
+    ).agg(dsum("value").alias("value"))
+    return conform_metric(agg, "event_type", "antenna_bytes_sliding")
+
+
+@register(
+    "session_window_bytes",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                             OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 600000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               {dsum_sql('value')} AS value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def session_window_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (10 min inactivity gap) per user via Spark's
+    native session_window() — gap-merged state the reference cannot
+    express at all. session_window.start equals the session's first
+    event time, which is what the lag/cumsum oracle reconstructs
+    relationally. One shuffle on user_id; in streaming the same
+    expression runs with a watermark bounding session state."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "10 minutes")
+    ).agg(dsum("value").alias("value"), F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "value",
+        "n_events",
+    )
