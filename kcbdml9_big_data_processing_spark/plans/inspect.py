@@ -68,6 +68,11 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     AdaptiveSparkPlan with no codegen nodes yet, so we re-plan with
     AQE off just for the count (the codegen structure is the same —
     AQE re-plans exchanges, not codegen fusion).
+
+    CAVEAT: a DataFrame caches its queryExecution on first plan
+    access — call this BEFORE any other inspection of the same
+    DataFrame object (or rebuild the frame), else the cached
+    AQE-wrapped plan hides the codegen markers and this returns 0.
     """
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
