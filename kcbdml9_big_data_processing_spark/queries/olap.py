@@ -584,3 +584,50 @@ def status_flag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice").alias("sum_price")
     )
+
+
+# --- part-dimension revenue -----------------------------------------------
+
+
+@register(
+    "brand_revenue",
+    oracle=f"""
+        SELECT p.p_brand,
+               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size < 25
+        GROUP BY p.p_brand
+    """,
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per part brand for small parts: the dimension filter
+    (p_size < 25) is applied before the join, shrinking the build side
+    so AQE can broadcast it; the lineitem side reads only its 3 needed
+    columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(F.col("p_size") < 25)
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --- approximate distinct (HLL) -------------------------------------------
+
+
+@register("user_reach_approx")  # approximation differs per engine -> rows-only
+def user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type via HyperLogLog++
+    (approx_count_distinct, 1% relative error). The 100 TB path for
+    reach metrics: constant memory per group vs the exact two-phase
+    distinct expansion of event_type_stats. Sketches are approximate
+    and engine-specific, so this is a rows-only-checked query — the
+    exact twin (event_type_stats.n_users) is the oracle-checked one."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
