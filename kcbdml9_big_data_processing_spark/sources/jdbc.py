@@ -7,9 +7,10 @@ matter at scale: predicate/aggregate pushdown stays on, and a
 ``partition_column`` + bounds splits the read across executors instead
 of funnelling the whole table through one connection.
 
-No JDBC driver jar ships in this environment, so this is exercised
-only by unit tests that assert the reader configuration; the code path
-is the standard public DataSource V1 JDBC reader.
+Exercised for real in tests/test_jdbc.py against the Derby embedded
+driver that ships on Spark's own classpath — scan, partitioned scan,
+and the streaming foreachBatch append all run end-to-end; the code
+path is the standard public DataSource V1 JDBC reader.
 """
 
 from __future__ import annotations

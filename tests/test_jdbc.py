@@ -1,0 +1,101 @@
+"""Real JDBC integration via the Derby embedded driver that ships in
+Spark's own classpath — S3 (JDBC scan), K3 (batch append), and K1
+(streaming foreachBatch -> JDBC), the reference's actual serving flow
+(batch/BatchJobImpl.scala:29-38,90-100;
+streaming/StreamingJobImpl.scala:79-94) executed end-to-end, not
+mocked."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kcbdml9_big_data_processing_spark.sinks.jdbc import write_jdbc
+from kcbdml9_big_data_processing_spark.sources.files import read_file_stream
+from kcbdml9_big_data_processing_spark.sources.jdbc import read_jdbc
+from kcbdml9_big_data_processing_spark.streaming.sinks import start_foreach_batch
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _url(tmp_path) -> str:
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def test_jdbc_write_read_roundtrip(spark, tmp_path):
+    """K3 -> S3: batch append then full scan."""
+    url = _url(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)], "id bigint, name string, v double"
+    )
+    write_jdbc(df, url, "metrics", driver=DERBY, mode="overwrite")
+    # K3 is append-mode by default: a second write adds rows
+    write_jdbc(df.where(F.col("id") == 1), url, "metrics", driver=DERBY)
+    back = read_jdbc(spark, url, "metrics", driver=DERBY)
+    rows = sorted(tuple(r) for r in back.collect())
+    assert rows == [(1, "alice", 10.0), (1, "alice", 10.0), (2, "bob", 20.0)]
+
+
+def test_jdbc_partitioned_read(spark, tmp_path):
+    """S3 at scale: partitionColumn bounds split the scan across
+    executors instead of one connection."""
+    url = _url(tmp_path)
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    write_jdbc(df, url, "wide", driver=DERBY, mode="overwrite")
+    back = read_jdbc(
+        spark,
+        url,
+        "wide",
+        driver=DERBY,
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+
+
+def test_streaming_foreachbatch_to_jdbc(spark, tmp_path):
+    """K1/T3: the speed layer's sink — each micro-batch appended to a
+    JDBC table from inside foreachBatch, then read back over JDBC."""
+    url = _url(tmp_path)
+    schema = T.StructType(
+        [
+            T.StructField("timestamp", T.TimestampType(), True),
+            T.StructField("key", T.StringType(), True),
+            T.StructField("bytes", T.LongType(), True),
+        ]
+    )
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 0, 0, 10), "a", 10),
+            (dt.datetime(2024, 1, 1, 0, 0, 20), "b", 20),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(src_dir)
+
+    # seed the table so append mode has a target
+    spark.createDataFrame([], schema).write.format("jdbc").option("url", url).option(
+        "dbtable", "stream_out"
+    ).option("driver", DERBY).mode("overwrite").save()
+
+    def writer(batch_df, batch_id: int) -> None:
+        write_jdbc(batch_df, url, "stream_out", driver=DERBY)
+
+    stream = read_file_stream(spark, src_dir, schema, fmt="parquet")
+    q = start_foreach_batch(
+        stream, writer, str(tmp_path / "ckpt"), "jdbc_sink", trigger_available_now=True
+    )
+    q.awaitTermination()
+
+    back = read_jdbc(spark, url, "stream_out", driver=DERBY)
+    assert sorted((r["key"], r["bytes"]) for r in back.collect()) == [
+        ("a", 10),
+        ("b", 20),
+    ]
