@@ -1,0 +1,47 @@
+"""Format round-trips for the built-in sources/sinks + the Avro gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kcbdml9_big_data_processing_spark.sources.formats import (
+    read_format,
+    write_format,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ]
+)
+
+ROWS = [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, tmp_path, fmt):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / fmt)
+    opts = {"header": "true"} if fmt == "csv" else {}
+    write_format(df, path, fmt, mode="overwrite", **opts)
+    back = read_format(spark, path, fmt, schema=SCHEMA, **opts)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "part")
+    write_format(df, path, "parquet", mode="overwrite", partition_by=["name"])
+    assert (tmp_path / "part" / "name=a").exists()
+    back = read_format(spark, path, "parquet").where(F.col("name") == "a")
+    assert back.count() == 2
+
+
+def test_avro_gated_with_clear_error(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write_format(df, str(tmp_path / "avro"), "avro", mode="overwrite")
