@@ -1,0 +1,64 @@
+"""Salted transforms must equal their unsalted counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kcbdml9_big_data_processing_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+
+
+def _skewed(spark):
+    """1000 rows for the hot key, a handful elsewhere."""
+    hot = spark.range(1000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("uid"), F.lit(1.0).alias("v")
+    )
+    cold = spark.range(5).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"),
+        (F.col("id") + 10_000).alias("uid"),
+        F.lit(2.0).alias("v"),
+    )
+    return hot.unionAll(cold)
+
+
+def test_salted_aggregate_equals_direct(spark):
+    df = _skewed(spark)
+    direct = {
+        r["k"]: (r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["n"])
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            salt_col="uid",
+            aggs={"s": F.sum("v"), "n": F.count(F.lit(1))},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == direct
+    assert salted["hot"] == (1000.0, 1000)
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = _skewed(spark)
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("c1", "C1"), ("c3", "C3")], "k string, label string"
+    )
+    plain = sorted(
+        (r["k"], r["uid"], r["label"])
+        for r in fact.join(dim, "k").select(fact["k"], "uid", "label").collect()
+    )
+    salted = sorted(
+        (r["k"], r["uid"], r["label"])
+        for r in salted_join(fact, dim, "k", "k", salt_col="uid", n_salts=8)
+        .select("k", "uid", "label")
+        .collect()
+    )
+    assert salted == plain
+    assert len(salted) == 1002  # 1000 hot + c1 + c3
