@@ -631,3 +631,112 @@ def user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- left outer join + distribution (TPC-H Q13 shape) ---------------------
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram including
+    zero-order customers — LEFT OUTER join then two stacked
+    aggregations. count(o_orderkey) counts matches only (nulls from
+    the outer side don't count), so customers without orders land in
+    the c_count=0 bucket."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy(cust.c_custkey)
+        .agg(F.count(orders.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- IN over grouped HAVING (TPC-H Q18 shape) -----------------------------
+
+
+@register(
+    "large_volume_customers",
+    oracle=f"""
+        SELECT o.o_orderkey, o.o_totalprice, {dsum_sql('l.l_quantity')} AS total_qty
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150.0
+        )
+        GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped HAVING subquery — planned as
+    an aggregation feeding a left-semi join, then the outer
+    join+aggregate. Both aggregations shuffle on l_orderkey, so AQE
+    reuses the exchange partitioning."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 150.0)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )
+
+
+# --- disjunctive multi-clause predicate (TPC-H Q19 shape) -----------------
+
+
+@register(
+    "disjunctive_revenue",
+    oracle=f"""
+        SELECT {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 15
+               AND l.l_quantity >= 1.0 AND l.l_quantity <= 30.0)
+           OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
+               AND l.l_quantity >= 10.0 AND l.l_quantity <= 40.0)
+    """,
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive clauses spanning both join
+    sides. Catalyst factors the common-column predicates below the
+    join (CNF conversion), so each scan still prunes; the residual
+    disjunction evaluates post-join in codegen."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(part, part.p_partkey == li.l_partkey)
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 15)
+        & (F.col("l_quantity") >= 1.0)
+        & (F.col("l_quantity") <= 30.0)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size") <= 30)
+        & (F.col("l_quantity") >= 10.0)
+        & (F.col("l_quantity") <= 40.0)
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.where(clause1 | clause2).agg(
+        dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_rows")
+    )

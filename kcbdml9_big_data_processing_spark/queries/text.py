@@ -245,3 +245,80 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> md5(substring(text, i, {_SHINGLE}))))"
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- TF-IDF top terms ------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH ex AS (
+            SELECT doc_id, unnest({_tokens_sql()}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM ex GROUP BY doc_id, term
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_len
+            FROM ex GROUP BY doc_id
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM ex GROUP BY term
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   (CAST(tf.tf AS DOUBLE) / CAST(dl.doc_len AS DOUBLE))
+                       * (n.n / CAST(df.df AS DOUBLE)) AS score
+            FROM tf
+            JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN df ON tf.term = df.term
+            CROSS JOIN n
+        )
+        SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+            FROM scored
+        )
+        WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. IDF is the rational N/df (no
+    log — ln() last-ulp behavior is engine-specific; the ranking is
+    monotone-equivalent), so every score is integer ratios and one
+    multiply: bit-identical across engines. Shape: explode -> three
+    hash aggregations sharing the (doc_id|term) shuffle keys, a
+    broadcast of the tiny df/N sides, and a per-doc top-k window that
+    Spark bounds with WindowGroupLimit."""
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ex = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    dfq = ex.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfq, "term")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
+                * (F.col("n") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
+    )
