@@ -322,3 +322,67 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --- language ID (character-bigram heuristic) -----------------------------
+
+#: character-bigram profiles: the distinct bigrams of each language's
+#: marker words (computed at import, embedded as literals in both
+#: engines' plans)
+
+
+def _char_bigrams(words: list[str]) -> list[str]:
+    out: set[str] = set()
+    for w in words:
+        for i in range(len(w) - 1):
+            out.add(w[i : i + 2])
+    return sorted(out)
+
+
+_BIGRAM_PROFILES = {
+    lang: _char_bigrams(words) for lang, words in _LANG_PROFILES.items()
+}
+
+
+def _bigram_score_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{b}'" for b in _BIGRAM_PROFILES[lang]) + "]"
+    grams = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length(text) - 1, 1)), "
+        "i -> substr(text, CAST(i AS INT), 2)))"
+    )
+    return (
+        f"CAST(len(list_filter({grams}, g -> list_contains({arr}, g))) AS BIGINT)"
+    )
+
+
+@register(
+    "language_id_ngram",
+    oracle=f"""
+        SELECT doc_id, lang,
+               {_bigram_score_sql('de')} AS score_de,
+               {_bigram_score_sql('en')} AS score_en,
+               {_bigram_score_sql('es')} AS score_es,
+               {_bigram_score_sql('fr')} AS score_fr,
+               {_bigram_score_sql('zh')} AS score_zh
+        FROM documents
+    """,
+)
+def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID: per language, how many of the
+    document's distinct char-bigrams appear in that language's profile
+    bigram set (profiles derived from the marker lexicons at import
+    time — deterministic literals in both plans). The n-gram flavor is
+    what works on real text where word lists fail (no spaces, inflected
+    forms); same scan-speed shape as the word-profile scorer."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 1, 1)),"
+        " i -> substring(text, i, 2)))"
+    )
+    cols = [F.col("doc_id"), F.col("lang")]
+    for lang in sorted(_BIGRAM_PROFILES):
+        profile = F.array([F.lit(b) for b in _BIGRAM_PROFILES[lang]])
+        score = F.size(F.filter(grams, lambda g: F.array_contains(profile, g)))
+        cols.append(score.cast("long").alias(f"score_{lang}"))
+    return docs.select(*cols)

@@ -1,0 +1,72 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Watermarked windowed aggregation (operators/metrics.py) covers the
+reference's whole streaming surface; this is the escape hatch for
+semantics the built-in operators can't express — cross-batch running
+totals, custom session logic, CEP-ish patterns. State lives in
+Spark's state store (checkpointed, recovered on restart); the user
+function sees Arrow-batched pandas frames per key per micro-batch.
+
+Scale notes: state is partitioned by the grouping key across
+executors; memory is bounded by (keys in state) x (state row size),
+and `GroupStateTimeout` evicts idle keys. Python here is NOT the hot
+path caveat it is for row UDFs — the per-key batches arrive via
+Arrow, and only groups with new data invoke Python at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTAL_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("total", T.LongType(), True),
+        T.StructField("n_updates", T.LongType(), True),
+    ]
+)
+
+_STATE = T.StructType(
+    [
+        T.StructField("total", T.LongType(), True),
+        T.StructField("n_updates", T.LongType(), True),
+    ]
+)
+
+
+def running_totals(
+    grouped_stream: DataFrame,
+    key_col: str = "key",
+    value_col: str = "bytes",
+) -> DataFrame:
+    """Cross-batch running totals per key — cumulative sum carried in
+    the state store, emitted once per key per micro-batch that touches
+    it. Not expressible as a watermarked window (the total never
+    closes); this is exactly the applyInPandasWithState niche."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total, n_updates = state.get if state.exists else (0, 0)
+        batch_sum = 0
+        for pdf in pdfs:
+            batch_sum += int(pdf[value_col].sum())
+        total += batch_sum
+        n_updates += 1
+        state.update((total, n_updates))
+        yield pd.DataFrame(
+            {"key": [key[0]], "total": [total], "n_updates": [n_updates]}
+        )
+
+    return grouped_stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTAL_OUTPUT,
+        stateStructType=_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
