@@ -351,3 +351,108 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _HAMMING_MAX)
         .distinct()
     )
+
+
+# --- near-dup clustering (iterative connected components) -----------------
+
+_NGRAM_PAIRS_CTE = f"""
+        corpus AS (
+            SELECT doc_id, {_toks_sql()} AS toks FROM documents
+            UNION ALL
+            SELECT doc_id + {_DUP_OFFSET},
+                   list_slice({_toks_sql()}, 1,
+                              greatest(len({_toks_sql()}) - {_DROP}, 1))
+            FROM documents
+        ),
+        prepped AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(toks, 1, {_PREFIX}), ' ') AS block,
+                   {_shingles_sql('toks')} AS sh
+            FROM corpus
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.sh, b.sh)) AS inter,
+                       len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+                FROM prepped a JOIN prepped b
+                  ON a.block = b.block AND a.doc_id < b.doc_id
+            )
+            WHERE (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= {_JACCARD_MIN}
+        )"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE
+        {_NGRAM_PAIRS_CTE},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM corpus
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS canonical_id
+        FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the blocked
+    Jaccard pair graph via iterative min-label propagation — every doc
+    mapped to the smallest doc_id reachable through near-dup edges
+    (the canonical representative a dedup pipeline keeps).
+
+    The iteration is Pregel-shaped: each round joins current labels to
+    the symmetrized edge list, takes the per-node min of self and
+    neighbor labels, and stops when a round changes nothing. Rounds
+    needed = cluster diameter (tiny for dup clusters). Each round
+    localCheckpoints the label frame: it truncates the join lineage so
+    plan size stays constant across rounds — without it, round N
+    replans rounds 1..N-1. The oracle phrases the same fixpoint as a
+    recursive transitive-closure CTE; Spark's loop is the formulation
+    that scales (closure materializes O(cluster^2) rows, labels stay
+    O(nodes))."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionAll(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .persist()
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    nodes = docs.unionAll(docs.select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id")))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("canonical_id"))
+    labels = labels.localCheckpoint()
+    for _ in range(20):  # diameter bound; converges far earlier
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("canonical_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("canonical_id"), F.coalesce("nbr_min", F.col("canonical_id"))
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
+            .where(F.col("canonical_id") != F.col("old"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

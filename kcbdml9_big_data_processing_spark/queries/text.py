@@ -351,9 +351,9 @@ def _bigram_score_sql(lang: str) -> str:
         "generate_series(1, greatest(length(text) - 1, 1)), "
         "i -> substr(text, CAST(i AS INT), 2)))"
     )
-    return (
-        f"CAST(len(list_filter({grams}, g -> list_contains({arr}, g))) AS BIGINT)"
-    )
+    # hash-based set intersection (both sides distinct), not a nested
+    # contains scan — O(grams + profile) per row in both engines
+    return f"CAST(len(list_intersect({grams}, {arr})) AS BIGINT)"
 
 
 @register(
@@ -383,6 +383,6 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.col("doc_id"), F.col("lang")]
     for lang in sorted(_BIGRAM_PROFILES):
         profile = F.array([F.lit(b) for b in _BIGRAM_PROFILES[lang]])
-        score = F.size(F.filter(grams, lambda g: F.array_contains(profile, g)))
+        score = F.size(F.array_intersect(grams, profile))
         cols.append(score.cast("long").alias(f"score_{lang}"))
     return docs.select(*cols)
