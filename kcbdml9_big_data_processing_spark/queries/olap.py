@@ -740,3 +740,84 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(clause1 | clause2).agg(
         dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_rows")
     )
+
+
+# --- single-pass profiling -------------------------------------------------
+
+
+@register(
+    "profile_orders",
+    oracle="""
+        SELECT col AS "column", n_rows, n_nulls, n_distinct, min_value, max_value
+        FROM (
+            SELECT 'o_custkey' AS col,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(MIN(o_orderstatus) AS VARCHAR),
+                   CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+                   CAST(MIN(o_totalprice) AS VARCHAR),
+                   CAST(MAX(o_totalprice) AS VARCHAR)
+            FROM orders
+        )
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profiling of three orders columns (nulls, exact
+    distincts, bounds) — all measures in one hash aggregate, then the
+    wide row unpivoted; the oracle phrases the same numbers as
+    per-column passes, proving the one-pass plan computes them all
+    correctly. Caveat shared with the oracle: numeric min/max render
+    via each engine's double->string; the profiled numeric column here
+    (o_totalprice) has 2-decimal values that format identically."""
+    from ..operators.profile import profile_columns
+
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_columns(orders, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+# --- deterministic stratified sampling ------------------------------------
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+        SELECT event_type, event_id, user_id
+        FROM (
+            SELECT event_type, event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY event_id) AS rn
+            FROM events
+        )
+        WHERE rn % 10 = 1
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample: every 10th event per
+    event_type stratum by id order. Systematic (rank-based) rather
+    than rand()-based on purpose — reproducible across runs/engines,
+    and exactly proportional per stratum, which Bernoulli sampling
+    only approximates. One shuffle on the stratum key; at 100 TB
+    swap ROW_NUMBER for a hash-mod predicate (pmod(xxhash64(id), 10)
+    = 0) to avoid the per-stratum sort entirely — same distributional
+    guarantee, fully scan-parallel."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") % 10 == 1)
+        .select("event_type", "event_id", "user_id")
+    )

@@ -81,3 +81,18 @@ def test_derive_time_partitions(tiny_events):
     out = derive_time_partitions(tiny_events, "ts")
     r = out.where(F.col("event_id") == 6).first()
     assert (r["year"], r["month"], r["day"], r["hour"]) == (2024, 1, 1, 0)
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from kcbdml9_big_data_processing_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x int, s string"
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["x", "s"]).collect()}
+    assert out["x"]["n_rows"] == 4
+    assert out["x"]["n_nulls"] == 1
+    assert out["x"]["n_distinct"] == 3  # countDistinct ignores null
+    assert out["x"]["min_value"] == "1" and out["x"]["max_value"] == "3"
+    assert out["s"]["n_nulls"] == 1
+    assert out["s"]["n_distinct"] == 2
