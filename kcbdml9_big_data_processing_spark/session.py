@@ -29,11 +29,20 @@ def default_parallelism() -> int:
     return os.cpu_count() or 4
 
 
+#: RocksDB-backed streaming state (bundled with Spark): state spills
+#: to local disk instead of living on the executor heap — the backend
+#: to run at 100 TB where key cardinality outgrows memory.
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
+    rocksdb_state: bool = False,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-sane defaults.
@@ -67,6 +76,10 @@ def get_spark(
     )
     if driver_memory:
         builder = builder.config("spark.driver.memory", driver_memory)
+    if rocksdb_state:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_STORE
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

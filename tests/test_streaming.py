@@ -203,3 +203,94 @@ def test_stream_equals_batch_on_events(spark, tag):
     )
     want = {(r["timestamp"], r["id"]): r["value"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (absent even in the reference — T7):
+    clicks joined to purchases by the same user within 10 minutes
+    after the click. Both sides watermarked so join state is evicted;
+    the time-bound condition is what makes state finite at all."""
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    click_schema = T.StructType(
+        [
+            T.StructField("click_ts", T.TimestampType(), True),
+            T.StructField("user", T.StringType(), True),
+        ]
+    )
+    buy_schema = T.StructType(
+        [
+            T.StructField("buy_ts", T.TimestampType(), True),
+            T.StructField("user", T.StringType(), True),
+            T.StructField("amount", T.LongType(), True),
+        ]
+    )
+    spark.createDataFrame(
+        [(_t(0, 10), "u1"), (_t(0, 20), "u2"), (_t(30, 0), "u1")], click_schema
+    ).coalesce(1).write.parquet(clicks_dir)
+    spark.createDataFrame(
+        [
+            (_t(5, 0), "u1", 100),   # within 10 min of u1's 00:00:10 click
+            (_t(20, 0), "u2", 50),   # 19:40 after u2's click -> outside bound
+            (_t(31, 0), "u1", 70),   # within bound of u1's 30:00 click
+        ],
+        buy_schema,
+    ).coalesce(1).write.parquet(buys_dir)
+
+    clicks = read_file_stream(spark, clicks_dir, click_schema, fmt="parquet").withWatermark(
+        "click_ts", "1 minute"
+    )
+    buys = read_file_stream(spark, buys_dir, buy_schema, fmt="parquet").withWatermark(
+        "buy_ts", "1 minute"
+    )
+    joined = clicks.join(
+        buys,
+        (clicks.user == buys.user)
+        & (buys.buy_ts >= clicks.click_ts)
+        & (buys.buy_ts <= clicks.click_ts + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    got: list[tuple] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        got.extend((r["user"], r["amount"]) for r in batch_df.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got) == [("u1", 70), ("u1", 100)]
+
+
+def test_windowed_agg_on_rocksdb_state_store(tmp_path):
+    """The at-scale state backend: the same watermarked windowed agg
+    runs on RocksDB-backed state (spills to disk, bounded heap). Uses
+    its own session since the provider is a session-level conf."""
+    from kcbdml9_big_data_processing_spark.session import get_spark
+
+    spark2 = get_spark(
+        app_name="rocksdb_test", shuffle_partitions=4, rocksdb_state=True
+    )
+    assert "RocksDB" in spark2.conf.get("spark.sql.streaming.stateStore.providerClass")
+    src = str(tmp_path / "src")
+    _write_file(spark2, src, [(_t(0, 10), "a", 10), (_t(3, 0), "a", 1)])
+    stream = read_file_stream(spark2, src, SCHEMA, fmt="parquet")
+    agg = windowed_sum(stream, "key", "90 seconds", watermark="15 seconds")
+    out = conform_metric(agg, "key", "rocks_test")
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        seen.extend(tuple(r) for r in batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (_t(0, 0), "a", 10.0, "rocks_test") in seen
