@@ -30,7 +30,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # full precision, no rounding: every query's arithmetic is
+        # engineered to be bit-identical across engines, so the local
+        # gate holds results to the strictest standard a driver could
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
