@@ -342,3 +342,63 @@ def session_window_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "n_events",
     )
+
+
+# --- compaction / recency dedup -------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type
+        FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency compaction: keep each key's newest record — the CDC/
+    upsert-materialization primitive (dedup by key, latest wins).
+    Plans as a partial top-1 per key before the shuffle
+    (WindowGroupLimit), so the exchange carries one row per key per
+    map partition, not the full history."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "hourly_active_users",
+    oracle=f"""
+        SELECT {bucket_start_sql('ts', HOUR)} AS "timestamp",
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+)
+def hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per hour window — the expand-to-two-phase
+    distinct aggregate under a time bucket. For 100 TB dashboards the
+    HLL twin (user_reach_approx pattern) replaces it at constant
+    memory."""
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window(F.col("ts"), "1 hour")).agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        F.col("window.start").alias("timestamp"), "active_users", "n_events"
+    )
