@@ -45,3 +45,14 @@ def test_avro_gated_with_clear_error(spark, tmp_path):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(RuntimeError, match="spark-avro"):
         write_format(df, str(tmp_path / "avro"), "avro", mode="overwrite")
+
+
+def test_kafka_gated_with_clear_error(spark):
+    """S1: without the spark-sql-kafka jar, the Kafka source fails at
+    plan time with actionable guidance (not a deep Py4J stack)."""
+    import pytest as _pytest
+
+    from kcbdml9_big_data_processing_spark.sources.kafka import read_kafka_stream
+
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "localhost:9092", "devices")
