@@ -120,3 +120,33 @@ def test_decode_image_is_gated():
 
     with _pytest.raises(NotImplementedError):
         decode_image(None)
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """ANN quality, quantified: recall@10 of the LSH-bucketed search
+    against the exact brute-force baseline on the same probes. Random
+    unit vectors are the worst case for hyperplane LSH (no cluster
+    structure to exploit), so the bound here is a floor, not a
+    showcase; what matters is that the measurement is pinned."""
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        ann_lsh_cosine,
+        knn_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in knn_topk_cosine(spark, sf).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in ann_lsh_cosine(spark, sf).collect():
+        approx.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # measured 0.44 on this corpus: on random unit vectors the "true"
+    # top-10 sit at cos~0.2, barely above the bulk, so hyperplane
+    # buckets only weakly prefer them — the honest floor for this
+    # configuration. On clustered real embeddings (near-dup cos>=0.9,
+    # see embedding_near_dup) band collisions are ~certain.
+    assert mean_recall >= 0.3, f"mean recall@10 {mean_recall:.2f}"
