@@ -11,11 +11,18 @@ registry; this module is a thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kcbdml9_big_data_processing_spark.queries import QUERIES
+# robust under file-path import: the package lives next to this file
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from kcbdml9_big_data_processing_spark.queries import QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,0 +1,62 @@
+"""Bucketed co-located joins: the storage-layout lever SCALE.md
+prescribes for repeated big joins — both tables bucketed on the join
+key join WITHOUT a shuffle on either side."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from kcbdml9_big_data_processing_spark.plans.inspect import physical_plan
+from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    # warehouse dir is a static conf — tables land in the session
+    # default and are dropped (managed => data deleted) in the finally
+    orders = read_table(spark, SF, "orders")
+    li = read_table(spark, SF, "lineitem")
+    (
+        orders.write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+
+    # disable broadcast so the join would otherwise need a shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = physical_plan(j, "simple")
+        # join itself introduces NO exchange: both sides pre-bucketed
+        # on the join key. The only exchange is the final groupBy.
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert len(re.findall(r"Exchange hashpartitioning", join_part)) == 0, plan
+        # and the result is right
+        unbucketed = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, unbucketed.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
