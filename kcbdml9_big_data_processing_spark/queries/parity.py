@@ -402,3 +402,68 @@ def hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("window.start").alias("timestamp"), "active_users", "n_events"
     )
+
+
+# --- range (interval) join ------------------------------------------------
+
+_RANGE_S = 300  # +/- 5 minutes
+
+
+@register(
+    "events_near_errors",
+    oracle=f"""
+        SELECT e.event_id,
+               CAST(COUNT(r.event_id) AS BIGINT) AS n_nearby_errors
+        FROM events e
+        LEFT JOIN events r
+          ON r.event_type = 'error'
+         AND r.user_id = e.user_id
+         AND r.event_id <> e.event_id
+         AND abs(epoch_ms(e.ts) - epoch_ms(r.ts)) <= {_RANGE_S * 1000}
+        GROUP BY e.event_id
+    """,
+)
+def events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for every event, how many OTHER error events the
+    same user produced within +/-5 minutes. Spark has no native
+    interval join, and the naive theta join (|Δt| <= w) degenerates to
+    a per-user cross product; this is the scalable formulation —
+    bucket both sides into w-sized time buckets, replicate the error
+    side into its bucket and both neighbors (any |Δt| <= w pair shares
+    one of those buckets by construction), equi-join on (user, bucket),
+    exact-filter, dedup, count. Shuffles on (user, bucket) only; work
+    is bounded by per-bucket density, not per-user history. The oracle
+    is the naive unblocked join — the hash equality proves the
+    blocking loses no pairs."""
+    ev = read_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / _RANGE_S).cast("long")
+    left = ev.select(
+        "event_id", "user_id", F.col("ts").alias("e_ts"), bucket.alias("bk")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        bucket.alias("r_bk"),
+    )
+    # replicate each error into its bucket and both neighbors
+    errors_rep = errors.withColumn(
+        "bk", F.explode(F.array(F.col("r_bk") - 1, F.col("r_bk"), F.col("r_bk") + 1))
+    )
+    pairs = (
+        left.join(
+            errors_rep,
+            (left.user_id == errors_rep.r_user) & (left.bk == errors_rep.bk),
+        )
+        .where(
+            (F.col("r_id") != F.col("event_id"))
+            & (F.abs(F.unix_millis("e_ts") - F.unix_millis("r_ts")) <= _RANGE_S * 1000)
+        )
+        .select("event_id", "r_id")
+        .distinct()  # bucket replication can match the same pair twice
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("r_id").alias("n"))
+    # events with no valid pair still appear, at zero (LEFT JOIN shape)
+    return ev.select("event_id").join(counts, "event_id", "left_outer").select(
+        "event_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_nearby_errors")
+    )
