@@ -18,33 +18,49 @@ and testable.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
 
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
     salt_col: str,
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, Callable[[str], Column]]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation: groupBy(keys + salt) partial, then
     groupBy(keys) merge — a hot key's rows spread over ``n_salts``
     reducers in phase 1, and phase 2 merges only ``n_salts`` rows per
-    key. Only sum/count/min/max-style (commutative, re-aggregable)
-    measures compose this way; ``aggs`` maps output name -> phase-1
-    aggregate, and phase 2 re-applies sum for sums/counts, min/max for
-    min/max — pass ``merge`` per measure via a (phase1, phase2) tuple
-    if the default (sum) is wrong.
+    key. Only commutative, re-aggregable measures compose this way.
+
+    ``aggs`` maps output name -> either
+
+    - a phase-1 aggregate ``Column`` (e.g. ``F.sum("v")``,
+      ``F.count(F.lit(1))``), merged in phase 2 with ``F.sum`` —
+      correct ONLY for sum/count-style partials; or
+    - a ``(phase1, phase2)`` tuple where ``phase2`` is the merge
+      function applied to the partial column name (e.g.
+      ``(F.min("v"), F.min)`` or ``(F.max("v"), F.max)``).
+
+    Non-decomposable measures (avg, distinct counts, percentiles) must
+    be rewritten by the caller (avg = salted sum / salted count);
+    passing their raw aggregate here would silently sum partials, so
+    prefer the tuple form whenever the measure is not a sum or count.
     """
     salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).alias("__salt")
-    phase1 = df.groupBy(*[F.col(k) for k in keys], salt).agg(
-        *[c.alias(name) for name, c in aggs.items()]
-    )
-    return phase1.groupBy(*keys).agg(
-        *[F.sum(name).alias(name) for name in aggs]
-    )
+    phase1_cols: list[Column] = []
+    phase2_cols: list[Column] = []
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            p1, p2 = spec
+        else:
+            p1, p2 = spec, F.sum
+        phase1_cols.append(p1.alias(name))
+        phase2_cols.append(p2(name).alias(name))
+    phase1 = df.groupBy(*[F.col(k) for k in keys], salt).agg(*phase1_cols)
+    return phase1.groupBy(*keys).agg(*phase2_cols)
 
 
 def salted_join(
@@ -61,7 +77,19 @@ def salted_join(
     value (explode of a literal range — n_salts x |dim| rows, which is
     why the dim must be medium-sized, not fact-sized); the join key
     becomes (key, salt), so one hot key's rows land on n_salts
-    reducers instead of one."""
+    reducers instead of one.
+
+    Only fact-preserving join types are supported: replicating the dim
+    side means a right/full outer join would emit each unmatched dim
+    row once per salt (n_salts duplicated null-extended rows), so those
+    are rejected.
+    """
+    safe = {"inner", "left", "left_outer", "leftouter"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in safe}:
+        raise ValueError(
+            f"salted_join supports {sorted(safe)} only; {how!r} would "
+            "duplicate unmatched dim rows once per salt"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
     )

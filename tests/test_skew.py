@@ -45,6 +45,43 @@ def test_salted_aggregate_equals_direct(spark):
     assert salted["hot"] == (1000.0, 1000)
 
 
+def test_salted_aggregate_min_max_tuple_merge(spark):
+    """min/max partials must re-merge as min/max, not sum."""
+    df = _skewed(spark).withColumn("w", F.col("uid").cast("double"))
+    direct = {
+        r["k"]: (r["lo"], r["hi"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.min("w").alias("lo"), F.max("w").alias("hi"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["lo"], r["hi"], r["s"])
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            salt_col="uid",
+            aggs={
+                "lo": (F.min("w"), F.min),
+                "hi": (F.max("w"), F.max),
+                "s": F.sum("v"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == direct
+    assert salted["hot"] == (0.0, 999.0, 1000.0)
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+
+    fact = _skewed(spark)
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    for bad in ("right", "full", "full_outer", "left_semi", "cross"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "k", "k", salt_col="uid", how=bad)
+
+
 def test_salted_join_equals_plain_join(spark):
     fact = _skewed(spark)
     dim = spark.createDataFrame(
