@@ -19,6 +19,7 @@ if source reads dominate.
 from __future__ import annotations
 
 import os
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,8 +45,18 @@ class StreamingJobConfig:
     ts_col: str = "timestamp"
     value_col: str = "bytes"
     archive_path: str | None = None
-    checkpoint_root: str = "/tmp/kcbdml9-checkpoints"
+    #: None -> a fresh per-job temp directory (collision-safe default
+    #: for tests/ad-hoc runs). Production jobs MUST pin a durable
+    #: per-query location (exactly-once restart depends on it) — a
+    #: shared fixed path across jobs, or a rerun after changing the
+    #: query shape, makes Spark fail on (or silently resume from)
+    #: another run's offsets/state.
+    checkpoint_root: str | None = None
     available_now: bool = False
+
+    def __post_init__(self) -> None:
+        if self.checkpoint_root is None:
+            self.checkpoint_root = tempfile.mkdtemp(prefix="kcbdml9-ckpt-")
 
 
 class StreamingJob:

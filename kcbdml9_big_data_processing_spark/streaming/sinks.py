@@ -12,9 +12,12 @@ K2/T4: checkpointed partitioned-parquet archive
 (StreamingJobImpl.scala:96-109).
 
 At-least-once note, same trade as the reference: foreachBatch
-re-delivers the failed micro-batch on recovery; writers that dedupe on
-(type, id, timestamp) make it effectively exactly-once. batch_id is
-passed through so writers can implement idempotency.
+re-delivers the failed micro-batch on recovery. The reference ignores
+batchId entirely (StreamingJobImpl.scala:82-92), so its JDBC tables
+grow duplicates on every recovery; here
+``make_idempotent_jdbc_writer`` keys every row on batch_id and
+delete-then-inserts, making redelivery a no-op (effectively
+exactly-once into JDBC).
 """
 
 from __future__ import annotations
@@ -22,11 +25,88 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.partitions import derive_time_partitions
+from ..sinks.jdbc import write_jdbc
 
 BatchWriter = Callable[[DataFrame, int], None]
+
+
+def make_idempotent_jdbc_writer(
+    url: str,
+    table: str,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    batch_id_col: str = "batch_id",
+    **write_options: str,
+) -> BatchWriter:
+    """Build a foreachBatch writer with exactly-once-effective JDBC
+    delivery: every row is stamped with its micro-batch id, and each
+    delivery first deletes any rows already carrying that id (a failed
+    earlier attempt), then appends — so Structured Streaming's
+    at-least-once redelivery cannot duplicate rows.
+
+    The DELETE runs once per micro-batch on the driver over a plain
+    JDBC connection (via the JVM's DriverManager — no extra Python DB
+    client needed); the INSERT is the normal distributed
+    ``write_jdbc`` append. At scale, index ``batch_id_col`` so the
+    delete is a point lookup, and keep micro-batches large enough that
+    one extra driver round trip per batch is noise.
+    """
+
+    def _table_exists(conn) -> bool:
+        bare = table.split(".")[-1].lower()
+        rs = conn.getMetaData().getTables(None, None, None, None)
+        try:
+            while rs.next():
+                if rs.getString("TABLE_NAME").lower() == bare:
+                    return True
+            return False
+        finally:
+            rs.close()
+
+    def writer(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = batch_df.sparkSession._jvm
+        if driver is not None:
+            jvm.java.lang.Class.forName(driver)
+        props = jvm.java.util.Properties()
+        if user is not None:
+            props.setProperty("user", user)
+        if password is not None:
+            props.setProperty("password", password)
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            stmt = conn.createStatement()
+            try:
+                # Spark's JDBC writer creates columns as quoted
+                # (case-preserved) identifiers, so quote here too.
+                stmt.executeUpdate(
+                    f'DELETE FROM {table} WHERE "{batch_id_col}" = {int(batch_id)}'
+                )
+            finally:
+                stmt.close()
+        except Exception:
+            # tolerate exactly one failure mode: first-ever delivery,
+            # before the append below has created the table.
+            if _table_exists(conn):
+                raise
+        finally:
+            conn.close()
+        write_jdbc(
+            batch_df.withColumn(batch_id_col, F.lit(int(batch_id))),
+            url,
+            table,
+            user=user,
+            password=password,
+            driver=driver,
+            mode="append",
+            **write_options,
+        )
+
+    return writer
 
 
 def start_foreach_batch(

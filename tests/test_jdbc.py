@@ -15,7 +15,10 @@ from pyspark.sql import types as T
 from kcbdml9_big_data_processing_spark.sinks.jdbc import write_jdbc
 from kcbdml9_big_data_processing_spark.sources.files import read_file_stream
 from kcbdml9_big_data_processing_spark.sources.jdbc import read_jdbc
-from kcbdml9_big_data_processing_spark.streaming.sinks import start_foreach_batch
+from kcbdml9_big_data_processing_spark.streaming.sinks import (
+    make_idempotent_jdbc_writer,
+    start_foreach_batch,
+)
 
 DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
 
@@ -99,3 +102,59 @@ def test_streaming_foreachbatch_to_jdbc(spark, tmp_path):
         ("a", 10),
         ("b", 20),
     ]
+
+
+def test_idempotent_writer_survives_batch_redelivery(spark, tmp_path):
+    """foreachBatch is at-least-once: a recovered query re-delivers the
+    failed micro-batch with the same batch_id. The idempotent writer
+    must make the redelivery a no-op (delete-then-insert keyed on
+    batch_id) — the reference ignores batchId and duplicates
+    (StreamingJobImpl.scala:82-92)."""
+    url = _url(tmp_path)
+    writer = make_idempotent_jdbc_writer(url, "idem_out", driver=DERBY)
+    b0 = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "key string, bytes bigint"
+    )
+    b1 = spark.createDataFrame([("c", 30)], "key string, bytes bigint")
+
+    writer(b0, 0)  # first delivery (creates the table)
+    writer(b0, 0)  # crash-recovery redelivery of the SAME batch
+    writer(b1, 1)  # next batch proceeds normally
+    writer(b1, 1)  # and its redelivery is also a no-op
+
+    back = read_jdbc(spark, url, "idem_out", driver=DERBY)
+    rows = sorted((r["key"], r["bytes"], r["batch_id"]) for r in back.collect())
+    assert rows == [("a", 10, 0), ("b", 20, 0), ("c", 30, 1)]
+
+
+def test_idempotent_writer_in_streaming_query(spark, tmp_path):
+    """End-to-end: the idempotent writer as a real foreachBatch sink,
+    then a manual redelivery of batch 0 leaves the table unchanged."""
+    url = _url(tmp_path)
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField("bytes", T.LongType(), True),
+        ]
+    )
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([("a", 10), ("b", 20)], schema).coalesce(1).write.parquet(
+        src_dir
+    )
+    writer = make_idempotent_jdbc_writer(url, "stream_idem", driver=DERBY)
+    stream = read_file_stream(spark, src_dir, schema, fmt="parquet")
+    q = start_foreach_batch(
+        stream, writer, str(tmp_path / "ckpt"), "idem_sink", trigger_available_now=True
+    )
+    q.awaitTermination()
+
+    before = sorted(
+        tuple(r) for r in read_jdbc(spark, url, "stream_idem", driver=DERBY).collect()
+    )
+    # simulate the recovery path: batch 0 re-delivered after a crash
+    writer(spark.createDataFrame([("a", 10), ("b", 20)], schema), 0)
+    after = sorted(
+        tuple(r) for r in read_jdbc(spark, url, "stream_idem", driver=DERBY).collect()
+    )
+    assert before == after
+    assert len(after) == 2

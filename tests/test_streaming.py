@@ -179,6 +179,16 @@ def test_multi_query_orchestration(spark, tmp_path):
     assert (_t(0, 0), "b", 20, "key_bytes_total") in rows
 
 
+def test_default_checkpoint_roots_are_unique():
+    """Two jobs built with defaults must never share checkpoint state
+    (a shared fixed path makes reruns resume another run's offsets)."""
+    from kcbdml9_big_data_processing_spark.streaming.job import StreamingJobConfig
+
+    a, b = StreamingJobConfig(), StreamingJobConfig()
+    assert a.checkpoint_root != b.checkpoint_root
+    assert a.checkpoint_root and b.checkpoint_root
+
+
 @pytest.mark.parametrize("tag", ["antenna_bytes_total"])
 def test_stream_equals_batch_on_events(spark, tag):
     """Bounded stream result == batch result on the same input (the
