@@ -11,13 +11,19 @@ and still hash-checked.
 
 Scale discipline (the whole point of these formulations):
 - exact:     one shuffle on the content hash; no pairwise work at all.
-- n-gram:    pairs only inside a blocking key (prefix here; a MinHash
-             band in production) — never an all-pairs cross join.
+- n-gram:    PPJoin-style prefix filtering — a *provably complete*
+             candidate join (any pair with Jaccard >= t must share a
+             shingle inside each doc's first ``|sh|-ceil(t*|sh|)+1``
+             shingles under a global order), so exact verification of
+             candidates IS the exact all-pairs answer, with no
+             all-pairs cross join ever built.
 - MinHash:   ``pyspark.ml`` MinHashLSH — signatures are a linear scan,
              candidate pairs come from a shuffle on (band, hash
-             bucket); verified with exact Jaccard afterwards.
-- SimHash:   64-bit signature per doc computed with higher-order array
-             functions (no explode), banded self-join on the top bits,
+             bucket), unioned with the prefix-filter candidates so the
+             final candidate set stays deterministically complete;
+             verified with exact Jaccard afterwards.
+- SimHash:   48-bit signature per doc computed with higher-order array
+             functions (no explode), banded self-join on 12-bit bands,
              Hamming filter via xor+bit_count.
 """
 
@@ -83,12 +89,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- n-gram Jaccard near-dup (blocked, fully oracled) ---------------------
+# --- n-gram Jaccard near-dup (prefix-filtered, fully oracled) -------------
 
-#: word-3-gram shingles, Jaccard threshold, and the prefix blocking key
+#: word-3-gram shingles and the Jaccard decision threshold
 _NGRAM = 3
 _JACCARD_MIN = 0.5
-_PREFIX = 3
 #: perturbation: the near-dup copy drops the last _DROP tokens
 _DROP = 2
 
@@ -101,44 +106,37 @@ def _shingles_sql(tokens_expr: str) -> str:
     return _SHINGLES_SQL.format(t=tokens_expr)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-        WITH corpus AS (
-            SELECT doc_id, {_toks_sql()} AS toks FROM documents
-            UNION ALL
-            SELECT doc_id + {_DUP_OFFSET},
-                   list_slice({_toks_sql()}, 1,
-                              greatest(len({_toks_sql()}) - {_DROP}, 1))
-            FROM documents
-        ),
-        prepped AS (
-            SELECT doc_id,
-                   array_to_string(list_slice(toks, 1, {_PREFIX}), ' ') AS block,
-                   {_shingles_sql('toks')} AS sh
-            FROM corpus
-        ),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
-                   len(a.sh) + len(b.sh)
-                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
-            FROM prepped a JOIN prepped b
-              ON a.block = b.block AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS jaccard
-        FROM pairs
-        WHERE (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= {_JACCARD_MIN}
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact word-3-gram Jaccard, blocked on the
-    first-3-token prefix so the join is shuffle-on-block-key,
-    never an all-pairs cross join (at 100 TB the blocking key would be
-    a MinHash band — see dedup_minhash_lsh; the pair-verification
-    algebra here is identical). Jaccard is one integer-over-integer
-    division — cross-engine exact."""
+#: the exact, UNBLOCKED all-pairs oracle — shared by the ngram and the
+#: MinHash queries, so the driver's hash equality proves that neither
+#: the prefix filter nor the LSH candidate generation loses a pair.
+_ALL_PAIRS_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id, {_toks_sql()} AS toks FROM documents
+        UNION ALL
+        SELECT doc_id + {_DUP_OFFSET},
+               list_slice({_toks_sql()}, 1,
+                          greatest(len({_toks_sql()}) - {_DROP}, 1))
+        FROM documents
+    ),
+    prepped AS (
+        SELECT doc_id, {_shingles_sql('toks')} AS sh FROM corpus
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+               len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+        FROM prepped a JOIN prepped b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS jaccard
+    FROM pairs
+    WHERE (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= {_JACCARD_MIN}
+"""
+
+
+def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + perturbed copy -> (doc_id, sh: distinct 3-gram shingles)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
     perturbed = docs.select(
         (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
@@ -151,29 +149,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"array_distinct(transform(sequence(1, greatest(size(toks) - {_NGRAM - 1}, 1)),"
         f" i -> concat_ws(' ', slice(toks, i, {_NGRAM}))))"
     )
-    prepped = corpus.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice("toks", 1, _PREFIX)).alias("block"),
-        shingles.alias("sh"),
+    return corpus.select("doc_id", shingles.alias("sh"))
+
+
+def _prefix_filter_pairs(prepped: DataFrame) -> DataFrame:
+    """Provably complete candidate pairs for Jaccard >= _JACCARD_MIN
+    via AllPairs/PPJoin prefix filtering (Bayardo et al., WWW'07;
+    Xiao et al., WWW'08).
+
+    Under any single global total order of shingles, a pair with
+    J(A,B) >= t must share at least one shingle inside each side's
+    first ``|x| - ceil(t*|x|) + 1`` shingles (if A's prefix missed B
+    entirely, the intersection would fit in A's remaining
+    ``ceil(t*|A|)-1`` shingles — below the ``ceil(t*|A|)`` the
+    threshold forces). So: sort each doc's shingles by hash (hash
+    order spreads the hot shingles), emit only the prefix, and join on
+    the emitted shingle — shuffle is by shingle, output is candidate
+    pairs, and completeness is a theorem, not a tuning choice. At 100
+    TB the one refinement needed is dropping stop-shingles whose
+    posting lists explode (they can't be discriminative), which only
+    ever *shrinks* the join."""
+    with_prefix = prepped.withColumn(
+        "pref",
+        F.expr(
+            f"""transform(
+                slice(
+                    array_sort(transform(sh, s -> struct(xxhash64(s) AS h, s AS s))),
+                    1,
+                    CAST(size(sh) - ceil(size(sh) * {_JACCARD_MIN}) + 1 AS INT)),
+                x -> x.s)"""
+        ),
     )
-    a = prepped.alias("a")
-    b = prepped.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    uni = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jaccard = inter.cast("double") / uni.cast("double")
+    tok = with_prefix.select("doc_id", F.explode("pref").alias("tok"))
+    a, b = tok.alias("a"), tok.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block"))
+            (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jaccard.alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= _JACCARD_MIN)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+
+
+def _verify_exact_jaccard(cands: DataFrame, prepped: DataFrame) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to their shingle sets
+    and keep exact word-3-gram Jaccard >= threshold. Jaccard is one
+    integer-over-integer division — cross-engine exact."""
+    pairs = cands.join(
+        prepped.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        prepped.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    jaccard = inter.cast("double") / uni.cast("double")
+    return pairs.select("doc_a", "doc_b", jaccard.alias("jaccard")).where(
+        F.col("jaccard") >= _JACCARD_MIN
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_ALL_PAIRS_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard near-dup join WITHOUT the
+    all-pairs cross join: prefix-filter candidates (provably complete
+    for the threshold — see _prefix_filter_pairs) then exact
+    verification. The oracle is the naive unblocked all-pairs answer,
+    so the driver's hash equality *proves* the filter loses no pair."""
+    prepped = _shingled_corpus(spark, sf_dir).persist()
+    prepped.count()
+    return _verify_exact_jaccard(_prefix_filter_pairs(prepped), prepped)
 
 
 # --- MinHash-LSH near-dup (pyspark.ml, exact-verified) --------------------
@@ -186,33 +234,7 @@ _LSH_SEED = 42
 _LSH_DIST_MAX = 0.5
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-        WITH corpus AS (
-            SELECT doc_id, {_toks_sql()} AS toks FROM documents
-            UNION ALL
-            SELECT doc_id + {_DUP_OFFSET},
-                   list_slice({_toks_sql()}, 1,
-                              greatest(len({_toks_sql()}) - {_DROP}, 1))
-            FROM documents
-        ),
-        prepped AS (
-            SELECT doc_id, {_shingles_sql('toks')} AS sh FROM corpus
-        ),
-        pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
-                   len(a.sh) + len(b.sh)
-                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
-            FROM prepped a JOIN prepped b ON a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS jaccard
-        FROM pairs
-        WHERE (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= {_JACCARD_MIN}
-    """,
-)
+@register("dedup_minhash_lsh", oracle=_ALL_PAIRS_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: shingle -> HashingTF -> MinHash signature
     (8 tables, seed 42) -> banded bucket join
@@ -220,26 +242,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) — linear in corpus size, never all-pairs) -> exact word-
     3-gram Jaccard verification of the candidates.
 
-    The oracle is the *exact* all-pairs Jaccard answer: LSH is the
-    scalable candidate generator, and with the distance cutoff set
-    well past the decision threshold its recall at the threshold is
-    ~1, so candidates-then-verify equals the exact answer (the driver
-    hash-check proves it at sf0.01)."""
+    LSH recall with 8 tables is probabilistic (~1-(1-s)^8 at
+    similarity s), so on its own a threshold-crossing pair can miss
+    every bucket at scale; the candidate set is therefore UNIONED with
+    the deterministic prefix-filter candidates (provably complete for
+    the threshold — _prefix_filter_pairs), making equality with the
+    exact all-pairs oracle a guarantee instead of seed luck. In a
+    production pipeline the LSH pass is what prunes verification work;
+    the prefix-filter union is the cheap determinism backstop (both
+    are linear scans + one key-partitioned join each)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
-    perturbed = docs.select(
-        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
-        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - _DROP, F.lit(1))).alias(
-            "toks"
-        ),
-    )
-    corpus = docs.unionAll(perturbed)
-    shingles = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(toks) - {_NGRAM - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(toks, i, {_NGRAM}))))"
-    )
-    prepped = corpus.select("doc_id", shingles.alias("sh"))
+    prepped = _shingled_corpus(spark, sf_dir).persist()
+    prepped.count()
 
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
     # materialize once: both sides of the similarity self-join (and the
@@ -254,20 +269,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = lsh.fit(feats)
     cand = model.approxSimilarityJoin(feats, feats, _LSH_DIST_MAX, distCol="dist")
-    pairs = cand.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+    lsh_pairs = cand.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
         F.col("datasetA.doc_id").alias("doc_a"),
         F.col("datasetB.doc_id").alias("doc_b"),
-        F.col("datasetA.sh").alias("sh_a"),
-        F.col("datasetB.sh").alias("sh_b"),
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size("sh_a") + F.size("sh_b") - inter
-    jaccard = inter.cast("double") / uni.cast("double")
-    return (
-        pairs.select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= _JACCARD_MIN)
-        .distinct()
-    )
+    cands = lsh_pairs.unionAll(_prefix_filter_pairs(prepped)).distinct()
+    return _verify_exact_jaccard(cands, prepped)
 
 
 # --- SimHash near-dup -----------------------------------------------------
@@ -276,19 +283,72 @@ _SIMHASH_BITS = 48  # positive-long-safe signature width
 _BAND_BITS = 12
 _HAMMING_MAX = 6
 
+#: 48-bit token hash both engines can compute bit-identically: the
+#: first 12 hex chars of sha256, parsed as an integer.
+_TOKEN_HASH = "cast(conv(substring(sha2(t, 256), 1, 12), 16, 10) AS bigint)"
+_TOKEN_HASH_SQL = "CAST(('0x' || substr(sha256(t), 1, 12)) AS BIGINT)"
 
-@register("dedup_simhash")  # xxhash64 has no DuckDB twin -> rows-only check
+_N_BANDS = _SIMHASH_BITS // _BAND_BITS
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, {_toks_sql()} AS toks FROM documents
+            UNION ALL
+            SELECT doc_id + {_DUP_OFFSET},
+                   list_slice({_toks_sql()}, 1,
+                              greatest(len({_toks_sql()}) - {_DROP}, 1))
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   list_transform(toks, t -> {_TOKEN_HASH_SQL}) AS hashes
+            FROM corpus
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(0, {_SIMHASH_BITS - 1}),
+                       i -> CASE WHEN list_sum(list_transform(hashes,
+                                h -> CASE WHEN ((h >> i) & 1) = 1
+                                     THEN 1 ELSE -1 END)) > 0
+                            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+                   )) AS BIGINT) AS simhash
+            FROM hashed
+        ),
+        banded AS (
+            SELECT doc_id, simhash,
+                   unnest(generate_series(0, {_N_BANDS - 1})) AS band
+            FROM sigs
+        ),
+        bucketed AS (
+            SELECT doc_id, simhash, band,
+                   (simhash >> (band * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1}
+                       AS bucket
+            FROM banded
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM bucketed a JOIN bucketed b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: per doc a 48-bit signature (sign of per-bit
-    votes over xxhash64(token)), banded self-join on the low 12 bits,
-    Hamming-distance filter via xor + bit_count.
+    votes over a sha256-derived token hash), banded self-join on 12-bit
+    bands, Hamming-distance filter via xor + bit_count.
 
     The signature is built with higher-order array functions — the
     token array never explodes into rows, so signature computation is
     a scan. Banding bounds the join: only docs agreeing on a 12-bit
-    band ever meet (at 100 TB: repeat for B bands, union, distinct —
-    still linear). xxhash64 is Spark-native with no DuckDB equivalent,
-    so this is a rows-only-checked query."""
+    band ever meet (OR over the 4 bands, union+distinct — still
+    linear). The token hash is the first 48 bits of sha256 — chosen
+    over xxhash64 precisely because both engines compute it
+    bit-identically, which upgrades this from a rows-only check to a
+    full value-hash oracle row."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
     perturbed = docs.select(
         (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
@@ -300,7 +360,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash each token once; the per-bit vote lambda below reads the
         # precomputed hash instead of re-hashing per bit
         "hashes",
-        F.expr("transform(toks, t -> xxhash64(t))"),
+        F.expr(f"transform(toks, t -> {_TOKEN_HASH})"),
     )
     # one self-contained expression (bit votes -> sign -> packed long):
     # splitting it across projections lets Catalyst's projection
@@ -355,6 +415,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- near-dup clustering (iterative connected components) -----------------
 
+#: unblocked all-pairs near-dup edge set (same semantics as
+#: _ALL_PAIRS_ORACLE) as a reusable CTE fragment
 _NGRAM_PAIRS_CTE = f"""
         corpus AS (
             SELECT doc_id, {_toks_sql()} AS toks FROM documents
@@ -364,19 +426,16 @@ _NGRAM_PAIRS_CTE = f"""
                               greatest(len({_toks_sql()}) - {_DROP}, 1))
             FROM documents
         ),
-        prepped AS (
-            SELECT doc_id,
-                   array_to_string(list_slice(toks, 1, {_PREFIX}), ' ') AS block,
-                   {_shingles_sql('toks')} AS sh
-            FROM corpus
+        prepped AS MATERIALIZED (
+            SELECT doc_id, {_shingles_sql('toks')} AS sh FROM corpus
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT doc_a, doc_b FROM (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       len(list_intersect(a.sh, b.sh)) AS inter,
-                       len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-                FROM prepped a JOIN prepped b
-                  ON a.block = b.block AND a.doc_id < b.doc_id
+                       len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                       len(a.sh) + len(b.sh)
+                         - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+                FROM prepped a JOIN prepped b ON a.doc_id < b.doc_id
             )
             WHERE (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= {_JACCARD_MIN}
         )"""
@@ -387,7 +446,7 @@ _NGRAM_PAIRS_CTE = f"""
     oracle=f"""
         WITH RECURSIVE
         {_NGRAM_PAIRS_CTE},
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT doc_a AS a, doc_b AS b FROM pairs
             UNION
             SELECT doc_b, doc_a FROM pairs
