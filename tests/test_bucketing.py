@@ -9,9 +9,51 @@ import re
 from pyspark.sql import functions as F
 
 from kcbdml9_big_data_processing_spark.plans.inspect import physical_plan
+from kcbdml9_big_data_processing_spark.sinks.bucketed import write_join_ready_pair
 from kcbdml9_big_data_processing_spark.sources.parquet import read_table
 
 SF = "/root/testdata/sf0.001"
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+def test_bucketed_sink_join_zero_exchanges_sf01(spark):
+    """The sinks/bucketed.py writer at bench scale (sf0.1): the
+    fact-x-fact lineitem/orders join on the written copies runs with
+    ZERO exchanges anywhere in the join subtree, and the repeated-join
+    payoff is real (same bucketed copies serve a second join shape
+    shuffle-free too)."""
+    lb, ob = write_join_ready_pair(
+        spark,
+        read_table(spark, SF_BENCH, "lineitem"),
+        read_table(spark, SF_BENCH, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+        "lineitem_bsink",
+        "orders_bsink",
+        n_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for agg_key in ("o_orderpriority", "o_orderstatus"):
+            j = (
+                lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+                .groupBy(agg_key)
+                .agg(F.sum("l_quantity").alias("q"))
+            )
+            plan = physical_plan(j, "simple")
+            join_part = plan.split("HashAggregate")[-1]
+            assert "SortMergeJoin" in plan
+            # the whole join subtree is exchange-free (the sort that
+            # remains is per-bucket and local: each write task emits
+            # its own file per bucket, so Spark re-sorts within the
+            # bucket without moving data)
+            assert "Exchange" not in join_part, plan
+            assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS lineitem_bsink")
+        spark.sql("DROP TABLE IF EXISTS orders_bsink")
 
 
 def test_bucketed_join_is_shuffle_free(spark):
