@@ -264,6 +264,197 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+_IVF_K = 16  # coarse-quantizer cells
+_IVF_NPROBE = 4  # cells searched per probe
+
+#: fixed-point squared-L2 contribution of one dimension (either dialect
+#: spells floor the same way)
+_SQDIST_TERM = f"CAST(floor((x - c) * (x - c) * {_SCALE}.0) AS BIGINT)"
+
+
+def _ivf_oracle() -> str:
+    return f"""
+        WITH ex AS (
+            SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, {_DIM}) g(i)
+        ),
+        seeds AS (
+            SELECT vec_id AS cell, i, x AS c FROM ex
+            WHERE vec_id IN (
+                SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_K})
+        ),
+        d0 AS (
+            SELECT ex.vec_id, s.cell,
+                   SUM(CAST(floor((ex.x - s.c) * (ex.x - s.c) * {_SCALE}.0)
+                       AS BIGINT)) AS dist_f
+            FROM ex JOIN seeds s ON ex.i = s.i
+            GROUP BY ex.vec_id, s.cell
+        ),
+        a0 AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist_f, cell) AS rn
+                FROM d0) WHERE rn = 1
+        ),
+        cents AS (
+            SELECT a0.cell, ex.i,
+                   (CAST(SUM(CAST(floor(ex.x * {_SCALE}.0) AS BIGINT)) AS DOUBLE)
+                    / {_SCALE}.0) / CAST(COUNT(*) AS DOUBLE) AS c
+            FROM ex JOIN a0 ON ex.vec_id = a0.vec_id
+            GROUP BY a0.cell, ex.i
+        ),
+        d1 AS (
+            SELECT ex.vec_id, s.cell,
+                   SUM(CAST(floor((ex.x - s.c) * (ex.x - s.c) * {_SCALE}.0)
+                       AS BIGINT)) AS dist_f
+            FROM ex JOIN cents s ON ex.i = s.i
+            GROUP BY ex.vec_id, s.cell
+        ),
+        cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist_f, cell) AS rn
+                FROM d1) WHERE rn = 1
+        ),
+        probe_cells AS (
+            SELECT vec_id AS probe_id, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist_f, cell) AS rn
+                FROM d1 WHERE vec_id % {_PROBE_MOD} = 0) WHERE rn <= {_IVF_NPROBE}
+        ),
+        corpus AS (
+            SELECT vec_id, embedding, {_dot_fixed_sql('embedding', 'embedding')} AS nf
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT pc.probe_id, cells.vec_id,
+                   {_cos_expr(_dot_fixed_sql('p.embedding', 'c.embedding'), 'p.nf', 'c.nf')}
+                       AS cosine
+            FROM probe_cells pc
+            JOIN cells ON cells.cell = pc.cell AND cells.vec_id <> pc.probe_id
+            JOIN corpus p ON p.vec_id = pc.probe_id
+            JOIN corpus c ON c.vec_id = cells.vec_id
+        )
+        SELECT probe_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored
+        )
+        WHERE rank <= {_K}
+    """
+
+
+def _argmin_cell(
+    ex: DataFrame, cents: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(nearest-cell assignment, full distance frame) under fixed-point
+    squared L2 — the IVF assignment step. One equi-join on the
+    dimension index + one groupBy: rows x K x dim intermediate, all
+    map-side-combined; ties break on cell id so both engines agree.
+    The distance frame is returned too so probe routing can reuse it
+    without a second pass."""
+    d = (
+        ex.join(cents, "i")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                F.floor((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * _SCALE)
+                .cast("long")
+            ).alias("dist_f")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
+    return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1), d
+
+
+@register("ivf_ann_cosine", oracle=_ivf_oracle())
+def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: train a deterministic coarse quantizer
+    (seeds = the 16 lowest vec_ids, one Lloyd refinement with
+    fixed-point means), assign every vector to its nearest cell, then
+    search each probe's 4 nearest cells only, with an exact
+    fixed-point cosine re-rank inside the candidates.
+
+    This is the IVF scale path next to the hyperplane-LSH one: the
+    index build is two linear assignment passes (rows x K x dim, all
+    map-side combined) and the search touches ~nprobe/K of the corpus
+    per probe instead of all of it, trading recall (pinned vs the
+    brute-force baseline in tests/test_similarity_ops.py) for a K/
+    nprobe-tunable cost. Everything — seeding, Lloyd step, assignment,
+    re-rank — is deterministic fixed-point arithmetic, so the whole
+    *approximate* index is value-hash-checked against the oracle, not
+    just row-counted.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x_f")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("x_f").cast("double").alias("x")
+    )
+    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_IVF_K)
+    seeds = ex.join(
+        F.broadcast(seed_ids.select(F.col("vec_id").alias("cell"))),
+        ex.vec_id == F.col("cell"),
+    ).select("cell", "i", F.col("x").alias("c"))
+    a0, _ = _argmin_cell(ex, seeds)
+    cents = (
+        ex.join(a0.select("vec_id", "cell"), "vec_id")
+        .groupBy("cell", "i")
+        .agg(
+            (
+                (
+                    F.sum(F.floor(F.col("x") * _SCALE).cast("long")).cast("double")
+                    / F.lit(float(_SCALE))
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("c")
+        )
+    )
+    # one distance pass serves both the index assignment (argmin over
+    # all vectors) and probe routing (top-nprobe for the probe subset)
+    assigned, d1 = _argmin_cell(ex, cents)
+    cells = assigned.select("vec_id", "cell")
+    wp = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
+    probe_cells = (
+        d1.where(F.col("vec_id") % _PROBE_MOD == 0)
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), "cell")
+    )
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dot_fixed_expr("embedding", "embedding")).alias("nf"),
+    )
+    cand = probe_cells.join(cells, "cell").where(
+        F.col("probe_id") != F.col("vec_id")
+    ).select("probe_id", "vec_id")
+    scored = (
+        cand.join(
+            corpus.select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("p_emb"),
+                F.col("nf").alias("p_nf"),
+            ),
+            "probe_id",
+        )
+        .join(corpus, "vec_id")
+        .withColumn(
+            "cosine",
+            F.expr(_cos_expr(_dot_fixed_expr("p_emb", "embedding"), "p_nf", "nf")),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _K)
+        .select("probe_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 # --- embedding near-dup ---------------------------------------------------
 
 _DUP_OFFSET = 10_000_000

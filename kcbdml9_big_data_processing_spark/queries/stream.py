@@ -97,3 +97,38 @@ def stream_bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_app_90s")
+
+
+@register(
+    "stream_dedup_events",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the ingestion-side dedup stage of a
+    training-data pipeline. Two independent file-source replays of the
+    events table are unioned — every event arrives (at least) twice,
+    the at-least-once delivery a real broker gives you — and
+    ``dropDuplicates`` on the event key emits only the first arrival,
+    maintained by the streaming state store across micro-batches.
+    The oracle is simply the distinct event set, so the driver
+    hash-checks that the streaming engine suppressed every redelivery.
+
+    No watermark here because the replay is bounded and complete-state
+    dedup makes stream == batch an exact equality; unbounded streams
+    use ``dropDuplicatesWithinWatermark`` so state is evicted once an
+    event key can no longer be redelivered — that production variant's
+    eviction semantics are pinned in tests/test_streaming.py, where
+    micro-batch boundaries are controlled."""
+    doubled = read_events_stream(spark, sf_dir).unionAll(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = doubled.dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("stream_dedup_events_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_dedup_events_sink")

@@ -150,3 +150,28 @@ def test_ann_recall_vs_brute_force(spark):
     # configuration. On clustered real embeddings (near-dup cos>=0.9,
     # see embedding_near_dup) band collisions are ~certain.
     assert mean_recall >= 0.3, f"mean recall@10 {mean_recall:.2f}"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF quality, quantified the same way: searching nprobe/K = 4/16
+    of the corpus. Same worst-case caveat as the LSH test — random
+    unit vectors have no cluster structure for the coarse quantizer to
+    exploit, so the pinned floor (measured 0.56 at sf0.001, 0.62 at
+    sf0.01) is conservative."""
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        ivf_ann_cosine,
+        knn_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in knn_topk_cosine(spark, sf).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in ivf_ann_cosine(spark, sf).collect():
+        approx.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"mean recall@10 {mean_recall:.2f}"

@@ -88,6 +88,49 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     assert 999 not in [v for v in by_window.values()]
 
 
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup with bounded state (the production variant of
+    the stream_dedup_events registry query): a key redelivered in a
+    later micro-batch within the watermark delay is suppressed by the
+    state store, while genuinely new keys pass. With a plain
+    dropDuplicates the state grows forever; WithinWatermark is what
+    makes streaming ingestion dedup viable on an unbounded source."""
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_file(spark, src_dir, [(_t(0, 10), "k1", 10)])
+
+    stream = read_file_stream(spark, src_dir, SCHEMA, fmt="parquet")
+    deduped = stream.withWatermark("timestamp", "10 minutes").dropDuplicatesWithinWatermark(["key"])
+
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        seen.extend((r["key"], r["bytes"]) for r in batch_df.collect())
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .queryName("dedup_wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: k1 redelivered (same event time, different payload to
+        # prove it's the REdelivery that is dropped) + a new key
+        _write_file(
+            spark, src_dir, [(_t(0, 10), "k1", 999), (_t(0, 30), "k2", 20)]
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert ("k1", 10) in seen
+    assert ("k2", 20) in seen
+    assert ("k1", 999) not in seen  # redelivery suppressed by state
+    assert len(seen) == 2
+
+
 def test_foreach_batch_sink_appends_all_batches(spark, tmp_path):
     """K1/T3: every micro-batch reaches the writer callable; union of
     batches equals the batch-mode answer."""
