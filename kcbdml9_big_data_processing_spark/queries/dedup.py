@@ -575,3 +575,70 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+# --- incremental (archive-aware) dedup ------------------------------------
+
+_NORM_SQL = f"sha256(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g'))"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+        WITH archive AS (
+            SELECT DISTINCT {_NORM_SQL} AS content_hash
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        incoming AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id + {_DUP_OFFSET}, text FROM documents
+            WHERE doc_id % 4 = 0
+        ),
+        batch AS (
+            SELECT {_NORM_SQL} AS content_hash,
+                   CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                   CAST(count(*) AS BIGINT) AS n_in_batch
+            FROM incoming GROUP BY 1
+        )
+        SELECT b.content_hash, b.canonical_id, b.n_in_batch
+        FROM batch b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM archive a WHERE a.content_hash = b.content_hash)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape of a training-data
+    pipeline: an incoming batch (new docs + redeliveries of already-
+    archived ones) is deduped within itself AND anti-joined against
+    the archive's content-hash set, so only genuinely novel documents
+    survive. Split is deterministic: even doc_ids play the archive,
+    odd ones the new arrivals, and every doc_id % 4 == 0 document is
+    redelivered with a new id (all of which must be dropped).
+
+    Scale: the archive side is ONLY its 32-byte hash column — at 100
+    TB the anti-join shuffles hashes, never content, and stays an
+    ordinary shuffled hash join however large the archive grows (no
+    broadcast of anything data-sized). Within-batch dedup is the same
+    single-shuffle groupBy as dedup_exact."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    archive = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.sha2(norm, 256).alias("content_hash"))
+        .distinct()
+    )
+    incoming = docs.where(F.col("doc_id") % 2 == 1).unionAll(
+        docs.where(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    batch = (
+        incoming.withColumn("content_hash", F.sha2(norm, 256))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )
+    return batch.join(archive, "content_hash", "left_anti")

@@ -386,3 +386,156 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         score = F.size(F.array_intersect(grams, profile))
         cols.append(score.cast("long").alias(f"score_{lang}"))
     return docs.select(*cols)
+
+
+# --- PII redaction --------------------------------------------------------
+
+#: same regexes in both engines — the subset of syntax where Java's
+#: regex and DuckDB's RE2 agree exactly (char classes, +, {m,}, no
+#: backrefs/lookarounds)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+#: deterministic PII injection: the synthetic corpus has no real PII,
+#: so (like dedup's duplicate corpus) each engine plants the identical
+#: addresses/numbers and the redaction is hash-checked non-vacuously
+_INJECT_SPARK = (
+    "concat(text,"
+    " if(doc_id % 3 = 0, concat(' contact user', cast(doc_id as string),"
+    "    '@example.com'), ''),"
+    " if(doc_id % 5 = 0, concat(' call +1 555-',"
+    "    lpad(cast(doc_id % 10000 as string), 4, '0')), ''))"
+)
+_INJECT_SQL = (
+    "text ||"
+    " (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    "       || '@example.com' ELSE '' END) ||"
+    " (CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-'"
+    "       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+)
+
+
+@register(
+    "redact_pii",
+    oracle=f"""
+        WITH corpus AS (SELECT doc_id, {_INJECT_SQL} AS text FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_phones
+        FROM corpus
+    """,
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction stage of a training-data
+    pipeline: emails and phone numbers replaced with typed placeholder
+    tokens, plus per-document match counts for pipeline monitoring.
+    Pure per-row regex expressions (JVM, codegen'd) — scan-speed, no
+    shuffle at any corpus size. The patterns stay inside the syntax
+    subset where Spark's Java regex and the oracle's RE2 agree
+    exactly, so even the redacted TEXT is value-hash-checked, not just
+    the counts."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_INJECT_SPARK).alias("text")
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+# --- bigram collocations --------------------------------------------------
+
+_MIN_BIGRAM_COUNT = 5
+_TOP_BIGRAMS = 100
+
+
+@register(
+    "bigram_lift",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_tokens_sql()} AS t FROM documents
+        ),
+        uni AS (
+            SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks, unnest(t) AS u(w) GROUP BY u.w
+        ),
+        big AS (
+            SELECT b.bg AS bg, CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM toks, unnest(list_transform(
+                generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i + 1])) AS b(bg)
+            GROUP BY b.bg
+        ),
+        n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS total FROM big)
+        SELECT bg AS bigram, c_xy,
+               CAST(c_xy * n.total AS DOUBLE)
+                   / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        FROM big, n
+        JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+        JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+        WHERE c_xy >= {_MIN_BIGRAM_COUNT}
+        ORDER BY lift DESC, bigram
+        LIMIT {_TOP_BIGRAMS}
+    """,
+)
+def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top bigrams by lift
+    (P(xy)/P(x)P(y) phrased as the exact integer rational
+    c_xy*N / (c_x*c_y) with ONE IEEE division — bit-identical across
+    engines; no log-PMI because libm log ulp can differ). The shape is
+    two scan+groupBy passes (unigrams, bigrams) plus two joins of
+    bigram counts to the unigram table and a distributed top-k
+    (TakeOrderedAndProject: per-partition top-100, driver merge — no
+    single-partition window). At 100 TB the unigram side is
+    vocabulary-sized, so the joins shuffle on the word key; min-count
+    pruning happens before the join to keep the pair table small."""
+    docs = read_table(spark, sf_dir, "documents").select(_tokens().alias("t"))
+    uni = (
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bg")
+    )
+    big = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= _MIN_BIGRAM_COUNT)
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+    )
+    total = (
+        bigrams.groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("total"))
+    )
+    scored = (
+        big.crossJoin(F.broadcast(total))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .select(
+            F.col("bg").alias("bigram"),
+            "c_xy",
+            (
+                (F.col("c_xy") * F.col("total")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "bigram").limit(_TOP_BIGRAMS)
