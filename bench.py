@@ -81,18 +81,25 @@ def main() -> None:
     )
 
 
-#: prior round's bench file to regression-gate against
-_BASELINE_BENCH = "BENCH_r02.json"
 #: flag a query slower than this multiple of its prior-round time
 #: (with a 0.5 s floor so sub-second noise can't trip the gate)
 _REGRESSION_FACTOR = 1.5
 
 
+def _latest_baseline() -> str | None:
+    """Most recent BENCH_r{N}.json next to this file."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    return rounds[-1] if rounds else None
+
+
 def _regressions(times: dict[str, float]) -> dict[str, dict[str, float]]:
-    """Compare per-query times against the previous round's bench and
-    report queries that got >1.5x slower — so a round can't silently
-    regress performance while staying correctness-green."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), _BASELINE_BENCH)
+    """Compare per-query times against the latest recorded round's
+    bench and report queries that got >1.5x slower — so a round can't
+    silently regress performance while staying correctness-green."""
+    path = _latest_baseline()
     try:
         with open(path) as f:
             prior = json.load(f)

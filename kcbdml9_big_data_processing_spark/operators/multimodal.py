@@ -111,3 +111,99 @@ def decode_image(df: DataFrame) -> DataFrame:
             "mapInPandas plumbing with a deterministic featurizer"
         ) from e
     raise NotImplementedError("wire a real decoder here when pillow is available")
+
+
+#: frame sampling: fixed-width frames of the decoded stream, keeping
+#: every _FRAME_STRIDE-th frame (the video-frame-sampling shape)
+FRAME_LEN = 64
+FRAME_STRIDE = 2
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_digest", T.StringType(), True),
+        T.StructField("frame_chars", T.LongType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling over ``mapInPandas`` — the one-row-in /
+    many-rows-out multimodal shape (video -> sampled frames): decode
+    the opaque payload, cut the decoded stream into fixed-width
+    frames, keep every ``FRAME_STRIDE``-th one with its index and
+    digest.
+
+    Row explosion happens INSIDE the Arrow batch (the Python worker
+    emits a longer DataFrame than it received) — no Spark-side explode
+    of anything Python computed, no per-row UDF calls. A real video
+    pipeline swaps the character windows for decoded frames; the
+    schema, batching, and fan-out shape are identical. Deterministic
+    stand-in = char windows + SHA-256, so the whole Python path is
+    oracle-checkable."""
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, digs, lens = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                stream = bytes(payload).decode("utf-8")
+                n_frames = -(-len(stream) // FRAME_LEN)
+                for k in range(0, n_frames, FRAME_STRIDE):
+                    frame = stream[k * FRAME_LEN : (k + 1) * FRAME_LEN]
+                    ids.append(aid)
+                    idxs.append(k)
+                    digs.append(hashlib.sha256(frame.encode("utf-8")).hexdigest())
+                    lens.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "frame_digest": digs,
+                    "frame_chars": lens,
+                }
+            )
+
+    return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def resize_payload(df: DataFrame, factor: int) -> DataFrame:
+    """Payload "resize": deterministic byte-level downsample (every
+    ``factor``-th byte) as the binary->binary mapInPandas transform —
+    the image-resize shape without an imaging library. The payload
+    column goes in as Arrow binary and comes out as Arrow binary; a
+    real pipeline swaps the subsampling lambda for PIL/libvips resize
+    (see :func:`decode_image` for the environment gate) and nothing
+    else changes. Pinned against a pure-Python reference in
+    tests/test_llm_ops.py (no SQL oracle: neither engine slices blobs
+    relationally)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b)[::factor] if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": resized,
+                    "n_bytes": resized.map(
+                        lambda b: len(b) if b is not None else None
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_resize, out_schema)

@@ -175,3 +175,54 @@ def test_ivf_recall_vs_brute_force(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.4, f"mean recall@10 {mean_recall:.2f}"
+
+
+def test_sample_frames_shape_and_digests(spark):
+    """The frame sampler's fan-out, indices, and digests against a
+    hand-computed reference: 150 chars -> 3 frames of 64 -> keep
+    frames 0 and 2 (stride 2)."""
+    import hashlib
+
+    from kcbdml9_big_data_processing_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    text = "x" * 130 + "TAIL" + "y" * 16  # 150 chars
+    df = spark.createDataFrame([(1, text, "src")], "doc_id long, text string, source string")
+    rows = {
+        r["frame_idx"]: r
+        for r in sample_frames(
+            attach_binary_payload(df, "doc_id", "text", "source")
+        ).collect()
+    }
+    assert set(rows) == {0, 2}
+    assert rows[0]["frame_chars"] == 64
+    assert rows[2]["frame_chars"] == 150 - 128
+    expect0 = hashlib.sha256(text[:64].encode()).hexdigest()
+    expect2 = hashlib.sha256(text[128:].encode()).hexdigest()
+    assert rows[0]["frame_digest"] == expect0
+    assert rows[2]["frame_digest"] == expect2
+
+
+def test_resize_payload_matches_python_reference(spark):
+    """Binary->binary mapInPandas resize: every 3rd byte, verified
+    against pure-Python slicing."""
+    from kcbdml9_big_data_processing_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij", "s"), (2, "xy", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in resize_payload(
+            attach_binary_payload(df, "doc_id", "text", "source"), 3
+        ).collect()
+    }
+    assert bytes(out[1]["payload"]) == b"abcdefghij"[::3]
+    assert out[1]["n_bytes"] == len(b"abcdefghij"[::3])
+    assert bytes(out[2]["payload"]) == b"xy"[::3]
