@@ -48,6 +48,17 @@ def main() -> None:
             read_table(spark, sf_dir, t).limit(1).collect()
         except Exception:
             pass
+    # absorb remaining one-time engine costs — first shuffle exchange,
+    # hash-agg codegen, noop-datasource class load — measured at ~2.5 s
+    # on whichever query runs first if not paid here
+    (
+        read_table(spark, sf_dir, "region")
+        .groupBy("r_name")
+        .count()
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     times: dict[str, float] = {}
     for name, spec in QUERIES.items():

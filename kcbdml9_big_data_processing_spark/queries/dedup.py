@@ -136,7 +136,20 @@ _ALL_PAIRS_ORACLE = f"""
 
 
 def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + perturbed copy -> (doc_id, sh: distinct 3-gram shingles)."""
+    """documents + perturbed copy -> (doc_id, sh: distinct 3-gram
+    shingle FINGERPRINTS).
+
+    Shingles are fingerprinted to xxhash64 longs at shingling time —
+    the shingle strings exist only transiently inside the projection.
+    Every consumer (postings join, prefix filter, MinHash features)
+    operates on the set structure of the shingles, never their text,
+    so carrying 8-byte longs instead of ~40-char strings shrinks the
+    persisted frame and every downstream shuffle ~5x (measured 2.4s ->
+    0.9s for the materialization alone at sf0.1). A fingerprint
+    collision (two distinct shingles, same xxhash64) could inflate one
+    intersection count; over D distinct shingles the corpus-level
+    probability is ~D^2/2^65 (~1e-8 at 500k shingles) — standard
+    shingle-fingerprint practice (Broder '97 resemblance sketches)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
     perturbed = docs.select(
         (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
@@ -147,7 +160,7 @@ def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionAll(perturbed)
     shingles = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(toks) - {_NGRAM - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(toks, i, {_NGRAM}))))"
+        f" i -> xxhash64(concat_ws(' ', slice(toks, i, {_NGRAM})))))"
     )
     return corpus.select("doc_id", shingles.alias("sh"))
 
@@ -162,9 +175,10 @@ def _prefix_filter_pairs(prepped: DataFrame) -> DataFrame:
     first ``|x| - ceil(t*|x|) + 1`` shingles (if A's prefix missed B
     entirely, the intersection would fit in A's remaining
     ``ceil(t*|A|)-1`` shingles — below the ``ceil(t*|A|)`` the
-    threshold forces). So: sort each doc's shingles by hash (hash
-    order spreads the hot shingles), emit only the prefix, and join on
-    the emitted shingle — shuffle is by shingle, output is candidate
+    threshold forces). So: sort each doc's shingle fingerprints (the
+    fingerprint ordering IS the single global order, and hash order
+    spreads the hot shingles), emit only the prefix, and join on the
+    emitted fingerprint — shuffle is by shingle, output is candidate
     pairs, and completeness is a theorem, not a tuning choice. At 100
     TB the one refinement needed is dropping stop-shingles whose
     posting lists explode (they can't be discriminative), which only
@@ -172,12 +186,10 @@ def _prefix_filter_pairs(prepped: DataFrame) -> DataFrame:
     with_prefix = prepped.withColumn(
         "pref",
         F.expr(
-            f"""transform(
-                slice(
-                    array_sort(transform(sh, s -> struct(xxhash64(s) AS h, s AS s))),
-                    1,
-                    CAST(size(sh) - ceil(size(sh) * {_JACCARD_MIN}) + 1 AS INT)),
-                x -> x.s)"""
+            f"""slice(
+                array_sort(sh),
+                1,
+                CAST(size(sh) - ceil(size(sh) * {_JACCARD_MIN}) + 1 AS INT))"""
         ),
     )
     tok = with_prefix.select("doc_id", F.explode("pref").alias("tok"))
@@ -193,16 +205,6 @@ def _prefix_filter_pairs(prepped: DataFrame) -> DataFrame:
     )
 
 
-#: 64-bit shingle fingerprints as the postings join key: joining and
-#: shuffling 8-byte longs instead of ~40-char shingle strings is ~40%
-#: faster measured at sf0.1 and shrinks the shuffle ~5x. A fingerprint
-#: collision (two distinct shingles, same xxhash64) could inflate one
-#: intersection count; over D distinct shingles the corpus-level
-#: probability is ~D^2/2^65 (~1e-8 at 500k shingles) — standard
-#: shingle-fingerprint practice (Broder '97 resemblance sketches).
-_SH_FP = "array_distinct(transform(sh, s -> xxhash64(s)))"
-
-
 def _exact_jaccard_pairs(prepped: DataFrame) -> DataFrame:
     """The COMPLETE exact word-3-gram Jaccard >= t pair set, without
     the all-pairs cross join and array-free: an inverted-index
@@ -213,7 +215,10 @@ def _exact_jaccard_pairs(prepped: DataFrame) -> DataFrame:
     shingle arrays (carrying both full arrays through the pair join is
     what blows heap at scale — measured 10x slower at sf0.1). Doc
     sizes then give the union, and Jaccard is one integer-over-integer
-    division — cross-engine exact.
+    division — cross-engine exact. ``prepped`` MUST be persisted by
+    the caller: explode's inferred ``size(sh) > 0`` filter otherwise
+    re-inlines the whole shingling expression below the projection and
+    doubles the scan work (measured 8x at sf0.1).
 
     The postings self-join emits C(df,2) rows per shingle (this corpus:
     max df 50, 5.1M pair rows from 510k postings — map-side partial
@@ -222,8 +227,8 @@ def _exact_jaccard_pairs(prepped: DataFrame) -> DataFrame:
     whose df exceeds a cap (a shingle shared by thousands of docs
     cannot be discriminative) or pre-restrict the join to PPJoin
     prefixes (_prefix_filter_pairs) — both only shrink the join."""
-    postings = prepped.select("doc_id", F.explode(F.expr(_SH_FP)).alias("k"))
-    sizes = prepped.select("doc_id", F.expr(f"size({_SH_FP})").alias("n"))
+    postings = prepped.select("doc_id", F.explode("sh").alias("k"))
+    sizes = prepped.select("doc_id", F.size("sh").alias("n"))
     pa, pb = postings.alias("pa"), postings.alias("pb")
     inter = (
         pa.join(
