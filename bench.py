@@ -43,9 +43,13 @@ def main() -> None:
     from kcbdml9_big_data_processing_spark.schemas import TESTDATA_TABLES
     from kcbdml9_big_data_processing_spark.sources.parquet import read_table
 
+    # a full trivial aggregate per table (not limit(1)): pays the scan
+    # + codegen warm-up for every table so the first registered query
+    # touching each table doesn't absorb it (r3 artifact: dedup_exact
+    # 1.44->3.83 s purely from registration position)
     for t in TESTDATA_TABLES:
         try:
-            read_table(spark, sf_dir, t).limit(1).collect()
+            read_table(spark, sf_dir, t).selectExpr("count(*)").collect()
         except Exception:
             pass
     # absorb remaining one-time engine costs — first shuffle exchange,
@@ -78,18 +82,24 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "regressions": _regressions(times),
-            }
-        )
-    )
+    payload = {
+        "metric": "all_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "regressions": _regressions(times),
+    }
+    # sidecar record the driver can't truncate: BENCH_r03.json lost its
+    # parsed payload to the driver's 2000-char tail cap, which silently
+    # disarmed the regression gate for a round
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except Exception:
+        pass
+    print(json.dumps(payload))
 
 
 #: flag a query slower than this multiple of its prior-round time
@@ -97,25 +107,44 @@ def main() -> None:
 _REGRESSION_FACTOR = 1.5
 
 
-def _latest_baseline() -> str | None:
-    """Most recent BENCH_r{N}.json next to this file."""
+def _baseline_times() -> dict[str, float]:
+    """Per-query times from the newest *parseable* recorded round.
+
+    BENCH_r{N}.json files can have ``parsed: null`` (the driver's tail
+    cap truncated the JSON line — happened in r3), which must not
+    silently disarm the gate: walk newest-first and take the first file
+    whose parsed.queries is a non-empty dict. The untruncatable
+    BENCH_LOCAL.json sidecar written by this script is preferred when
+    it is newer than the newest round file.
+    """
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    return rounds[-1] if rounds else None
+    candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True)
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(local) and (
+        not candidates or os.path.getmtime(local) > os.path.getmtime(candidates[0])
+    ):
+        candidates.insert(0, local)
+    for path in candidates:
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+            parsed = prior.get("parsed", prior)
+            queries = (parsed or {}).get("queries") or {}
+            if isinstance(queries, dict) and queries:
+                return queries
+        except Exception:
+            continue
+    return {}
 
 
 def _regressions(times: dict[str, float]) -> dict[str, dict[str, float]]:
     """Compare per-query times against the latest recorded round's
     bench and report queries that got >1.5x slower — so a round can't
     silently regress performance while staying correctness-green."""
-    path = _latest_baseline()
-    try:
-        with open(path) as f:
-            prior = json.load(f)
-        prior_times = prior.get("parsed", prior).get("queries", {})
-    except Exception:
+    prior_times = _baseline_times()
+    if not prior_times:
         return {}
     flagged = {}
     for name, now in times.items():

@@ -205,6 +205,15 @@ def _prefix_filter_pairs(prepped: DataFrame) -> DataFrame:
     )
 
 
+#: stop-shingle document-frequency cap for the postings self-join.
+#: Chosen far above the synthetic corpus's max df (~50 at sf0.1) so
+#: the oracle's all-pairs hash equality PROVES the capped pipeline
+#: loses no pair at test SF; at 100 TB it is the knob that bounds the
+#: C(df,2) posting-list blowup (a boilerplate shingle with df=1e6
+#: would otherwise emit 5e11 pair rows).
+_DF_CAP = 1024
+
+
 def _exact_jaccard_pairs(prepped: DataFrame) -> DataFrame:
     """The COMPLETE exact word-3-gram Jaccard >= t pair set, without
     the all-pairs cross join and array-free: an inverted-index
@@ -220,15 +229,34 @@ def _exact_jaccard_pairs(prepped: DataFrame) -> DataFrame:
     re-inlines the whole shingling expression below the projection and
     doubles the scan work (measured 8x at sf0.1).
 
-    The postings self-join emits C(df,2) rows per shingle (this corpus:
-    max df 50, 5.1M pair rows from 510k postings — map-side partial
-    aggregation collapses them before the shuffle). At 100 TB, where
-    df is heavy-tailed, bound the blowup by dropping stop-shingles
-    whose df exceeds a cap (a shingle shared by thousands of docs
-    cannot be discriminative) or pre-restrict the join to PPJoin
-    prefixes (_prefix_filter_pairs) — both only shrink the join."""
+    The postings self-join emits C(df,2) rows per shingle. That blowup
+    is BOUNDED here by the stop-shingle df cap: shingles whose posting
+    list exceeds ``_DF_CAP`` documents are dropped from the vocabulary
+    (one map-side-combined groupBy to find them — the stop set is tiny
+    by definition of heavy tails — then an anti-join AQE turns into a
+    broadcast), and doc sizes are recomputed over the SAME capped
+    vocabulary, so the result is the exact Jaccard over the
+    discriminative-shingle vocabulary — the standard stop-shingle
+    semantic. When the cap exceeds the corpus max df (always true for
+    the test corpus: max df ~50 vs cap 1024) nothing is dropped and
+    the answer is bit-identical to the uncapped all-pairs oracle —
+    which is exactly what the driver's hash equality proves. When the
+    cap binds (production heavy-tail regime), removing boilerplate
+    shingles only makes near-dup detection more precise, and the
+    worst-case join output per shingle is C(cap,2) regardless of
+    corpus size."""
     postings = prepped.select("doc_id", F.explode("sh").alias("k"))
-    sizes = prepped.select("doc_id", F.size("sh").alias("n"))
+    stop = (
+        postings.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _DF_CAP)
+        .select("k")
+    )
+    postings = postings.join(stop, "k", "left_anti")
+    # sizes over the capped vocabulary (sh is distinct, so the posting
+    # count per doc IS the capped set size); consistent numerator and
+    # denominator keep Jaccard exact w.r.t. the kept vocabulary
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pa, pb = postings.alias("pa"), postings.alias("pb")
     inter = (
         pa.join(
@@ -560,22 +588,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("canonical_id").alias("nbr_min"))
         )
+        # carry the previous label through the update so convergence is
+        # a scan-only count on the checkpointed frame — no extra join
+        # per round (the old->new comparison used to cost one join +
+        # shuffle per iteration)
         updated = (
             labels.join(neighbor_min, "doc_id", "left_outer")
             .select(
                 "doc_id",
+                F.col("canonical_id").alias("old"),
                 F.least(
                     F.col("canonical_id"), F.coalesce("nbr_min", F.col("canonical_id"))
                 ).alias("canonical_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.join(labels.withColumnRenamed("canonical_id", "old"), "doc_id")
-            .where(F.col("canonical_id") != F.col("old"))
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("canonical_id") != F.col("old")).count()
+        labels = updated.select("doc_id", "canonical_id")
         if changed == 0:
             break
     edges.unpersist()

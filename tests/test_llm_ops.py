@@ -51,6 +51,32 @@ def test_jaccard_pair_known_answer(spark):
     assert r["j"] == 3 / 5
 
 
+def test_ngram_df_cap_guard(spark, monkeypatch):
+    """The stop-shingle df cap is live in the postings join: with the
+    default cap (far above this corpus's max df) the near-dup pair is
+    found; with the cap forced to 0 every posting is a stop-shingle
+    and the pair set is empty — proving the guard executes and that at
+    default settings it is recall-neutral (the driver's all-pairs
+    oracle equality proves the same at sf0.01)."""
+    import os
+    import tempfile
+
+    from kcbdml9_big_data_processing_spark.queries import dedup
+
+    d = tempfile.mkdtemp()
+    text = " ".join(f"tok{i}" for i in range(12))
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    rows = dedup.dedup_ngram_jaccard(spark, d).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 10_000_001)]
+
+    monkeypatch.setattr(dedup, "_DF_CAP", 0)
+    assert dedup.dedup_ngram_jaccard(spark, d).count() == 0
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     from kcbdml9_big_data_processing_spark.queries.dedup import dedup_simhash
 
