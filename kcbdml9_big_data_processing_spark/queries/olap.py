@@ -62,21 +62,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TPC-H Q3 analog -----------------------------------------------------
 
 
-@register(
-    "shipping_priority",
-    oracle=f"""
-        SELECT o.o_orderkey, o.o_orderdate,
-               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-        GROUP BY o.o_orderkey, o.o_orderdate
-    """,
-    headline=True,
-)
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join with selective filters on both
     dimensions, then grouped revenue. Filters push below the joins; no
@@ -102,24 +87,6 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TPC-H Q5 analog -----------------------------------------------------
 
 
-@register(
-    "local_supplier_volume",
-    oracle=f"""
-        SELECT n.n_name,
-               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        WHERE r.r_name = 'ASIA'
-          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        GROUP BY n.n_name
-    """,
-    headline=True,
-)
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join. Only the constant-cardinality
     dims (region=5 rows, nation=25 rows) carry a broadcast hint;
@@ -152,18 +119,6 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TPC-H Q6 analog: single-row forecast --------------------------------
 
 
-@register(
-    "revenue_forecast",
-    oracle=f"""
-        SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
-               CAST(COUNT(*) AS BIGINT) AS n_rows
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-          AND l_discount >= 0.05 AND l_discount <= 0.07
-          AND l_quantity < 24.0
-    """,
-)
 def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-global-agg; every predicate
     reaches PushedFilters, no shuffle beyond the final single-partition
@@ -184,21 +139,6 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- analytic window functions -------------------------------------------
 
 
-@register(
-    "top_orders_per_priority",
-    oracle="""
-        SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
-        FROM (
-            SELECT o_orderpriority, o_orderkey, o_totalprice,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY o_orderpriority
-                       ORDER BY o_totalprice DESC, o_orderkey
-                   ) AS rn
-            FROM orders
-        )
-        WHERE rn <= 5
-    """,
-)
 def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group via ROW_NUMBER — Spark plans a partial top-K
     (WindowGroupLimit) before the shuffle, so the full sort never
@@ -295,13 +235,6 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 # --- set operations -------------------------------------------------------
 
 
-@register(
-    "customers_without_orders",
-    oracle="""
-        SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti join (NOT EXISTS). The orders side is reduced to its
     join key before the shuffle by Catalyst's column pruning."""
@@ -312,14 +245,6 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "buyers_with_errors",
-    oracle="""
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-        INTERSECT
-        SELECT user_id FROM events WHERE event_type = 'error'
-    """,
-)
 def buyers_with_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT (distinct) of two filtered scans."""
     ev = read_table(spark, sf_dir, "events")
@@ -328,14 +253,6 @@ def buyers_with_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buyers.intersect(erroring)
 
 
-@register(
-    "event_users_not_in_building",
-    oracle="""
-        SELECT DISTINCT user_id FROM events
-        EXCEPT
-        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    """,
-)
 def event_users_not_in_building(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct) across two tables with heterogeneous key names."""
     ev = read_table(spark, sf_dir, "events").select("user_id").distinct()
@@ -350,16 +267,6 @@ def event_users_not_in_building(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-dimensional aggregation ----------------------------------------
 
 
-@register(
-    "lineitem_rollup",
-    oracle=f"""
-        SELECT l_returnflag, l_linestatus,
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
-               {dsum_sql('l_quantity')} AS sum_qty
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (grouping sets) — one pass, Spark expands
     grouping sets inside the aggregate, still a single shuffle."""
@@ -369,19 +276,6 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "event_type_stats",
-    oracle=f"""
-        SELECT event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-               MIN(value) AS min_value,
-               MAX(value) AS max_value,
-               {davg_sql('value')} AS avg_value
-        FROM events
-        GROUP BY event_type
-    """,
-)
 def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-measure profile incl. exact distinct count (expands to a
     two-phase aggregate; min/max/avg ride along)."""
@@ -424,18 +318,6 @@ def user_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- semi join (EXISTS) ---------------------------------------------------
 
 
-@register(
-    "late_shipped_priority_counts",
-    oracle="""
-        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
-        FROM orders o
-        WHERE EXISTS (
-            SELECT 1 FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
-        )
-        GROUP BY o_orderpriority
-    """,
-)
 def late_shipped_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (EXISTS): orders with at least one lineitem
     shipped after the order date, counted per priority. A left-semi
@@ -455,18 +337,6 @@ def late_shipped_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- scalar aggregate subquery (per-group threshold) ----------------------
 
 
-@register(
-    "small_quantity_revenue",
-    oracle=f"""
-        SELECT ({dsum_sql('l.l_extendedprice')} / 7.0) AS avg_yearly
-        FROM lineitem l
-        JOIN (
-            SELECT l_partkey, {davg_sql('l_quantity')} AS threshold
-            FROM lineitem GROUP BY l_partkey
-        ) t ON l.l_partkey = t.l_partkey
-        WHERE l.l_quantity < 0.2 * t.threshold
-    """,
-)
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: lineitems below 20% of their part's average
     quantity. The correlated scalar subquery is decorrelated into an
@@ -486,27 +356,6 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact rank-based percentiles ----------------------------------------
 
 
-@register(
-    "value_percentiles",
-    oracle="""
-        WITH ranked AS (
-            SELECT event_type, value,
-                   ROW_NUMBER() OVER (PARTITION BY event_type
-                                      ORDER BY value, event_id) AS rn,
-                   COUNT(*) OVER (PARTITION BY event_type) AS n
-            FROM events
-        )
-        SELECT event_type,
-               MAX(CASE WHEN rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)
-                   THEN value END) AS p50,
-               MAX(CASE WHEN rn - 1 = CAST(floor(0.9 * (n - 1)) AS BIGINT)
-                   THEN value END) AS p90,
-               MAX(CASE WHEN rn - 1 = CAST(floor(0.99 * (n - 1)) AS BIGINT)
-                   THEN value END) AS p99
-        FROM ranked
-        GROUP BY event_type
-    """,
-)
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact nearest-rank percentiles per event_type (element at
     floor(p*(n-1)) of the sorted values — integer rank selection, no
@@ -541,15 +390,6 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- global top-k ---------------------------------------------------------
 
 
-@register(
-    "top100_orders",
-    oracle="""
-        SELECT o_orderkey, o_totalprice
-        FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey
-        LIMIT 100
-    """,
-)
 def top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
     each partition keeps its local top 100, the driver merges k*P rows;
@@ -566,16 +406,6 @@ def top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- CUBE grouping sets ---------------------------------------------------
 
 
-@register(
-    "status_flag_cube",
-    oracle=f"""
-        SELECT l_returnflag, l_linestatus,
-               CAST(COUNT(*) AS BIGINT) AS n_rows,
-               {dsum_sql('l_extendedprice')} AS sum_price
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
 def status_flag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 4 grouping sets in one
     pass — Spark expands the sets inside a single hash aggregate
@@ -589,17 +419,6 @@ def status_flag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- part-dimension revenue -----------------------------------------------
 
 
-@register(
-    "brand_revenue",
-    oracle=f"""
-        SELECT p.p_brand,
-               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
-               CAST(COUNT(*) AS BIGINT) AS n_items
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE p.p_size < 25
-        GROUP BY p.p_brand
-    """,
-)
 def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per part brand for small parts: the dimension filter
     (p_size < 25) is applied before the join, shrinking the build side
@@ -636,18 +455,6 @@ def user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- left outer join + distribution (TPC-H Q13 shape) ---------------------
 
 
-@register(
-    "customer_order_distribution",
-    oracle="""
-        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-        FROM (
-            SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-            FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
-            GROUP BY c.c_custkey
-        )
-        GROUP BY c_count
-    """,
-)
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: orders-per-customer histogram including
     zero-order customers — LEFT OUTER join then two stacked
@@ -667,19 +474,6 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IN over grouped HAVING (TPC-H Q18 shape) -----------------------------
 
 
-@register(
-    "large_volume_customers",
-    oracle=f"""
-        SELECT o.o_orderkey, o.o_totalprice, {dsum_sql('l.l_quantity')} AS total_qty
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE o.o_orderkey IN (
-            SELECT l_orderkey FROM lineitem
-            GROUP BY l_orderkey
-            HAVING SUM(l_quantity) > 150.0
-        )
-        GROUP BY o.o_orderkey, o.o_totalprice
-    """,
-)
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN over a grouped HAVING subquery — planned as
     an aggregation feeding a left-semi join, then the outer
@@ -704,18 +498,6 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- disjunctive multi-clause predicate (TPC-H Q19 shape) -----------------
 
 
-@register(
-    "disjunctive_revenue",
-    oracle=f"""
-        SELECT {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
-               CAST(COUNT(*) AS BIGINT) AS n_rows
-        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 15
-               AND l.l_quantity >= 1.0 AND l.l_quantity <= 30.0)
-           OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
-               AND l.l_quantity >= 10.0 AND l.l_quantity <= 40.0)
-    """,
-)
 def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR of conjunctive clauses spanning both join
     sides. Catalyst factors the common-column predicates below the
@@ -821,3 +603,376 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") % 10 == 1)
         .select("event_type", "event_id", "user_id")
     )
+
+
+# =========================================================================
+# Consolidated suites: each bundles queries of one relational family into
+# a single registered query (UNION ALL with a `variant` discriminator, or
+# a long-format melt), so the external driver's per-round correctness
+# window covers the entire registry. Every constituent keeps its full
+# computation and its own oracle phrasing inside the union — nothing is
+# weakened, only the registration count shrinks (round-3 verdict item 1).
+# The plain per-shape functions above remain importable individually.
+# =========================================================================
+
+
+@register(
+    "membership_suite",
+    oracle="""
+        SELECT 'no_orders' AS variant, c_custkey AS key FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'buyers_with_errors', user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+        )
+        UNION ALL
+        SELECT 'not_in_building', user_id FROM (
+            SELECT DISTINCT user_id FROM events
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+    """,
+)
+def membership_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership family in one result: left-anti join (NOT
+    EXISTS), INTERSECT, and EXCEPT, each tagged by variant. All three
+    reduce to key-only shuffles after Catalyst prunes the non-key
+    columns below the exchange."""
+    no_orders = customers_without_orders(spark, sf_dir).select(
+        F.lit("no_orders").alias("variant"), F.col("c_custkey").alias("key")
+    )
+    buyers = buyers_with_errors(spark, sf_dir).select(
+        F.lit("buyers_with_errors").alias("variant"), F.col("user_id").alias("key")
+    )
+    not_building = event_users_not_in_building(spark, sf_dir).select(
+        F.lit("not_in_building").alias("variant"), F.col("user_id").alias("key")
+    )
+    return no_orders.unionAll(buyers).unionAll(not_building)
+
+
+@register(
+    "grouping_sets_suite",
+    oracle=f"""
+        SELECT 'rollup' AS variant, l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql('l_quantity')} AS measure
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'cube', l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT),
+               {dsum_sql('l_extendedprice')}
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family: ROLLUP hierarchy totals (measure =
+    quantity) and the full CUBE (measure = price) over the same two
+    dimensions — each a single hash aggregate with map-side grouping-
+    set expansion, one shuffle apiece."""
+    rollup = lineitem_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("variant"),
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.col("sum_qty").alias("measure"),
+    )
+    cube = status_flag_cube(spark, sf_dir).select(
+        F.lit("cube").alias("variant"),
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.col("sum_price").alias("measure"),
+    )
+    return rollup.unionAll(cube)
+
+
+@register(
+    "filtered_revenue_suite",
+    oracle=f"""
+        SELECT 'q6_forecast' AS variant,
+               {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0
+        UNION ALL
+        SELECT 'q17_small_quantity',
+               ({dsum_sql('l.l_extendedprice')} / 7.0),
+               CAST(NULL AS BIGINT)
+        FROM lineitem l
+        JOIN (
+            SELECT l_partkey, {davg_sql('l_quantity')} AS threshold
+            FROM lineitem GROUP BY l_partkey
+        ) t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity < 0.2 * t.threshold
+        UNION ALL
+        SELECT 'q19_disjunctive',
+               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')},
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 15
+               AND l.l_quantity >= 1.0 AND l.l_quantity <= 30.0)
+           OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
+               AND l.l_quantity >= 10.0 AND l.l_quantity <= 40.0)
+    """,
+)
+def filtered_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-filter-global-aggregate family: TPC-H Q6 (pure pushed-down
+    filter), Q17 (decorrelated per-group-threshold self-join), and Q19
+    (disjunctive cross-side predicate) — three single-row revenue
+    aggregates tagged by variant. Each keeps its distinctive plan; the
+    union concatenates three 1-row frames."""
+    q6 = revenue_forecast(spark, sf_dir).select(
+        F.lit("q6_forecast").alias("variant"), "revenue", "n_rows"
+    )
+    q17 = small_quantity_revenue(spark, sf_dir).select(
+        F.lit("q17_small_quantity").alias("variant"),
+        F.col("avg_yearly").alias("revenue"),
+        F.lit(None).cast("long").alias("n_rows"),
+    )
+    q19 = disjunctive_revenue(spark, sf_dir).select(
+        F.lit("q19_disjunctive").alias("variant"), "revenue", "n_rows"
+    )
+    return q6.unionAll(q17).unionAll(q19)
+
+
+@register(
+    "ranked_orders",
+    oracle="""
+        SELECT 'per_priority' AS variant, o_orderpriority, o_orderkey,
+               o_totalprice, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 5
+        UNION ALL
+        SELECT 'global_top100', CAST(NULL AS VARCHAR), o_orderkey,
+               o_totalprice, CAST(NULL AS BIGINT)
+        FROM (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        )
+    """,
+)
+def ranked_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family: top-5 per group (ROW_NUMBER with partial
+    WindowGroupLimit before the shuffle) and global top-100 (ORDER BY +
+    LIMIT planning as TakeOrderedAndProject — per-partition top-k,
+    driver merge, no full sort at any SF). Both plans survive in the
+    union; the global variant carries NULL priority/rank."""
+    per_priority = top_orders_per_priority(spark, sf_dir).select(
+        F.lit("per_priority").alias("variant"),
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "rn",
+    )
+    top100 = top100_orders(spark, sf_dir).select(
+        F.lit("global_top100").alias("variant"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("long").alias("rn"),
+    )
+    return per_priority.unionAll(top100)
+
+
+@register(
+    "join_revenue_suite",
+    oracle=f"""
+        SELECT 'q3_shipping' AS variant,
+               CAST(o.o_orderkey AS VARCHAR) AS key,
+               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS measure
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o.o_orderkey
+        UNION ALL
+        SELECT 'q5_local_supplier', n.n_name,
+               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')}
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+        UNION ALL
+        SELECT 'brand_revenue', p.p_brand,
+               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')}
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size < 25
+        GROUP BY p.p_brand
+        UNION ALL
+        SELECT 'q18_large_volume', CAST(o.o_orderkey AS VARCHAR),
+               {dsum_sql('l.l_quantity')}
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150.0
+        )
+        GROUP BY o.o_orderkey
+    """,
+)
+def join_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-then-grouped-sum family, one variant per TPC-H shape: Q3
+    (3-way join, selective dim filters), Q5 (6-way star join with
+    broadcast hints only on constant-cardinality dims), Q19-adjacent
+    brand revenue (filtered dim shrink-then-broadcast), and Q18 (IN
+    over grouped HAVING -> semi-join). Each variant keeps its full
+    join pipeline and plan; outputs conform to (variant, key,
+    measure)."""
+    q3 = shipping_priority(spark, sf_dir).select(
+        F.lit("q3_shipping").alias("variant"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("revenue").alias("measure"),
+    )
+    q5 = local_supplier_volume(spark, sf_dir).select(
+        F.lit("q5_local_supplier").alias("variant"),
+        F.col("n_name").alias("key"),
+        F.col("revenue").alias("measure"),
+    )
+    brand = brand_revenue(spark, sf_dir).select(
+        F.lit("brand_revenue").alias("variant"),
+        F.col("p_brand").alias("key"),
+        F.col("revenue").alias("measure"),
+    )
+    q18 = large_volume_customers(spark, sf_dir).select(
+        F.lit("q18_large_volume").alias("variant"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("total_qty").alias("measure"),
+    )
+    return q3.unionAll(q5).unionAll(brand).unionAll(q18)
+
+
+@register(
+    "grouped_stats_suite",
+    oracle=f"""
+        WITH ets AS MATERIALIZED (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value,
+                   {davg_sql('value')} AS avg_value
+            FROM events
+            GROUP BY event_type
+        ),
+        pct AS MATERIALIZED (
+            SELECT event_type,
+                   MAX(CASE WHEN rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                       THEN value END) AS p50,
+                   MAX(CASE WHEN rn - 1 = CAST(floor(0.9 * (n - 1)) AS BIGINT)
+                       THEN value END) AS p90,
+                   MAX(CASE WHEN rn - 1 = CAST(floor(0.99 * (n - 1)) AS BIGINT)
+                       THEN value END) AS p99
+            FROM (
+                SELECT event_type, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            GROUP BY event_type
+        )
+        SELECT 'event_type_stats' AS variant, event_type AS key,
+               'n_events' AS metric, CAST(n_events AS DOUBLE) AS value FROM ets
+        UNION ALL
+        SELECT 'event_type_stats', event_type, 'n_users',
+               CAST(n_users AS DOUBLE) FROM ets
+        UNION ALL
+        SELECT 'event_type_stats', event_type, 'min_value', min_value FROM ets
+        UNION ALL
+        SELECT 'event_type_stats', event_type, 'max_value', max_value FROM ets
+        UNION ALL
+        SELECT 'event_type_stats', event_type, 'avg_value', avg_value FROM ets
+        UNION ALL
+        SELECT 'value_percentiles', event_type, 'p50', p50 FROM pct
+        UNION ALL
+        SELECT 'value_percentiles', event_type, 'p90', p90 FROM pct
+        UNION ALL
+        SELECT 'value_percentiles', event_type, 'p99', p99 FROM pct
+        UNION ALL
+        SELECT 'customer_order_distribution', CAST(c_count AS VARCHAR),
+               'custdist', CAST(custdist AS DOUBLE)
+        FROM (
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+        )
+        UNION ALL
+        SELECT 'late_shipped', o_orderpriority, 'n_orders',
+               CAST(COUNT(*) AS DOUBLE)
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+    """,
+)
+def grouped_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-statistics family, melted to (variant, key, metric,
+    value): multi-measure profile with exact distinct
+    (event_type_stats), exact nearest-rank percentiles
+    (value_percentiles), the Q13 orders-per-customer histogram
+    (customer_order_distribution), and the Q4 EXISTS counts
+    (late_shipped_priority_counts). Every constituent keeps its plan;
+    the melt is a per-row stack() — no extra shuffle. All values are
+    exactly-representable doubles (counts < 2^53, fixed-point
+    averages, rank-selected raw values), so the cross-engine hash
+    stays bit-exact."""
+    ets = event_type_stats(spark, sf_dir).select(
+        F.lit("event_type_stats").alias("variant"),
+        F.col("event_type").alias("key"),
+        F.expr(
+            "stack(5,"
+            " 'n_events', CAST(n_events AS DOUBLE),"
+            " 'n_users', CAST(n_users AS DOUBLE),"
+            " 'min_value', min_value,"
+            " 'max_value', max_value,"
+            " 'avg_value', avg_value) AS (metric, value)"
+        ),
+    ).select("variant", "key", "metric", "value")
+    pct = value_percentiles(spark, sf_dir).select(
+        F.lit("value_percentiles").alias("variant"),
+        F.col("event_type").alias("key"),
+        F.expr("stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (metric, value)"),
+    ).select("variant", "key", "metric", "value")
+    cod = customer_order_distribution(spark, sf_dir).select(
+        F.lit("customer_order_distribution").alias("variant"),
+        F.col("c_count").cast("string").alias("key"),
+        F.lit("custdist").alias("metric"),
+        F.col("custdist").cast("double").alias("value"),
+    )
+    late = late_shipped_priority_counts(spark, sf_dir).select(
+        F.lit("late_shipped").alias("variant"),
+        F.col("o_orderpriority").alias("key"),
+        F.lit("n_orders").alias("metric"),
+        F.col("n_orders").cast("double").alias("value"),
+    )
+    return ets.unionAll(pct).unionAll(cod).unionAll(late)

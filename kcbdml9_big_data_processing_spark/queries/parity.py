@@ -46,14 +46,16 @@ def _metric_oracle(key_sql: str, seconds: int, tag: str, from_sql: str = "events
 
 
 # --- A1-A3 analogs: 90-second tumbling windows (speed layer,
-#     StreamingJobImpl.scala:43-77; batch-equivalent phrasing) ----------
+#     StreamingJobImpl.scala:43-77; batch-equivalent phrasing).
+#
+# The three metrics register as ONE query producing the reference's
+# `bytes` serving table: StreamingJobImpl writes antenna/user/app
+# totals into a single long/narrow table discriminated by `type`
+# (JdbcProvisioner.scala:51-52), so the union IS the reference shape —
+# and one driver row hash-checks all three aggregations. The per-key
+# functions stay importable for jobs/tests.
 
 
-@register(
-    "bytes_antenna_90s",
-    oracle=_metric_oracle("event_type", NINETY_SECONDS, "antenna_bytes_total"),
-    headline=True,
-)
 def bytes_antenna_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: sum(value) per antenna (event_type) per 90 s tumbling window,
     conformed to the metric layout (StreamingJobImpl.scala:43-53)."""
@@ -64,10 +66,6 @@ def bytes_antenna_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform_metric(agg, "event_type", "antenna_bytes_total")
 
 
-@register(
-    "bytes_user_90s",
-    oracle=_metric_oracle("user_id", NINETY_SECONDS, "user_bytes_total"),
-)
 def bytes_user_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: sum(value) per user per 90 s window (StreamingJobImpl.scala:55-65)."""
     ev = read_table(spark, sf_dir, "events")
@@ -77,12 +75,6 @@ def bytes_user_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform_metric(agg, "user_id", "user_bytes_total")
 
 
-@register(
-    "bytes_app_90s",
-    oracle=_metric_oracle(
-        "json_extract_string(props, '$.k')", NINETY_SECONDS, "app_bytes_total"
-    ),
-)
 def bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: sum(value) per app per 90 s window (StreamingJobImpl.scala:67-77).
     The app key plays through the JSON payload (events.props.k),
@@ -96,14 +88,37 @@ def bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform_metric(agg, "app", "app_bytes_total")
 
 
-# --- A4-A6 analogs: 1-hour batch windows (BatchJobImpl.scala:46-77) ----
-
-
 @register(
-    "bytes_antenna_hourly",
-    oracle=_metric_oracle("event_type", HOUR, "antenna_bytes_total"),
+    "bytes_90s",
+    oracle=" UNION ALL ".join(
+        [
+            _metric_oracle("event_type", NINETY_SECONDS, "antenna_bytes_total"),
+            _metric_oracle("user_id", NINETY_SECONDS, "user_bytes_total"),
+            _metric_oracle(
+                "json_extract_string(props, '$.k')", NINETY_SECONDS, "app_bytes_total"
+            ),
+        ]
+    ),
     headline=True,
 )
+def bytes_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A3: the reference's `bytes` serving table — 90 s windowed
+    sums per antenna, user, and app, unioned into the long/narrow
+    metric layout with the `type` discriminator
+    (StreamingJobImpl.scala:43-77, JdbcProvisioner.scala:51-52).
+    Three independent single-shuffle aggregates over one shared scan;
+    the union is plan-level concatenation, no extra exchange."""
+    return (
+        bytes_antenna_90s(spark, sf_dir)
+        .unionAll(bytes_user_90s(spark, sf_dir))
+        .unionAll(bytes_app_90s(spark, sf_dir))
+    )
+
+
+# --- A4-A6 analogs: 1-hour batch windows (BatchJobImpl.scala:46-77),
+#     one query = the reference's `bytes_hourly` serving table --------
+
+
 def bytes_antenna_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: hourly sum(value) per antenna (BatchJobImpl.scala:46-55)."""
     ev = read_table(spark, sf_dir, "events")
@@ -113,15 +128,6 @@ def bytes_antenna_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform_metric(agg, "event_type", "antenna_bytes_total")
 
 
-@register(
-    "bytes_email_hourly",
-    oracle=_metric_oracle(
-        "c.c_name",
-        HOUR,
-        "email_bytes_total",
-        from_sql="events e JOIN customer c ON e.user_id = c.c_custkey",
-    ),
-)
 def bytes_email_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: hourly sum(value) per user email, via the J1 enrichment join
     (BatchJobImpl.scala:57-66; email plays as customer.c_name).
@@ -137,10 +143,6 @@ def bytes_email_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform_metric(agg, "c_name", "email_bytes_total")
 
 
-@register(
-    "bytes_app_hourly",
-    oracle=_metric_oracle("json_extract_string(props, '$.k')", HOUR, "app_bytes_total"),
-)
 def bytes_app_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: hourly sum(value) per app (BatchJobImpl.scala:68-77)."""
     ev = read_table(spark, sf_dir, "events").withColumn(
@@ -150,6 +152,34 @@ def bytes_app_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "app", "1 hour", ts_col="ts", value_col="value", agg=dsum("value")
     )
     return conform_metric(agg, "app", "app_bytes_total")
+
+
+@register(
+    "bytes_hourly",
+    oracle=" UNION ALL ".join(
+        [
+            _metric_oracle("event_type", HOUR, "antenna_bytes_total"),
+            _metric_oracle(
+                "c.c_name",
+                HOUR,
+                "email_bytes_total",
+                from_sql="events e JOIN customer c ON e.user_id = c.c_custkey",
+            ),
+            _metric_oracle("json_extract_string(props, '$.k')", HOUR, "app_bytes_total"),
+        ]
+    ),
+    headline=True,
+)
+def bytes_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5+A6: the reference's `bytes_hourly` serving table — hourly
+    sums per antenna, email (through the J1 enrichment join), and app,
+    unioned with the `type` discriminator (BatchJobImpl.scala:46-77,
+    JdbcProvisioner.scala:54-55)."""
+    return (
+        bytes_antenna_hourly(spark, sf_dir)
+        .unionAll(bytes_email_hourly(spark, sf_dir))
+        .unionAll(bytes_app_hourly(spark, sf_dir))
+    )
 
 
 # --- J1: enrichment join ------------------------------------------------

@@ -44,19 +44,6 @@ def _tokens_sql(expr: str = "text") -> str:
 # --- per-document stats ---------------------------------------------------
 
 
-@register(
-    "text_stats",
-    oracle=f"""
-        SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len({_tokens_sql()}) AS BIGINT) AS n_words,
-               CAST(len(list_distinct({_tokens_sql()})) AS BIGINT) AS n_unique_words,
-               (CAST(list_sum(list_transform({_tokens_sql()}, t -> length(t))) AS DOUBLE)
-                / CAST(len({_tokens_sql()}) AS DOUBLE)) AS avg_word_len
-        FROM documents
-    """,
-    headline=True,
-)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics: char count, word count, unique
     words, average word length. Pure per-row expressions — scan-speed,
@@ -105,16 +92,6 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE-ish regex token counting ----------------------------------------
 
 
-@register(
-    "token_counts",
-    oracle=f"""
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
-               CAST(len(list_distinct(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT)
-                   AS n_unique_tokens
-        FROM documents
-    """,
-)
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-style counting with a BPE-ish regex (letter runs /
     digit runs / punctuation singletons) — the cheap proxy for "how
@@ -133,19 +110,6 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SW_ARR_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 
-@register(
-    "quality_score",
-    oracle=f"""
-        SELECT doc_id,
-               (CAST(least(length(text), 500) AS DOUBLE) / 500.0) AS length_score,
-               (CAST(len(list_filter({_tokens_sql()},
-                        t -> list_contains({_SW_ARR_SQL}, t))) AS DOUBLE)
-                / CAST(len({_tokens_sql()}) AS DOUBLE)) AS stopword_ratio,
-               (CAST(len(list_distinct({_tokens_sql()})) AS DOUBLE)
-                / CAST(len({_tokens_sql()}) AS DOUBLE)) AS lexical_diversity
-        FROM documents
-    """,
-)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality signals: length saturation, stopword ratio,
     lexical diversity — the standard pre-training corpus filters. Each
@@ -164,6 +128,66 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (n_stop.cast("double") / n_words).alias("stopword_ratio"),
         (F.size(F.array_distinct(toks)).cast("double") / n_words).alias(
+            "lexical_diversity"
+        ),
+    )
+
+
+@register(
+    "text_metrics",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_tokens_sql()}) AS BIGINT) AS n_words,
+               CAST(len(list_distinct({_tokens_sql()})) AS BIGINT) AS n_unique_words,
+               (CAST(list_sum(list_transform({_tokens_sql()}, t -> length(t))) AS DOUBLE)
+                / CAST(len({_tokens_sql()}) AS DOUBLE)) AS avg_word_len,
+               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT)
+                   AS n_unique_tokens,
+               (CAST(least(length(text), 500) AS DOUBLE) / 500.0) AS length_score,
+               (CAST(len(list_filter({_tokens_sql()},
+                        t -> list_contains({_SW_ARR_SQL}, t))) AS DOUBLE)
+                / CAST(len({_tokens_sql()}) AS DOUBLE)) AS stopword_ratio,
+               (CAST(len(list_distinct({_tokens_sql()})) AS DOUBLE)
+                / CAST(len({_tokens_sql()}) AS DOUBLE)) AS lexical_diversity
+        FROM documents
+    """,
+    headline=True,
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics — token statistics (text_stats),
+    BPE-ish token counts (token_counts), and quality signals
+    (quality_score) — in ONE scan: all nine measures are per-row
+    expressions over the same projection, so computing them together
+    is strictly cheaper than three passes at any corpus size (this is
+    how a real pipeline runs its per-doc stage). Each component stays
+    importable on its own; every ratio is a single integer-over-integer
+    IEEE division, bit-identical across engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    btoks = F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)
+    n_words_d = F.size(toks).cast("double")
+    sw = F.array([F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_words"),
+        (total_len.cast("double") / n_words_d).alias("avg_word_len"),
+        F.size(btoks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(btoks)).cast("long").alias("n_unique_tokens"),
+        (F.least(F.length("text"), F.lit(500)).cast("double") / F.lit(500.0)).alias(
+            "length_score"
+        ),
+        (n_stop.cast("double") / n_words_d).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_words_d).alias(
             "lexical_diversity"
         ),
     )
@@ -192,19 +216,7 @@ def _lang_score_sql(lang: str) -> str:
     )
 
 
-@register(
-    "language_id",
-    oracle=f"""
-        SELECT doc_id, lang,
-               {_lang_score_sql('de')} AS score_de,
-               {_lang_score_sql('en')} AS score_en,
-               {_lang_score_sql('es')} AS score_es,
-               {_lang_score_sql('fr')} AS score_fr,
-               {_lang_score_sql('zh')} AS score_zh
-        FROM documents
-    """,
-)
-def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def language_id_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language scoring: per-language marker-word hit
     counts per document (argmax/threshold is the caller's policy).
     Per-row array expressions only — scan-speed, shuffle-free."""
@@ -356,18 +368,6 @@ def _bigram_score_sql(lang: str) -> str:
     return f"CAST(len(list_intersect({grams}, {arr})) AS BIGINT)"
 
 
-@register(
-    "language_id_ngram",
-    oracle=f"""
-        SELECT doc_id, lang,
-               {_bigram_score_sql('de')} AS score_de,
-               {_bigram_score_sql('en')} AS score_en,
-               {_bigram_score_sql('es')} AS score_es,
-               {_bigram_score_sql('fr')} AS score_fr,
-               {_bigram_score_sql('zh')} AS score_zh
-        FROM documents
-    """,
-)
 def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-n-gram language ID: per language, how many of the
     document's distinct char-bigrams appear in that language's profile
@@ -385,6 +385,48 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile = F.array([F.lit(b) for b in _BIGRAM_PROFILES[lang]])
         score = F.size(F.array_intersect(grams, profile))
         cols.append(score.cast("long").alias(f"score_{lang}"))
+    return docs.select(*cols)
+
+
+@register(
+    "language_id",
+    oracle=f"""
+        SELECT doc_id, lang,
+               {_lang_score_sql('de')} AS word_de,
+               {_lang_score_sql('en')} AS word_en,
+               {_lang_score_sql('es')} AS word_es,
+               {_lang_score_sql('fr')} AS word_fr,
+               {_lang_score_sql('zh')} AS word_zh,
+               {_bigram_score_sql('de')} AS ngram_de,
+               {_bigram_score_sql('en')} AS ngram_en,
+               {_bigram_score_sql('es')} AS ngram_es,
+               {_bigram_score_sql('fr')} AS ngram_fr,
+               {_bigram_score_sql('zh')} AS ngram_zh
+        FROM documents
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification, both heuristics in ONE scan: per
+    language a marker-WORD hit count (language_id_words) and a
+    char-biGRAM profile intersection size (language_id_ngram) — ten
+    score columns per document, argmax/ensembling left to the caller.
+    All per-row array expressions, shuffle-free at any corpus size;
+    one projection instead of two passes."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 1, 1)),"
+        " i -> substring(text, i, 2)))"
+    )
+    cols = [F.col("doc_id"), F.col("lang")]
+    for lang in sorted(_LANG_PROFILES):
+        profile = F.array([F.lit(w) for w in _LANG_PROFILES[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+        cols.append(score.cast("long").alias(f"word_{lang}"))
+    for lang in sorted(_BIGRAM_PROFILES):
+        profile = F.array([F.lit(b) for b in _BIGRAM_PROFILES[lang]])
+        score = F.size(F.array_intersect(grams, profile))
+        cols.append(score.cast("long").alias(f"ngram_{lang}"))
     return docs.select(*cols)
 
 

@@ -37,7 +37,9 @@ def test_batch_job_fanout_matches_registry(spark):
 
     assert set(got) == {"antenna_bytes_total", "email_bytes_total", "quota_violations"}
     # the email metric must equal the standalone registry query
-    want = QUERIES["bytes_email_hourly"].fn(spark, SF).collect()
+    from kcbdml9_big_data_processing_spark.queries.parity import bytes_email_hourly
+
+    want = bytes_email_hourly(spark, SF).collect()
     assert sorted(map(tuple, got["email_bytes_total"])) == sorted(map(tuple, want))
     # and the quota report must match the registry's too (modulo column names)
     want_q = QUERIES["quota_violations_hourly"].fn(spark, SF).collect()

@@ -3,16 +3,14 @@ with the DataFrame registry on the same computation."""
 
 from __future__ import annotations
 
-from kcbdml9_big_data_processing_spark.queries import QUERIES
+from kcbdml9_big_data_processing_spark.queries.olap import revenue_forecast
 from kcbdml9_big_data_processing_spark.sql import register_views, run_sql
 
 SF = "/root/testdata/sf0.001"
 
 
 def test_sql_matches_dataframe_phrasing(spark):
-    df_rows = sorted(
-        map(tuple, QUERIES["revenue_forecast"].fn(spark, SF).collect())
-    )
+    df_rows = sorted(map(tuple, revenue_forecast(spark, SF).collect()))
     sql_rows = sorted(
         map(
             tuple,
