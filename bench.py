@@ -22,9 +22,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# excluded from timing: performs a full archive write inside the query
-# (round-trip correctness proof, not a read-path benchmark)
-EXCLUDE = {"archive_partition_roundtrip"}
+# excluded from timing: these perform a full write inside the query
+# (round-trip correctness proofs, not read-path benchmarks)
+EXCLUDE = {"archive_partition_roundtrip", "bucketed_join_roundtrip"}
 
 
 def main() -> None:

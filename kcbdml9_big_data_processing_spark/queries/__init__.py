@@ -19,5 +19,6 @@ from . import stream  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import parity  # noqa: F401,E402
 from . import olap  # noqa: F401,E402
+from . import scale  # noqa: F401,E402
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

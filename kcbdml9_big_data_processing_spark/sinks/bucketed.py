@@ -28,14 +28,19 @@ def write_bucketed_table(
     bucket_cols: list[str],
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Save ``df`` as a bucketed (optionally sorted) managed parquet
-    table. Bucketed layout requires the table catalog (``saveAsTable``)
-    — a plain ``.parquet(path)`` write cannot record bucket metadata,
-    which is what lets the planner elide the join-side Exchange."""
+    """Save ``df`` as a bucketed (optionally sorted) parquet table.
+    Bucketed layout requires the table catalog (``saveAsTable``) — a
+    plain ``.parquet(path)`` write cannot record bucket metadata,
+    which is what lets the planner elide the join-side Exchange.
+    ``path`` makes it an external table at that location (use when the
+    session's warehouse dir may not be writable)."""
     writer = df.write.bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.mode(mode).format("parquet").saveAsTable(table)
 
 
@@ -48,10 +53,12 @@ def write_join_ready_pair(
     left_table: str,
     right_table: str,
     n_buckets: int,
+    paths: tuple[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket two tables on their join keys with one shared bucket
     count, so every later ``left_key = right_key`` join is
     shuffle-free; returns the two catalog-backed frames."""
-    write_bucketed_table(left, left_table, n_buckets, [left_key], [left_key])
-    write_bucketed_table(right, right_table, n_buckets, [right_key], [right_key])
+    lp, rp = paths if paths is not None else (None, None)
+    write_bucketed_table(left, left_table, n_buckets, [left_key], [left_key], path=lp)
+    write_bucketed_table(right, right_table, n_buckets, [right_key], [right_key], path=rp)
     return spark.table(left_table), spark.table(right_table)

@@ -102,3 +102,23 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_roundtrip_query_exchange_free(spark):
+    """The registered round-trip query's join subtree is exchange-free
+    with broadcast disabled — the bucketed layout, not broadcast, is
+    what elides the shuffle."""
+    from kcbdml9_big_data_processing_spark.queries.scale import bucketed_join_roundtrip
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join_roundtrip(spark, SF)
+        plan = physical_plan(df, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bjr")
+        spark.sql("DROP TABLE IF EXISTS customer_bjr")

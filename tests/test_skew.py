@@ -99,3 +99,17 @@ def test_salted_join_equals_plain_join(spark):
     )
     assert salted == plain
     assert len(salted) == 1002  # 1000 hot + c1 + c3
+
+
+def test_skew_salted_agg_query_plan_is_two_phase(spark):
+    """The registered skew query really runs the salted two-phase
+    shape: the physical plan aggregates by (event_type, __salt) below
+    a second aggregate by event_type alone."""
+    from kcbdml9_big_data_processing_spark.plans.inspect import physical_plan
+    from kcbdml9_big_data_processing_spark.queries.scale import skew_salted_agg
+
+    plan = physical_plan(skew_salted_agg(spark, "/root/testdata/sf0.001"), "simple")
+    # the salt (pmod of xxhash64) is a grouping expression of phase 1
+    assert "pmod(xxhash64" in plan, plan
+    # two distinct keyed aggregates (each a partial+final pair)
+    assert plan.count("HashAggregate") >= 4, plan
