@@ -58,12 +58,23 @@ def make_idempotent_jdbc_writer(
     """
 
     def _table_exists(conn) -> bool:
-        bare = table.split(".")[-1].lower()
+        # match on bare name (case-insensitive) and, when the caller
+        # gave a schema-qualified table, on the schema too — so a
+        # same-named table in an unrelated schema can't make a real
+        # DELETE failure look like first-delivery
+        parts = table.split(".")
+        bare = parts[-1].lower()
+        schema = parts[-2].lower() if len(parts) > 1 else None
         rs = conn.getMetaData().getTables(None, None, None, None)
         try:
             while rs.next():
-                if rs.getString("TABLE_NAME").lower() == bare:
-                    return True
+                if rs.getString("TABLE_NAME").lower() != bare:
+                    continue
+                if schema is not None:
+                    got = rs.getString("TABLE_SCHEM")
+                    if got is not None and got.lower() != schema:
+                        continue
+                return True
             return False
         finally:
             rs.close()
@@ -79,20 +90,27 @@ def make_idempotent_jdbc_writer(
             props.setProperty("password", password)
         conn = jvm.java.sql.DriverManager.getConnection(url, props)
         try:
-            stmt = conn.createStatement()
-            try:
-                # Spark's JDBC writer creates columns as quoted
-                # (case-preserved) identifiers, so quote here too.
-                stmt.executeUpdate(
-                    f'DELETE FROM {table} WHERE "{batch_id_col}" = {int(batch_id)}'
-                )
-            finally:
-                stmt.close()
-        except Exception:
-            # tolerate exactly one failure mode: first-ever delivery,
-            # before the append below has created the table.
+            # probe BEFORE deleting: if the table doesn't exist yet
+            # (first-ever delivery — the append below creates it) skip
+            # the delete instead of tolerating its failure, so a real
+            # DELETE error on an existing table always propagates.
             if _table_exists(conn):
-                raise
+                # Spark's JDBC writer creates columns as quoted
+                # (case-preserved) identifiers; quote with the
+                # DIALECT's quote string (double-quote on Derby/
+                # Postgres, backtick on MySQL, bracket-free default
+                # elsewhere), not a hardcoded one.
+                q = conn.getMetaData().getIdentifierQuoteString() or '"'
+                if q.strip() == "":  # driver reports "no quoting"
+                    q = ""
+                stmt = conn.createStatement()
+                try:
+                    stmt.executeUpdate(
+                        f"DELETE FROM {table} "
+                        f"WHERE {q}{batch_id_col}{q} = {int(batch_id)}"
+                    )
+                finally:
+                    stmt.close()
         finally:
             conn.close()
         write_jdbc(
