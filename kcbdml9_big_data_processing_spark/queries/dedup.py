@@ -324,7 +324,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are linear scans + one key-partitioned join each). The final
     semi-join restricts the exact pair set to the candidates — on the
     already-thresholded (small) side, so it costs nothing — and the
-    all-pairs oracle equality is exactly the completeness proof."""
+    all-pairs oracle equality is exactly the completeness proof.
+
+    Why verification is NOT candidates-only here (measured r4): on a
+    natural Zipfian corpus, verifying just the candidate pairs by
+    array intersection is the production win; on THIS synthetic
+    corpus the vocabulary is so small (27k distinct shingles over
+    510k postings at sf0.1, mean df ~19) that the prefix filter
+    admits 2.2M candidates for 600 true pairs, and joining arrays to
+    2.4M candidate rows costs more (11.9 s end-to-end) than the
+    map-side-combined postings count (9 s). The skinny-postings count
+    is the robust default; both shapes stay linear, never
+    all-pairs."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     prepped = _shingled_corpus(spark, sf_dir).persist()
