@@ -2,7 +2,13 @@
 
 Prints ONE JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "failed": [name, ...], "sf": 0.1}
+
+Record schema: ``queries`` maps each timed query to wall seconds; a
+query that ERRORED appears as ``null`` there AND in the ``failed``
+list (never as a negative sentinel — a -1.0 once made naive
+sum(queries) disagree with ``value`` and could poison a baseline
+picker). ``value`` is the sum of the successful timings only.
 
 Each query is materialized with the noop datasource writer — full
 computation (scan→shuffle→agg) with zero driver-side collect cost, so
@@ -64,7 +70,8 @@ def main() -> None:
         .save()
     )
 
-    times: dict[str, float] = {}
+    times: dict[str, float | None] = {}
+    failed: list[str] = []
     for name, spec in QUERIES.items():
         if name in EXCLUDE:
             continue
@@ -74,19 +81,21 @@ def main() -> None:
             times[name] = round(time.time() - t0, 3)
         except Exception as e:  # record the failure, keep benching
             print(f"bench error {name}: {e}", file=sys.stderr)
-            times[name] = -1.0
+            times[name] = None
+            failed.append(name)
         # isolate queries: several persist() intermediates (dedup
         # signatures, LSH features) as part of their plan; left cached
         # they pile up across 60 queries and the GC pressure skews
         # every later measurement (observed 3-15x inflation)
         spark.catalog.clearCache()
 
-    total = round(sum(t for t in times.values() if t >= 0), 3)
+    total = round(sum(t for t in times.values() if t is not None), 3)
     payload = {
         "metric": "all_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "failed": failed,
         "sf": sf,
         "regressions": _regressions(times),
     }
@@ -105,6 +114,43 @@ def main() -> None:
 #: flag a query slower than this multiple of its prior-round time
 #: (with a 0.5 s floor so sub-second noise can't trip the gate)
 _REGRESSION_FACTOR = 1.5
+
+#: Registry consolidations: merged query -> the per-query names it
+#: absorbed (round-4 registry shrink). When the baseline round predates
+#: a consolidation, the merged query's fair prior is the SUM of its
+#: constituents' times — comparing against any single constituent
+#: manufactures a phantom 3-5x "regression" (r4 flagged language_id
+#: 0.511->2.826 s when its real prior was 0.511+1.930).
+_CONSTITUENTS: dict[str, list[str]] = {
+    "bytes_90s": ["bytes_antenna_90s", "bytes_user_90s", "bytes_app_90s"],
+    "bytes_hourly": ["bytes_antenna_hourly", "bytes_email_hourly", "bytes_app_hourly"],
+    "text_metrics": ["text_stats", "token_counts", "quality_score"],
+    "language_id": ["language_id", "language_id_ngram"],
+    "membership_suite": [
+        "customers_without_orders",
+        "buyers_with_errors",
+        "event_users_not_in_building",
+    ],
+    "grouping_sets_suite": ["lineitem_rollup", "status_flag_cube"],
+    "filtered_revenue_suite": [
+        "revenue_forecast",
+        "small_quantity_revenue",
+        "disjunctive_revenue",
+    ],
+    "ranked_orders": ["top_orders_per_priority", "top100_orders"],
+    "join_revenue_suite": [
+        "shipping_priority",
+        "local_supplier_volume",
+        "brand_revenue",
+        "large_volume_customers",
+    ],
+    "grouped_stats_suite": [
+        "event_type_stats",
+        "value_percentiles",
+        "customer_order_distribution",
+        "late_shipped_priority_counts",
+    ],
+}
 
 
 def _baseline_times() -> dict[str, float]:
@@ -139,17 +185,40 @@ def _baseline_times() -> dict[str, float]:
     return {}
 
 
-def _regressions(times: dict[str, float]) -> dict[str, dict[str, float]]:
+def _prior_for(name: str, prior_times: dict[str, float]) -> float | None:
+    """Fair baseline for ``name``: its own prior time, else (when the
+    baseline round predates a registry consolidation) the sum of its
+    constituents' prior times, when ALL of them are present. A merged
+    query's own name can collide with one constituent (language_id):
+    prefer the constituent sum whenever the baseline still carries the
+    OTHER constituents — that means the baseline predates the merge."""
+    parts = _CONSTITUENTS.get(name)
+    if parts:
+        vals = [prior_times.get(p) for p in parts]
+        if all(v is not None and v > 0 for v in vals) and (
+            name not in parts or len(parts) > 1
+        ):
+            others = [p for p in parts if p != name]
+            if not others or any(p in prior_times for p in others):
+                return round(sum(vals), 3)
+    then = prior_times.get(name)
+    return then if then is not None and then > 0 else None
+
+
+def _regressions(times: dict[str, float | None]) -> dict[str, dict[str, float]]:
     """Compare per-query times against the latest recorded round's
     bench and report queries that got >1.5x slower — so a round can't
-    silently regress performance while staying correctness-green."""
-    prior_times = _baseline_times()
+    silently regress performance while staying correctness-green.
+    Consolidation-aware: see :data:`_CONSTITUENTS`."""
+    prior_times = {
+        k: v for k, v in _baseline_times().items() if isinstance(v, (int, float))
+    }
     if not prior_times:
         return {}
     flagged = {}
     for name, now in times.items():
-        then = prior_times.get(name)
-        if then is None or then <= 0 or now < 0:
+        then = _prior_for(name, prior_times)
+        if then is None or now is None:
             continue
         if now > max(then * _REGRESSION_FACTOR, 0.5):
             flagged[name] = {"prev_sec": then, "now_sec": now}

@@ -1,5 +1,21 @@
 """Reusable Column-expression builders (all JVM-side, codegen-friendly)."""
 
-from .exact import dsum, davg, dsum_sql, davg_sql, bucket_start, bucket_start_sql
+from .exact import (
+    bucket_start,
+    bucket_start_sql,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    epoch_millis,
+)
 
-__all__ = ["dsum", "davg", "dsum_sql", "davg_sql", "bucket_start", "bucket_start_sql"]
+__all__ = [
+    "dsum",
+    "davg",
+    "dsum_sql",
+    "davg_sql",
+    "bucket_start",
+    "bucket_start_sql",
+    "epoch_millis",
+]

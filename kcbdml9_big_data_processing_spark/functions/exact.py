@@ -66,6 +66,20 @@ def davg_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
     return f"({dsum_sql(expr, scale)} / CAST(COUNT({expr}) AS DOUBLE))"
 
 
+def epoch_millis(ts: Column | str) -> Column:
+    """Epoch milliseconds of a timestamp column, robust to BOTH
+    ``TIMESTAMP`` and ``TIMESTAMP_NTZ`` inputs.
+
+    ``F.unix_millis`` rejects TIMESTAMP_NTZ (DATATYPE_MISMATCH), and
+    the driver's events.parquet has shipped ``ts`` as both types across
+    versions. The session timezone is pinned UTC (session.py), so
+    ``cast("timestamp")`` on an NTZ value is value-identical — this is
+    exactly DuckDB's ``epoch_ms(ts)``.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_millis(c.cast("timestamp"))
+
+
 def bucket_start(ts: Column | str, seconds: int) -> Column:
     """Tumbling-window start (epoch-aligned), equal to
     ``F.window(ts, f'{seconds} seconds').start`` — usable where the

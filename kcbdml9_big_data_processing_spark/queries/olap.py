@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, davg_sql, dsum, dsum_sql
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql, epoch_millis
 from ..sources.parquet import read_table
 from .registry import register
 
@@ -181,12 +181,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        ev.withColumn("prev_ms", F.lag(F.unix_millis("ts")).over(w))
+        ev.withColumn("prev_ms", F.lag(epoch_millis("ts")).over(w))
         .withColumn(
             "is_new",
             F.when(
                 F.col("prev_ms").isNull()
-                | (F.unix_millis("ts") - F.col("prev_ms") > 3_600_000),
+                | (epoch_millis("ts") - F.col("prev_ms") > 3_600_000),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )

@@ -19,7 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import bucket_start_sql, dsum, dsum_sql
+from ..functions.exact import bucket_start_sql, dsum, dsum_sql, epoch_millis
 from ..operators.enrich import enrich
 from ..operators.metrics import conform_metric, windowed_sum
 from ..operators.parse import parse_json_payload
@@ -487,7 +487,7 @@ def events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(
             (F.col("r_id") != F.col("event_id"))
-            & (F.abs(F.unix_millis("e_ts") - F.unix_millis("r_ts")) <= _RANGE_S * 1000)
+            & (F.abs(epoch_millis("e_ts") - epoch_millis("r_ts")) <= _RANGE_S * 1000)
         )
         .select("event_id", "r_id")
         .distinct()  # bucket replication can match the same pair twice

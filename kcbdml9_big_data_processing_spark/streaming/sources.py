@@ -16,8 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.parquet read-side schema under nanosAsLong (ts arrives as
-#: bigint nanoseconds; see sources/parquet.py for the full story)
+#: events.parquet read-side schema when the file stores int64
+#: nanosecond timestamps (legacy encoding; read as bigint under
+#: nanosAsLong — see sources/parquet.py for the full story)
 _EVENTS_NANOS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -35,18 +36,31 @@ def read_events_stream(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Stream the driver's events table through the file source.
+    """Stream the events table through the file source, producing the
+    SAME ``ts`` values and type as the batch reader
+    (sources/parquet.py:read_table) regardless of how the file encodes
+    timestamps.
 
-    Same nanos->micros truncation as the batch reader, applied on the
-    stream (stays a per-row projection — no state). With
-    ``max_files_per_trigger`` unset and an availableNow trigger, the
-    whole table arrives as one bounded stream — the driver-checkable
-    configuration; tests set 1 for deterministic micro-batch
-    boundaries.
+    The file source needs an explicit schema, and the testdata has
+    shipped ``ts`` as both int64 nanoseconds and ``timestamp[us]``
+    (TIMESTAMP_NTZ) across driver versions — so we probe the file's
+    batch schema first (planning-time only: reads footer metadata, no
+    data scan) and declare the stream's schema from the probe. Only
+    the legacy bigint-nanos encoding needs the nanos->micros
+    truncation; the native micros encoding passes through untouched,
+    keeping stream ``ts`` bit-identical to batch ``ts``.
+
+    With ``max_files_per_trigger`` unset and an availableNow trigger,
+    the whole table arrives as one bounded stream — the
+    driver-checkable configuration; tests set 1 for deterministic
+    micro-batch boundaries.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = {f.name: f.dataType for f in probe.fields}.get("ts")
+    legacy_nanos = isinstance(ts_type, T.LongType)
     reader = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA if legacy_nanos else probe)
         .format("parquet")
         # the file source wants a directory; select just the events
         # table out of the shared sf_dir with a glob
@@ -56,4 +70,6 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if legacy_nanos:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df

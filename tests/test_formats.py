@@ -56,3 +56,42 @@ def test_kafka_gated_with_clear_error(spark):
 
     with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_kafka_stream(spark, "localhost:9092", "devices")
+
+
+def test_kafka_reader_options_reference_parity():
+    """S1, one level deeper than the classpath gate: the option map the
+    reader is constructed from carries exactly the reference's
+    subscription semantics (StreamingJobImpl.scala:18-25 — broker
+    list, single-topic subscribe, offset reset), extras pass through,
+    and core keys can't be silently clobbered by positional args."""
+    from kcbdml9_big_data_processing_spark.sources.kafka import (
+        KAFKA_FORMAT,
+        kafka_reader_options,
+    )
+
+    assert KAFKA_FORMAT == "kafka"
+    opts = kafka_reader_options("broker1:9092,broker2:9092", "devices")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "devices",
+        "startingOffsets": "latest",
+    }
+    # reference replays from a fixed policy; both values must map through
+    assert (
+        kafka_reader_options("b:9092", "t", "earliest")["startingOffsets"]
+        == "earliest"
+    )
+    # production knobs pass through verbatim (backpressure, data-loss)
+    opts = kafka_reader_options(
+        "b:9092", "t", maxOffsetsPerTrigger="100000", failOnDataLoss="false"
+    )
+    assert opts["maxOffsetsPerTrigger"] == "100000"
+    assert opts["failOnDataLoss"] == "false"
+    # a passthrough option cannot clobber the positional core keys
+    assert (
+        kafka_reader_options("b:9092", "t", subscribe="evil")["subscribe"] == "t"
+    )
+    # ...but an alternative subscription mode replaces `subscribe`
+    # (Spark rejects a reader carrying two subscription options)
+    patt = kafka_reader_options("b:9092", "t", subscribePattern="dev-.*")
+    assert "subscribe" not in patt and patt["subscribePattern"] == "dev-.*"

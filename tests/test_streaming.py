@@ -258,6 +258,97 @@ def test_stream_equals_batch_on_events(spark, tag):
     assert got == want
 
 
+def test_stream_source_matches_batch_reader_on_live_testdata(spark):
+    """Schema-drift canary: the streaming events source must produce
+    IDENTICAL (event_id, ts) values to the batch reader on the live
+    driver testdata, whatever encoding ts ships with this round. The
+    driver's events.parquet has already changed representation once
+    (int64 nanos -> timestamp[us]); this converts any future silent
+    value corruption into a loud local failure."""
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+    from kcbdml9_big_data_processing_spark.streaming.sources import (
+        read_events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = read_events_stream(spark, sf)
+    q = (
+        src.select("event_id", "ts")
+        .writeStream.format("memory")
+        .queryName("canary_stream_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["event_id"]: r["ts"] for r in spark.table("canary_stream_events").collect()
+    }
+    batch = {
+        r["event_id"]: r["ts"]
+        for r in read_table(spark, sf, "events").select("event_id", "ts").collect()
+    }
+    assert streamed == batch
+    # and the dtypes agree too, so downstream ops plan identically
+    assert dict(src.dtypes)["ts"] == dict(
+        read_table(spark, sf, "events").dtypes
+    )["ts"]
+
+
+def test_stream_source_handles_legacy_nanos_encoding(spark, tmp_path):
+    """Regression fixture for the OLD testdata encoding: ts stored as
+    parquet timestamp[ns]. Spark can't read nanos natively, so both
+    readers take the nanosAsLong + truncate-to-micros path — stream and
+    batch must still agree, and values must be the real event times
+    (not epoch/1000 artifacts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+    from kcbdml9_big_data_processing_spark.streaming.sources import (
+        read_events_stream,
+    )
+
+    sf_dir = str(tmp_path / "legacy_sf")
+    (tmp_path / "legacy_sf").mkdir()
+    base_us = 1704067200_000_000  # 2024-01-01T00:00:00Z in micros
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [(base_us + i * 90_000_000) * 1000 for i in range(3)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "event_type": pa.array(["click", "view", "click"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(['{"k":1}', None, '{"k":2}'], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{sf_dir}/events.parquet")
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .select("event_id", "ts")
+        .writeStream.format("memory")
+        .queryName("legacy_nanos_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["event_id"]: r["ts"] for r in spark.table("legacy_nanos_stream").collect()
+    }
+    batch = {
+        r["event_id"]: r["ts"]
+        for r in read_table(spark, sf_dir, "events").select("event_id", "ts").collect()
+    }
+    assert streamed == batch
+    assert streamed[1] == dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert streamed[2] == dt.datetime(2024, 1, 1, 0, 1, 30)
+
+
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
     """Stream-stream inner join (absent even in the reference — T7):
     clicks joined to purchases by the same user within 10 minutes
