@@ -37,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.text_quality import contamination_flags
 from ..queries.dedup import (
     _exact_jaccard_pairs,
     connected_components,
@@ -45,6 +46,7 @@ from ..queries.dedup import (
 from ..queries.text import _STOPWORDS, _tokens
 
 #: decision-record reasons, in stage order
+REASON_CONTAMINATED = "contaminated"
 REASON_QUALITY = "quality"
 REASON_EXACT_DUP = "exact_dup"
 REASON_NEAR_DUP = "near_dup"
@@ -169,12 +171,23 @@ class TrainingDataCurator:
 
     # -- the pipeline ---------------------------------------------------
 
-    def run(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def run(
+        self, docs: DataFrame, benchmark: DataFrame | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """Curate ``docs``; with ``benchmark`` set, decontaminate first
+        (drop docs sharing any word-3-gram with the eval set — the
+        cheapest stage: one corpus scan against a broadcast shingle
+        set, so it runs before everything else)."""
+        null_canon = F.lit(None).cast("long")
+        c_fail = None
+        if benchmark is not None:
+            flags = contamination_flags(docs, benchmark)
+            c_fail = flags.where(F.col("contaminated")).select("doc_id")
+            docs = docs.join(c_fail, "doc_id", "left_anti")
         q_pass, q_fail = self.quality_gate(docs)
         e_kept, e_dropped = self.exact_dedup(q_pass)
         n_kept, n_dropped = self.near_dedup(e_kept)
 
-        null_canon = F.lit(None).cast("long")
         decisions = (
             q_fail.select(
                 "doc_id",
@@ -199,4 +212,10 @@ class TrainingDataCurator:
                 )
             )
         )
+        if c_fail is not None:
+            decisions = c_fail.select(
+                "doc_id",
+                F.lit(REASON_CONTAMINATED).alias("reason"),
+                null_canon.alias("canonical_id"),
+            ).unionAll(decisions)
         return n_kept, decisions

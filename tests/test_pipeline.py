@@ -142,3 +142,78 @@ def test_config_thresholds_apply(spark, tiny_corpus):
     kept, decisions = loose.run(tiny_corpus)
     # doc 3 (near-dup at J~0.85) now survives; doc 2 still exact-dup
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_repetition_signals_known_answer(spark):
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        repetition_signals,
+    )
+
+    rows = [
+        # 6 words, all distinct -> no repetition anywhere
+        (1, "alpha bravo charlie delta echo foxtrot"),
+        # "spam" 3x of 6 words (4 distinct) -> dup_word 1/3,
+        # top_word 0.5; grams: 4 total ("spam spam spam","spam spam
+        # alpha","spam alpha beta","alpha beta gamma") -> dup_3gram 0.0
+        (2, "spam spam spam alpha beta gamma"),
+        # looped phrase: "a b c a b c a b c" -> 9 words/3 uniq -> 2/3;
+        # grams: 7 total, 3 distinct ("a b c","b c a","c a b") -> 4/7
+        (3, "a b c a b c a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            round(r["dup_word_frac"], 6),
+            round(r["top_word_frac"], 6),
+            round(r["dup_3gram_frac"], 6),
+        )
+        for r in repetition_signals(docs).collect()
+    }
+    assert got[1] == (0.0, round(1 / 6, 6), 0.0)
+    assert got[2] == (round(1 / 3, 6), 0.5, 0.0)
+    assert got[3] == (round(2 / 3, 6), round(1 / 3, 6), round(4 / 7, 6))
+
+
+def test_contamination_flags_known_answer(spark):
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        contamination_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # shares the benchmark's "quick brown fox" 3-gram (case-insensitive)
+            (1, "The QUICK brown fox jumps over the lazy dog"),
+            # same words, different order -> no shared 3-gram
+            (2, "brown quick fox dog lazy the over jumps"),
+            (3, "completely unrelated text about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("q1", "what does the quick brown fox do")],
+        "qid string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["contaminated"], r["n_contaminated_ngrams"])
+        for r in contamination_flags(docs, bench).collect()
+    }
+    assert got[1][0] is True and got[1][1] >= 1
+    assert got[2] == (False, 0)
+    assert got[3] == (False, 0)
+
+
+def test_pipeline_decontaminates_first(spark, tiny_corpus):
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        REASON_CONTAMINATED,
+    )
+
+    # benchmark shares doc 4's "mike november oscar" 3-gram
+    bench = spark.createDataFrame(
+        [("q1", "mike november oscar papa")], "qid string, text string"
+    )
+    kept, decisions = TrainingDataCurator().run(tiny_corpus, benchmark=bench)
+    dec = {r["doc_id"]: r["reason"] for r in decisions.collect()}
+    assert dec[4] == REASON_CONTAMINATED
+    # decision record still partitions the input
+    assert decisions.count() == tiny_corpus.count()
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
