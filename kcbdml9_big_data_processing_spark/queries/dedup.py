@@ -271,7 +271,12 @@ def _exact_jaccard_pairs(
         .where(F.col("df") > _DF_CAP)
         .select("k")
     )
-    postings = postings.join(stop, "k", "left_anti")
+    # persist the capped postings: four consumers below (sizes, both
+    # self-join sides, and the stop anti-join re-scan they share) would
+    # otherwise each re-explode the shingle arrays — measured ~0.3 s
+    # at sf0.1; the frame is skinny (two longs × |postings|)
+    postings = postings.join(stop, "k", "left_anti").persist()
+    postings.count()
     # sizes over the capped vocabulary (sh is distinct, so the posting
     # count per doc IS the capped set size); consistent numerator and
     # denominator keep Jaccard exact w.r.t. the kept vocabulary
