@@ -169,6 +169,51 @@ class TrainingDataCurator:
         prepped.unpersist()
         return kept, dropped
 
+    def semantic_dedup(
+        self,
+        docs: DataFrame,
+        cos_min: float = 0.9,
+        id_col: str = "doc_id",
+        label_col: str = "label",
+        emb_col: str = "emb",
+    ) -> tuple[DataFrame, DataFrame]:
+        """SemDeDup-style embedding near-dedup (Abbas et al. 2023):
+        cluster docs whose embedding cosine >= ``cos_min`` — pairs
+        from the label×LSH-band blocked join
+        (queries/similarity.embedding_near_dup_pairs), clusters from
+        the checkpointed CC loop — and keep the smallest id per
+        cluster. Returns (kept-docs, dropped (doc_id, canonical_id)).
+
+        This is the stage to run when the corpus carries an embedding
+        column: it catches paraphrase-level duplication that the
+        lexical n-gram stage can't see. ``run()`` doesn't call it
+        because the plain documents table has no embeddings; a corpus
+        that does composes it after :meth:`near_dedup`."""
+        from ..queries.similarity import embedding_near_dup_pairs
+
+        corpus = docs.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            F.col(emb_col).alias("emb"),
+        )
+        pairs = embedding_near_dup_pairs(corpus, cos_min=cos_min).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        labels = connected_components(
+            docs.select(F.col(id_col).alias("doc_id")),
+            pairs,
+            reliable_checkpoint=self.config.reliable_checkpoint,
+        )
+        dropped = labels.where(F.col("doc_id") != F.col("canonical_id"))
+        kept = docs.join(
+            labels.where(F.col("doc_id") == F.col("canonical_id")).select(
+                F.col("doc_id").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        return kept, dropped
+
     # -- the pipeline ---------------------------------------------------
 
     def run(

@@ -510,35 +510,20 @@ def _near_dup_oracle() -> str:
     """
 
 
-@register("embedding_near_dup", oracle=_near_dup_oracle())
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: corpus + deterministically-perturbed
-    copies, candidate pairs blocked on label (the IVF-cell stand-in)
-    AND a shared hyperplane-LSH band — composable blocking: the join
-    shuffles on (label, band, bucket) and only candidates sharing a
-    bucket ever get the exact fixed-point cosine, cutting pairwise
-    work ~4x vs label blocking alone and unboundedly vs all-pairs.
-    At cos >= 0.9 the 4x4-bit banding keeps >99.9% recall (both
-    engines compute the identical deterministic bands, so the oracle
-    equality is exact, not statistical)."""
+def embedding_near_dup_pairs(
+    corpus: DataFrame, cos_min: float = _NEAR_DUP_COS
+) -> DataFrame:
+    """All pairs with fixed-point cosine >= ``cos_min`` in a
+    (vec_id, label, emb: array<double>) frame — candidate pairs
+    blocked on label (the IVF-cell stand-in) AND a shared
+    hyperplane-LSH band — composable blocking: the join shuffles on
+    (label, band, bucket) and only candidates sharing a bucket ever
+    get the exact fixed-point cosine, cutting pairwise work ~4x vs
+    label blocking alone and unboundedly vs all-pairs. At cos >= 0.9
+    the 4x4-bit banding keeps >99.9% recall. Shared by the registry
+    query below and the curation pipeline's semantic-dedup stage."""
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
-    emb = read_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
-    )
-    perturbed = emb.select(
-        (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"),
-        "label",
-        F.expr(
-            f"transform(sequence(1, {_DIM}), i ->"
-            f" cast(element_at(embedding, i) as double)"
-            f" + ((cast(i % 3 as double) - 1.0) * 0.02))"
-        ).alias("emb"),
-    )
-    corpus = base.unionAll(perturbed)
     # materialize: candidate generation and cosine verification both
     # re-read this frame
     prepped = corpus.select(
@@ -581,8 +566,34 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(pa, "vec_a")
         .join(pb, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .where(F.col("cosine") >= _NEAR_DUP_COS)
+        .where(F.col("cosine") >= cos_min)
     )
+
+
+@register("embedding_near_dup", oracle=_near_dup_oracle())
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the embeddings table + a
+    deterministically-perturbed copy; the blocked pair join lives in
+    :func:`embedding_near_dup_pairs` (also composed by the curation
+    pipeline's semantic-dedup stage). Both engines compute the
+    identical deterministic bands, so the oracle equality is exact,
+    not statistical."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"),
+        "label",
+        F.expr(
+            f"transform(sequence(1, {_DIM}), i ->"
+            f" cast(element_at(embedding, i) as double)"
+            f" + ((cast(i % 3 as double) - 1.0) * 0.02))"
+        ).alias("emb"),
+    )
+    return embedding_near_dup_pairs(base.unionAll(perturbed))
 
 
 # --- nearest-centroid assignment ------------------------------------------

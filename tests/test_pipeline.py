@@ -217,3 +217,40 @@ def test_pipeline_decontaminates_first(spark, tiny_corpus):
     # decision record still partitions the input
     assert decisions.count() == tiny_corpus.count()
     assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+
+
+def test_semantic_dedup_collapses_perturbed_embeddings(spark):
+    """SemDeDup stage: the embeddings table + a tiny-perturbation copy
+    of every vector collapses back to one representative per original
+    (perturbed cosine ~0.9997 >= 0.9), while distinct random vectors
+    (pairwise cosine ~0) all survive; canonical ids are minimal."""
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        TrainingDataCurator,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    perturbed = base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "label",
+        F.expr(
+            "transform(emb, x -> x + 0.002)"
+        ).alias("emb"),
+    )
+    corpus = base.unionAll(perturbed)
+    n_orig = base.count()
+
+    kept, dropped = TrainingDataCurator().semantic_dedup(corpus)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # every original survives, every perturbed copy collapses onto it
+    assert len(kept_ids) == n_orig
+    assert all(i < 10_000_000 for i in kept_ids)
+    drops = {r["doc_id"]: r["canonical_id"] for r in dropped.collect()}
+    assert len(drops) == n_orig
+    for did, canon in drops.items():
+        assert did >= 10_000_000 and canon == did - 10_000_000
