@@ -134,9 +134,12 @@ def main() -> None:
     print(json.dumps(payload))
 
 
-#: flag a query slower than this multiple of its prior-round time
-#: (with a 0.5 s floor so sub-second noise can't trip the gate)
+#: flag a query slower than this multiple of its prior-round time AND
+#: at least _REGRESSION_MIN_DELTA slower in absolute terms — run-to-run
+#: machine variance is ±0.4 s on sub-second queries, so a pure ratio
+#: (or a fixed floor) flags noise; a real regression must clear both
 _REGRESSION_FACTOR = 1.5
+_REGRESSION_MIN_DELTA = 0.5
 
 #: Registry consolidations: merged query -> the per-query names it
 #: absorbed (round-4 registry shrink). When the baseline round predates
@@ -243,7 +246,7 @@ def _regressions(times: dict[str, float | None]) -> dict[str, dict[str, float]]:
         then = _prior_for(name, prior_times)
         if then is None or now is None:
             continue
-        if now > max(then * _REGRESSION_FACTOR, 0.5):
+        if now > max(then * _REGRESSION_FACTOR, then + _REGRESSION_MIN_DELTA):
             flagged[name] = {"prev_sec": then, "now_sec": now}
     return flagged
 
