@@ -1,0 +1,61 @@
+"""Unit tests for bench.py's regression-gate logic (pure functions, no
+Spark): baseline selection must skip unparseable records, consolidated
+queries must compare against their constituents' summed priors, and
+the noise guard must require both a ratio and an absolute delta.
+The gate has been silently disarmed once (r3's truncated record) and
+once flagged phantom 5x regressions (r4's consolidation artifacts) —
+these pin the fixes."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+
+
+def test_prior_for_prefers_constituent_sum_when_baseline_predates_merge():
+    prior = {"text_stats": 0.4, "token_counts": 0.3, "quality_score": 0.3}
+    assert bench._prior_for("text_metrics", prior) == 1.0
+
+
+def test_prior_for_name_collision_uses_sum_only_with_sibling_evidence():
+    # language_id is both a merged query AND one of its constituents;
+    # with the sibling present the baseline predates the merge -> sum
+    prior = {"language_id": 0.511, "language_id_ngram": 1.930}
+    assert bench._prior_for("language_id", prior) == 2.441
+    # sibling absent -> post-merge baseline, use the recorded time
+    assert bench._prior_for("language_id", {"language_id": 2.5}) == 2.5
+
+
+def test_prior_for_falls_back_to_own_time():
+    assert bench._prior_for("dedup_exact", {"dedup_exact": 1.4}) == 1.4
+    assert bench._prior_for("unknown_query", {"dedup_exact": 1.4}) is None
+
+
+def test_regressions_require_ratio_and_absolute_delta(monkeypatch):
+    monkeypatch.setattr(
+        bench,
+        "_baseline_times",
+        lambda: {"small": 0.4, "big": 4.0, "gone": 2.0},
+    )
+    flagged = bench._regressions(
+        {
+            "small": 0.85,  # >1.5x but only +0.45 -> noise, not flagged
+            "big": 6.5,  # 1.6x and +2.5 -> real, flagged
+            "gone": None,  # errored this run -> excluded, not compared
+            "new_query": 9.9,  # no prior -> nothing to compare
+        }
+    )
+    assert set(flagged) == {"big"}
+    assert flagged["big"] == {"prev_sec": 4.0, "now_sec": 6.5}
+
+
+def test_regressions_ignore_null_priors(monkeypatch):
+    # a prior record written with the null failure sentinel must not
+    # crash or compare against null
+    monkeypatch.setattr(
+        bench, "_baseline_times", lambda: {"q": None, "ok": 1.0}
+    )
+    assert bench._regressions({"q": 5.0, "ok": 1.1}) == {}
