@@ -68,16 +68,26 @@ def davg_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
 
 def epoch_millis(ts: Column | str) -> Column:
     """Epoch milliseconds of a timestamp column, robust to BOTH
-    ``TIMESTAMP`` and ``TIMESTAMP_NTZ`` inputs.
+    ``TIMESTAMP`` and ``TIMESTAMP_NTZ`` inputs — and, for NTZ, to the
+    consumer's session timezone.
 
     ``F.unix_millis`` rejects TIMESTAMP_NTZ (DATATYPE_MISMATCH), and
     the driver's events.parquet has shipped ``ts`` as both types across
-    versions. The session timezone is pinned UTC (session.py), so
-    ``cast("timestamp")`` on an NTZ value is value-identical — this is
-    exactly DuckDB's ``epoch_ms(ts)``.
+    versions. ``unix_millis(cast("timestamp"))`` would work but is
+    SESSION-TZ-DEPENDENT on NTZ input (the cast interprets the naive
+    value in the session zone — measured +5 h under America/New_York),
+    and external drivers own their own sessions. ``timestamp_diff``
+    against an NTZ epoch anchor is pure naive-datetime arithmetic:
+    exact under ANY session timezone for NTZ input, which is exactly
+    DuckDB's ``epoch_ms(ts)`` (naive-as-UTC). For the legacy
+    TIMESTAMP input the anchor coerces via the session zone, so that
+    path is exact under the UTC sessions this package builds
+    (session.py) — the same guarantee as before, now one-sided instead
+    of both-sided.
     """
     c = F.col(ts) if isinstance(ts, str) else ts
-    return F.unix_millis(c.cast("timestamp"))
+    anchor = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MILLISECOND", anchor, c)
 
 
 def bucket_start(ts: Column | str, seconds: int) -> Column:

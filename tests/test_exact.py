@@ -65,3 +65,32 @@ def test_bucket_start_sql_matches_spark_incl_negative_epoch(spark):
         ).fetchall()
     )
     assert spark_vals == duck_vals
+
+
+def test_epoch_millis_is_timezone_free_on_ntz(spark):
+    """epoch_millis on TIMESTAMP_NTZ must give naive-as-UTC epoch ms
+    under ANY session timezone — the external driver owns its session,
+    and a tz-dependent formulation (unix_millis over cast) silently
+    shifts by the zone offset (measured +5 h under America/New_York).
+    Exercised in a sibling session with a non-UTC zone."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.functions.exact import epoch_millis
+
+    ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = ny.createDataFrame(
+            [("2024-01-01 00:00:00.123",), ("1970-01-01 00:00:00",)], "s string"
+        ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+        got = [r["ms"] for r in df.select(epoch_millis("ts").alias("ms")).collect()]
+        assert got == [1704067200123, 0]
+        # and the legacy TIMESTAMP input stays exact under UTC sessions
+        df2 = spark.createDataFrame([(1704067200123456,)], "us long").select(
+            F.expr("timestamp_micros(us)").alias("ts")
+        )
+        assert df2.select(epoch_millis("ts").alias("ms")).collect()[0]["ms"] == (
+            1704067200123
+        )
+    finally:
+        ny.conf.unset("spark.sql.session.timeZone")
