@@ -90,6 +90,14 @@ def epoch_millis(ts: Column | str) -> Column:
     return F.timestamp_diff("MILLISECOND", anchor, c)
 
 
+def epoch_micros(ts: Column | str) -> Column:
+    """Epoch microseconds — full timestamp precision; same type and
+    timezone robustness story as :func:`epoch_millis`."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    anchor = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", anchor, c)
+
+
 def bucket_start(ts: Column | str, seconds: int) -> Column:
     """Tumbling-window start (epoch-aligned), equal to
     ``F.window(ts, f'{seconds} seconds').start`` — usable where the
