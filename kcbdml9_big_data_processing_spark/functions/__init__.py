@@ -7,6 +7,7 @@ from .exact import (
     davg_sql,
     dsum,
     dsum_sql,
+    epoch_micros,
     epoch_millis,
 )
 
@@ -18,4 +19,5 @@ __all__ = [
     "bucket_start",
     "bucket_start_sql",
     "epoch_millis",
+    "epoch_micros",
 ]

@@ -74,6 +74,40 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quantile_prune(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    by: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows by ``score_col`` (higher is
+    better), optionally within each ``by`` group — the quantile-pruning
+    step quality-classifier pipelines run (keep the best-scoring X% of
+    a crawl, per language, rather than thresholding at a fixed value
+    that drifts with the corpus).
+
+    Deterministic: ranking is by (score DESC, id ASC), so ties at the
+    cut line resolve by id instead of partition order, and reruns at
+    any partitioning keep the identical set. One window per group —
+    a single shuffle on ``by`` (or a global sort when ``by`` is None;
+    at 100 TB prefer a grouped prune, or pre-compute the global score
+    cutoff on a sample and broadcast a plain filter).
+    """
+    from pyspark.sql.window import Window
+
+    part = Window.partitionBy(by) if by is not None else Window.partitionBy()
+    w = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    n = F.count(F.lit(1)).over(part)
+    keep_n = F.ceil(n * F.lit(keep_frac)).cast("long")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__keep_n", keep_n)
+        .where(F.col("__rn") <= F.col("__keep_n"))
+        .drop("__rn", "__keep_n")
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

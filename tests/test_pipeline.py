@@ -254,3 +254,34 @@ def test_semantic_dedup_collapses_perturbed_embeddings(spark):
     assert len(drops) == n_orig
     for did, canon in drops.items():
         assert did >= 10_000_000 and canon == did - 10_000_000
+
+
+def test_quantile_prune_known_answer(spark):
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        quantile_prune,
+    )
+
+    rows = [
+        # group a: scores 5,4,3,2 -> keep_frac 0.5 keeps top 2 (ids 1,2)
+        (1, "a", 5.0), (2, "a", 4.0), (3, "a", 3.0), (4, "a", 2.0),
+        # group b: 3 rows -> ceil(1.5)=2 kept; tie at 9.0 resolves to
+        # the smaller id (5), so kept = {7 (10.0), 5 (9.0)}, not 6
+        (5, "b", 9.0), (6, "b", 9.0), (7, "b", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    kept = {
+        r["doc_id"]
+        for r in quantile_prune(df, "score", 0.5, by="lang").collect()
+    }
+    assert kept == {1, 2, 5, 7}
+    # ungrouped: 7 rows -> ceil(3.5)=4 kept, global top-4 by score
+    kept_g = {
+        r["doc_id"] for r in quantile_prune(df, "score", 0.5).collect()
+    }
+    assert kept_g == {7, 5, 6, 1}
+    # determinism across repartitioning
+    kept_r = {
+        r["doc_id"]
+        for r in quantile_prune(df.repartition(7), "score", 0.5, by="lang").collect()
+    }
+    assert kept_r == kept
