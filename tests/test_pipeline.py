@@ -285,3 +285,50 @@ def test_quantile_prune_known_answer(spark):
         for r in quantile_prune(df.repartition(7), "score", 0.5, by="lang").collect()
     }
     assert kept_r == kept
+
+
+def test_deterministic_sample_nested_and_stable(spark):
+    from kcbdml9_big_data_processing_spark.operators.sampling import (
+        deterministic_sample,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    )
+    n = docs.count()
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, 0.10).collect()}
+    s50 = {r["doc_id"] for r in deterministic_sample(docs, 0.50).collect()}
+    # roughly proportional (hash uniformity) and strictly nested
+    assert abs(len(s50) - 0.5 * n) < 0.15 * n
+    assert abs(len(s10) - 0.1 * n) < 0.08 * n
+    assert s10 <= s50
+    # identical under repartitioning (pure function of ids)
+    s10b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(13), 0.10).collect()
+    }
+    assert s10b == s10
+
+
+def test_weighted_mix_rates_and_default(spark):
+    from kcbdml9_big_data_processing_spark.operators.sampling import (
+        weighted_mix,
+    )
+
+    rows = [(i, "web" if i % 3 else "books") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = weighted_mix(df, {"books": 1.0, "web": 0.1}, by="source")
+    by_src = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_books = 1000  # i % 3 == 0
+    n_web = 2000
+    assert by_src["books"] == n_books  # rate 1.0 keeps everything
+    assert abs(by_src.get("web", 0) - 0.1 * n_web) < 0.06 * n_web
+    # unknown sources drop by default
+    extra = spark.createDataFrame([(99999, "crawl")], "doc_id long, source string")
+    assert weighted_mix(df.unionAll(extra), {"books": 1.0}, by="source").where(
+        F.col("source") == "crawl"
+    ).count() == 0
