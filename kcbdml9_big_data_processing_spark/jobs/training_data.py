@@ -109,10 +109,16 @@ class TrainingDataCurator:
         thresholds. One scan, no shuffle."""
         cfg = self.config
         sig = self.quality_signals(docs)
-        ok = (
+        # coalesce: a null text yields null signals (size/division over
+        # null under ANSI defaults), and a null predicate would exclude
+        # the doc from BOTH where(ok) and where(~ok) — it must land in
+        # the quality-drop bucket so the decision record keeps its
+        # one-row-per-input-doc invariant
+        ok = F.coalesce(
             (F.col("n_words") >= cfg.min_words)
             & (F.col("stopword_ratio") <= cfg.max_stopword_ratio)
-            & (F.col("lexical_diversity") >= cfg.min_lexical_diversity)
+            & (F.col("lexical_diversity") >= cfg.min_lexical_diversity),
+            F.lit(False),
         )
         flagged = sig.select("doc_id", ok.alias("q_ok"))
         passing = docs.join(
@@ -150,14 +156,22 @@ class TrainingDataCurator:
         loop."""
         prepped = shingle_docs(docs).persist()
         prepped.count()
-        pairs = _exact_jaccard_pairs(
-            prepped, jaccard_min=self.config.jaccard_min
-        ).select("doc_a", "doc_b")
-        labels = connected_components(
-            docs.select("doc_id"),
-            pairs,
-            reliable_checkpoint=self.config.reliable_checkpoint,
-        )
+        cleanup: list[DataFrame] = [prepped]
+        try:
+            pairs = _exact_jaccard_pairs(
+                prepped, jaccard_min=self.config.jaccard_min, cleanup=cleanup
+            ).select("doc_a", "doc_b")
+            # the CC loop checkpoints per round, so the returned labels
+            # carry no lineage back to the persisted frames — safe to
+            # release them in the finally
+            labels = connected_components(
+                docs.select("doc_id"),
+                pairs,
+                reliable_checkpoint=self.config.reliable_checkpoint,
+            )
+        finally:
+            for frame in cleanup:
+                frame.unpersist()
         dropped = labels.where(F.col("doc_id") != F.col("canonical_id"))
         kept = docs.join(
             labels.where(F.col("doc_id") == F.col("canonical_id")).select(
@@ -166,7 +180,6 @@ class TrainingDataCurator:
             "doc_id",
             "left_semi",
         )
-        prepped.unpersist()
         return kept, dropped
 
     def semantic_dedup(
@@ -196,14 +209,19 @@ class TrainingDataCurator:
             F.col(label_col).alias("label"),
             F.col(emb_col).alias("emb"),
         )
-        pairs = embedding_near_dup_pairs(corpus, cos_min=cos_min).select(
-            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-        )
-        labels = connected_components(
-            docs.select(F.col(id_col).alias("doc_id")),
-            pairs,
-            reliable_checkpoint=self.config.reliable_checkpoint,
-        )
+        cleanup: list[DataFrame] = []
+        try:
+            pairs = embedding_near_dup_pairs(
+                corpus, cos_min=cos_min, cleanup=cleanup
+            ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+            labels = connected_components(
+                docs.select(F.col(id_col).alias("doc_id")),
+                pairs,
+                reliable_checkpoint=self.config.reliable_checkpoint,
+            )
+        finally:
+            for frame in cleanup:
+                frame.unpersist()
         dropped = labels.where(F.col("doc_id") != F.col("canonical_id"))
         kept = docs.join(
             labels.where(F.col("doc_id") == F.col("canonical_id")).select(

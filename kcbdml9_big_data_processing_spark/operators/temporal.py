@@ -75,8 +75,12 @@ def asof_join(
         .orderBy(epoch_micros("__ts"))
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # a right row with a null timestamp must not form a struct: null
+    # __r_us sorts lowest in struct comparison, so as the only right
+    # row for a key it would become __best and hand the left row a
+    # phantom match with a null as-of timestamp
     right_struct = F.when(
-        F.col("__is_left") == 0,
+        (F.col("__is_left") == 0) & F.col("__r_us").isNotNull(),
         F.struct(F.col("__r_us"), *[F.col(f"__r_{c}") for c in right_cols]),
     )
     best = F.max(right_struct).over(w)

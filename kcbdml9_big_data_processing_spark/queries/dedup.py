@@ -232,7 +232,9 @@ _DF_CAP = 1024
 
 
 def _exact_jaccard_pairs(
-    prepped: DataFrame, jaccard_min: float | None = None
+    prepped: DataFrame,
+    jaccard_min: float | None = None,
+    cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The COMPLETE exact word-3-gram Jaccard >= t pair set, without
     the all-pairs cross join and array-free: an inverted-index
@@ -277,6 +279,11 @@ def _exact_jaccard_pairs(
     # at sf0.1; the frame is skinny (two longs × |postings|)
     postings = postings.join(stop, "k", "left_anti").persist()
     postings.count()
+    # long-lived sessions (repeated TrainingDataCurator.run calls)
+    # must release this cache once downstream results materialize;
+    # callers that can do so pass a cleanup list to unpersist from
+    if cleanup is not None:
+        cleanup.append(postings)
     # sizes over the capped vocabulary (sh is distinct, so the posting
     # count per doc IS the capped set size); consistent numerator and
     # denominator keep Jaccard exact w.r.t. the kept vocabulary
@@ -597,7 +604,7 @@ def _truncate_lineage(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     ``reliable`` explicitly to override the auto-detection."""
     if reliable is None:
         sc = df.sparkSession.sparkContext
-        reliable = sc._jsc.sc().checkpointDir().isDefined()
+        reliable = sc.getCheckpointDir() is not None
     if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

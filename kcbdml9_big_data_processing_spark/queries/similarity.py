@@ -511,7 +511,9 @@ def _near_dup_oracle() -> str:
 
 
 def embedding_near_dup_pairs(
-    corpus: DataFrame, cos_min: float = _NEAR_DUP_COS
+    corpus: DataFrame,
+    cos_min: float = _NEAR_DUP_COS,
+    cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """All pairs with fixed-point cosine >= ``cos_min`` in a
     (vec_id, label, emb: array<double>) frame — candidate pairs
@@ -534,6 +536,10 @@ def embedding_near_dup_pairs(
         F.expr(_sig_expr("emb", planes, "spark")).alias("sig"),
     ).persist()
     prepped.count()
+    # callers with a bounded-session lifecycle (the curator) pass a
+    # cleanup list so this cache is released once results materialize
+    if cleanup is not None:
+        cleanup.append(prepped)
     banded = prepped.select(
         "vec_id",
         "label",

@@ -318,7 +318,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(dl, "doc_id")
         .join(dfq, "term")
-        .crossJoin(n)
+        # n is a 1-row aggregate; the explicit hint matches the sibling
+        # crossJoin sites so a stats misestimate can never flip it to a
+        # shuffled nested loop
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",
