@@ -148,6 +148,8 @@ _REGRESSION_MIN_DELTA = 0.5
 #: manufactures a phantom 3-5x "regression" (r4 flagged language_id
 #: 0.511->2.826 s when its real prior was 0.511+1.930).
 _CONSTITUENTS: dict[str, list[str]] = {
+    "dedup_exact_suite": ["dedup_exact", "dedup_incremental"],
+    "doc_profile": ["text_metrics", "doc_fingerprint"],
     "bytes_90s": ["bytes_antenna_90s", "bytes_user_90s", "bytes_app_90s"],
     "bytes_hourly": ["bytes_antenna_hourly", "bytes_email_hourly", "bytes_app_hourly"],
     "text_metrics": ["text_stats", "token_counts", "quality_score"],

@@ -20,5 +20,6 @@ from . import text  # noqa: F401,E402
 from . import parity  # noqa: F401,E402
 from . import olap  # noqa: F401,E402
 from . import scale  # noqa: F401,E402
+from . import curation  # noqa: F401,E402
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,335 @@
+"""Registry queries that put the LLM-corpus-curation operators inside
+the driver's oracle gate: deterministic sampling / dataset mixing
+(operators/sampling.py), quantile pruning / repetition signals /
+benchmark decontamination (operators/text_quality.py), and the
+end-to-end :class:`~..jobs.training_data.TrainingDataCurator` pipeline
+(jobs/training_data.py).
+
+No reference counterpart (the reference is a telco-metrics engine —
+these are north-star extension operators); until round 6 they were
+pytest-pinned only. Two registrations cover them (the registry must
+stay at the driver's 50-row window):
+
+- ``llm_curation_suite`` — a long-format melt (variant, doc_id, value)
+  over the documents table: one variant per operator, every kept row
+  and its defining value hash-checked against DuckDB.
+- ``curation_run`` — the full curator pipeline; the checked result is
+  the per-input-doc DECISION RECORD (doc_id, reason, canonical_id),
+  which transitively pins every stage: quality gate, exact dedup,
+  complete Jaccard pair join, and the connected-components clustering.
+
+Cross-engine determinism notes: the sampling hash is the first 48 bits
+of sha256 over the decimal id (operators/sampling.py — both engines
+bit-identical); every ratio is a single IEEE division of integer
+inputs; contamination counts compare xxhash64 shingle fingerprints on
+the Spark side against raw shingle strings in DuckDB — equal counts
+unless xxhash64 collides within a document's shingle set (~1e-10 at
+test scale, the same argument queries/dedup.py:_shingled_corpus makes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import (
+    _bucket,
+    _threshold,
+    bucket_sql,
+    deterministic_sample,
+    weighted_mix,
+)
+from ..operators.text_quality import (
+    contamination_flags,
+    quantile_prune,
+    repetition_signals,
+)
+from ..sources.parquet import read_table
+from .registry import register
+from .text import _SW_ARR_SQL, _tokens_sql
+
+_WS = r"\s+"
+
+#: deterministic_sample fraction exercised by the suite
+_SAMPLE_FRAC = 0.25
+#: weighted_mix rates (named sources + default for the other 16)
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+#: quantile_prune keep fraction, per language
+_PRUNE_FRAC = 0.3
+#: every 97th doc plays the "benchmark" for decontamination
+_BENCH_MOD = 97
+
+
+def _mix_threshold_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {_threshold(v)}" for k, v in _MIX_RATES.items()
+    )
+    return f"(CASE source {whens} ELSE {_threshold(_MIX_DEFAULT)} END)"
+
+
+def _grams3_sql(toks_expr: str) -> str:
+    """DuckDB word-3-grams of a token list (twin of
+    operators/text_quality._word_ngrams at n=3)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks_expr}) - 2, 1)),"
+        f" i -> array_to_string(list_slice({toks_expr}, CAST(i AS INT),"
+        f" CAST(i + 2 AS INT)), ' '))"
+    )
+
+
+#: lowercased tokens / distinct shingles for the contamination check
+_LTOKS_SQL = f"string_split_regex(trim(lower(text)), '{_WS}')"
+_LSH_SQL = f"list_distinct({_grams3_sql(_LTOKS_SQL)})"
+
+
+@register(
+    "llm_curation_suite",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_tokens_sql()} AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, {_grams3_sql('t')} AS g FROM toks
+        ),
+        bench AS (
+            SELECT DISTINCT unnest({_LSH_SQL}) AS s FROM documents
+            WHERE doc_id % {_BENCH_MOD} = 0
+        ),
+        doc_sh AS (
+            SELECT doc_id, unnest({_LSH_SQL}) AS s FROM documents
+        )
+        SELECT 'sample' AS variant, doc_id,
+               CAST({bucket_sql('doc_id')} AS DOUBLE) AS value
+        FROM documents WHERE {bucket_sql('doc_id')} < {_threshold(_SAMPLE_FRAC)}
+        UNION ALL
+        SELECT 'mix', doc_id, CAST({bucket_sql('doc_id')} AS DOUBLE)
+        FROM documents WHERE {bucket_sql('doc_id')} < {_mix_threshold_sql()}
+        UNION ALL
+        SELECT 'prune', doc_id, CAST(n_chars AS DOUBLE)
+        FROM (
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents
+        ) WHERE rn <= CAST(ceil(cnt * {_PRUNE_FRAC}) AS BIGINT)
+        UNION ALL
+        SELECT 'rep_dup_word', doc_id,
+               1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE)
+        FROM toks
+        UNION ALL
+        SELECT 'rep_top_word', doc_id,
+               CAST(list_max(list_transform(list_distinct(t),
+                        w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE)
+        FROM toks
+        UNION ALL
+        SELECT 'rep_dup_3gram', doc_id,
+               1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                   / CAST(len(g) AS DOUBLE)
+        FROM grams
+        UNION ALL
+        SELECT 'contamination', d.doc_id, CAST(count(b.s) AS DOUBLE)
+        FROM doc_sh d LEFT JOIN bench b USING (s)
+        GROUP BY d.doc_id
+    """,
+    headline=True,
+)
+def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation operator family in one long-format registration
+    (variant, doc_id, value):
+
+    - ``sample``: :func:`deterministic_sample` at 25% — kept ids AND
+      their bucket hashes, so the oracle equality pins the hash itself;
+    - ``mix``: :func:`weighted_mix` over four named source rates plus
+      the default — pins the per-group threshold lookup;
+    - ``prune``: :func:`quantile_prune` keeping the top 30% by n_chars
+      within each language — pins the deterministic tie-break window;
+    - ``rep_*``: the three Gopher-style repetition fractions, per doc;
+    - ``contamination``: 3-gram overlap counts against the broadcast
+      benchmark shingle set (every 97th doc plays the eval set).
+
+    Shapes: sample/mix/rep_* are pure scans; prune is one window
+    shuffle on lang; contamination broadcasts only the benchmark
+    shingles — the corpus never shuffles anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket_val = _bucket("doc_id").cast("double").alias("value")
+    sample = deterministic_sample(docs, _SAMPLE_FRAC).select(
+        F.lit("sample").alias("variant"), "doc_id", bucket_val
+    )
+    mix = weighted_mix(
+        docs, _MIX_RATES, by="source", default_rate=_MIX_DEFAULT
+    ).select(F.lit("mix").alias("variant"), "doc_id", bucket_val)
+    prune = quantile_prune(docs, "n_chars", _PRUNE_FRAC, by="lang").select(
+        F.lit("prune").alias("variant"),
+        "doc_id",
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    rep = repetition_signals(docs).select(
+        "doc_id",
+        F.expr(
+            "stack(3, 'rep_dup_word', dup_word_frac,"
+            " 'rep_top_word', top_word_frac,"
+            " 'rep_dup_3gram', dup_3gram_frac) AS (variant, value)"
+        ),
+    ).select("variant", "doc_id", "value")
+    bench = docs.where(F.col("doc_id") % _BENCH_MOD == 0)
+    cont = contamination_flags(docs, bench).select(
+        F.lit("contamination").alias("variant"),
+        "doc_id",
+        F.col("n_contaminated_ngrams").cast("double").alias("value"),
+    )
+    return sample.unionAll(mix).unionAll(prune).unionAll(rep).unionAll(cont)
+
+
+# --- end-to-end curator run ------------------------------------------------
+
+#: id offsets for the two synthetic duplicate layers
+_EXACT_OFFSET = 10_000_000
+_PERTURB_OFFSET = 20_000_000
+#: the perturbed copy drops the last _DROP tokens
+_DROP = 2
+
+_PERTURBED_TEXT_SQL = (
+    f"array_to_string(list_slice({{t}}, 1, greatest(len({{t}}) - {_DROP}, 1)), ' ')"
+)
+
+#: 3-gram shingles over a token list (twin of queries/dedup.shingle_docs
+#: — strings here, xxhash64 fingerprints on the Spark side; Jaccard is
+#: identical unless the fingerprint collides, see module docstring)
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({{t}}) - 2, 1)),"
+    f" i -> array_to_string(list_slice({{t}}, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))"
+)
+
+_CURATION_DEFAULT_MIN_WORDS = 5
+_CURATION_MAX_STOPWORD = 0.9
+_CURATION_MIN_DIVERSITY = 0.1
+_CURATION_JACCARD_MIN = 0.5
+
+
+def _curation_oracle() -> str:
+    toks = _tokens_sql()
+    norm = f"sha256(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g'))"
+    return f"""
+        WITH RECURSIVE
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_EXACT_OFFSET}, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_PERTURB_OFFSET},
+                   {_PERTURBED_TEXT_SQL.format(t=toks)}
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, text,
+                   len({toks.replace('text', 'text')}) AS n_words,
+                   CAST(len(list_filter({toks}, t ->
+                        list_contains({_SW_ARR_SQL}, t))) AS DOUBLE)
+                     / CAST(len({toks}) AS DOUBLE) AS swr,
+                   CAST(len(list_distinct({toks})) AS DOUBLE)
+                     / CAST(len({toks}) AS DOUBLE) AS div
+            FROM corpus
+        ),
+        q AS (
+            SELECT doc_id, text,
+                   COALESCE(n_words >= {_CURATION_DEFAULT_MIN_WORDS}
+                            AND swr <= {_CURATION_MAX_STOPWORD}
+                            AND div >= {_CURATION_MIN_DIVERSITY}, FALSE) AS ok
+            FROM sig
+        ),
+        hashed AS (
+            SELECT doc_id, text, {norm} AS h FROM q WHERE ok
+        ),
+        ecanon AS (
+            SELECT h, min(doc_id) AS canonical_id FROM hashed GROUP BY h
+        ),
+        etag AS (
+            SELECT d.doc_id, c.canonical_id
+            FROM hashed d JOIN ecanon c USING (h)
+        ),
+        ekept AS (
+            SELECT doc_id, text FROM etag JOIN hashed USING (doc_id)
+            WHERE doc_id = canonical_id
+        ),
+        prepped AS MATERIALIZED (
+            SELECT doc_id, {_SHINGLES_SQL.format(t=toks)} AS sh FROM ekept
+        ),
+        pairs AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                       len(a.sh) + len(b.sh)
+                         - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+                FROM prepped a JOIN prepped b ON a.doc_id < b.doc_id
+            )
+            WHERE (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE))
+                  >= {_CURATION_JACCARD_MIN}
+        ),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM ekept
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (
+            SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS canonical_id
+            FROM reach GROUP BY a
+        )
+        SELECT doc_id, 'quality' AS reason, CAST(NULL AS BIGINT) AS canonical_id
+        FROM q WHERE NOT ok
+        UNION ALL
+        SELECT doc_id, 'exact_dup', CAST(canonical_id AS BIGINT)
+        FROM etag WHERE doc_id <> canonical_id
+        UNION ALL
+        SELECT doc_id, 'near_dup', canonical_id
+        FROM labels WHERE doc_id <> canonical_id
+        UNION ALL
+        SELECT doc_id, 'kept', CAST(NULL AS BIGINT)
+        FROM labels WHERE doc_id = canonical_id
+    """
+
+
+@register("curation_run", oracle=_curation_oracle())
+def curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end :class:`TrainingDataCurator` run over a corpus with
+    two synthetic duplicate layers (an exact copy at +1e7 and a
+    last-2-tokens-dropped near-dup copy at +2e7, so every stage is
+    non-vacuous at every SF). The checked result is the DECISION
+    RECORD — one row per input doc with reason in {{quality,
+    exact_dup, near_dup, kept}} and the canonical survivor for dropped
+    duplicates — which transitively hash-pins the quality gate, the
+    single-shuffle exact dedup, the df-capped complete Jaccard pair
+    join, and the checkpointed connected-components clustering against
+    a recursive-CTE oracle. The kept corpus itself is exactly the
+    decisions' ``kept`` rows (tests/test_pipeline.py pins that the
+    record partitions the input)."""
+    from ..jobs.training_data import TrainingDataCurator
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), _WS)
+    perturbed_text = F.array_join(
+        F.slice(toks, 1, F.greatest(F.size(toks) - _DROP, F.lit(1))), " "
+    )
+    corpus = (
+        docs.unionAll(
+            docs.select((F.col("doc_id") + _EXACT_OFFSET).alias("doc_id"), "text")
+        )
+        .unionAll(
+            docs.select(
+                (F.col("doc_id") + _PERTURB_OFFSET).alias("doc_id"),
+                perturbed_text.alias("text"),
+            )
+        )
+    )
+    _, decisions = TrainingDataCurator().run(corpus)
+    return decisions.select(
+        "doc_id", "reason", F.col("canonical_id").cast("long").alias("canonical_id")
+    )

@@ -52,23 +52,6 @@ def _toks_sql(expr: str = "text") -> str:
 # --- exact dedup ----------------------------------------------------------
 
 
-@register(
-    "dedup_exact",
-    oracle=f"""
-        WITH corpus AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL
-            SELECT doc_id + {_DUP_OFFSET}, text FROM documents
-        )
-        SELECT sha256(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g'))
-                   AS content_hash,
-               CAST(min(doc_id) AS BIGINT) AS canonical_id,
-               CAST(count(*) AS BIGINT) AS n_copies
-        FROM corpus
-        GROUP BY 1
-    """,
-    headline=True,
-)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: normalize (lowercase, trim, collapse whitespace),
     SHA-256, group by hash keeping the lowest id as canonical. One
@@ -715,9 +698,7 @@ def dedup_clusters(
 _NORM_SQL = f"sha256(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g'))"
 
 
-@register(
-    "dedup_incremental",
-    oracle=f"""
+_DEDUP_INCREMENTAL_ORACLE = f"""
         WITH archive AS (
             SELECT DISTINCT {_NORM_SQL} AS content_hash
             FROM documents WHERE doc_id % 2 = 0
@@ -738,8 +719,9 @@ _NORM_SQL = f"sha256(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g'))"
         FROM batch b
         WHERE NOT EXISTS (
             SELECT 1 FROM archive a WHERE a.content_hash = b.content_hash)
-    """,
-)
+    """
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the daily-ingest shape of a training-data
     pipeline: an incoming batch (new docs + redeliveries of already-
@@ -775,3 +757,45 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return batch.join(archive, "content_hash", "left_anti")
+
+
+@register(
+    "dedup_exact_suite",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_DUP_OFFSET}, text FROM documents
+        )
+        SELECT 'full' AS variant,
+               sha256(regexp_replace(lower(trim(text)), '{_WS}', ' ', 'g'))
+                   AS content_hash,
+               CAST(min(doc_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM corpus
+        GROUP BY 2
+        UNION ALL
+        SELECT 'incremental', content_hash, canonical_id, n_in_batch
+        FROM ({_DEDUP_INCREMENTAL_ORACLE})
+    """,
+    headline=True,
+)
+def dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup family in one registration (registry stays at the
+    driver's 50-row window): the full-corpus hash dedup and the
+    incremental archive-aware variant, each tagged. Both constituents
+    keep their full computation; only the registration count shrinks
+    (same consolidation pattern as the OLAP suites)."""
+    full = dedup_exact(spark, sf_dir).select(
+        F.lit("full").alias("variant"),
+        "content_hash",
+        "canonical_id",
+        F.col("n_copies").alias("n"),
+    )
+    incr = dedup_incremental(spark, sf_dir).select(
+        F.lit("incremental").alias("variant"),
+        "content_hash",
+        "canonical_id",
+        F.col("n_in_batch").alias("n"),
+    )
+    return full.unionAll(incr)

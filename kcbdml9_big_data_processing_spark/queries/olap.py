@@ -211,25 +211,20 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one): for each purchase, the
-    latest click by the same user at-or-before it. Implemented as a
-    single event-time window over the union of both event kinds — one
-    shuffle on user_id, no self-join, no cross product; this is the
-    scalable formulation (a join on user + ts<=ts explodes quadratically
-    on hot users)."""
-    ev = read_table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("click", "purchase")
+    latest click by the same user at-or-before it. Routed through the
+    GENERAL operator (operators/temporal.asof_join) so the generic
+    union-plus-event-time-window formulation — one shuffle on the key,
+    no self-join, no cross product — sits inside the driver's oracle
+    gate; a theta-join on user + ts<=ts would explode quadratically on
+    hot users."""
+    from ..operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
-    return (
-        ev.withColumn("last_click_ts", F.max(click_ts).over(w))
-        .where(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "last_click_ts")
-    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(purchases, clicks, on="user_id", prefix="last_click_")
 
 
 # --- set operations -------------------------------------------------------

@@ -464,34 +464,23 @@ def events_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-filter, dedup, count. Shuffles on (user, bucket) only; work
     is bounded by per-bucket density, not per-user history. The oracle
     is the naive unblocked join — the hash equality proves the
-    blocking loses no pairs."""
+    blocking loses no pairs. Routed through the GENERAL operator
+    (operators/temporal.interval_join) so the generic bucketed
+    formulation sits inside the driver's oracle gate."""
+    from ..operators.temporal import interval_join
+
     ev = read_table(spark, sf_dir, "events")
-    bucket = (F.unix_timestamp("ts") / _RANGE_S).cast("long")
-    left = ev.select(
-        "event_id", "user_id", F.col("ts").alias("e_ts"), bucket.alias("bk")
-    )
     errors = ev.where(F.col("event_type") == "error").select(
-        F.col("event_id").alias("r_id"),
-        F.col("user_id").alias("r_user"),
-        F.col("ts").alias("r_ts"),
-        bucket.alias("r_bk"),
+        F.col("event_id").alias("r_id"), "user_id", "ts"
     )
-    # replicate each error into its bucket and both neighbors
-    errors_rep = errors.withColumn(
-        "bk", F.explode(F.array(F.col("r_bk") - 1, F.col("r_bk"), F.col("r_bk") + 1))
-    )
-    pairs = (
-        left.join(
-            errors_rep,
-            (left.user_id == errors_rep.r_user) & (left.bk == errors_rep.bk),
-        )
-        .where(
-            (F.col("r_id") != F.col("event_id"))
-            & (F.abs(epoch_millis("e_ts") - epoch_millis("r_ts")) <= _RANGE_S * 1000)
-        )
-        .select("event_id", "r_id")
-        .distinct()  # bucket replication can match the same pair twice
-    )
+    pairs = interval_join(
+        ev,
+        errors,
+        on="user_id",
+        tolerance_ms=_RANGE_S * 1000,
+        left_id="event_id",
+        right_id="r_id",
+    ).where(F.col("r_id") != F.col("event_id"))
     counts = pairs.groupBy("event_id").agg(F.count("r_id").alias("n"))
     # events with no valid pair still appear, at zero (LEFT JOIN shape)
     return ev.select("event_id").join(counts, "event_id", "left_outer").select(

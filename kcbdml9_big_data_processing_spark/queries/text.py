@@ -133,9 +133,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_metrics",
-    oracle=f"""
+_TEXT_METRICS_ORACLE = f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len({_tokens_sql()}) AS BIGINT) AS n_words,
@@ -152,9 +150,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                (CAST(len(list_distinct({_tokens_sql()})) AS DOUBLE)
                 / CAST(len({_tokens_sql()}) AS DOUBLE)) AS lexical_diversity
         FROM documents
-    """,
-    headline=True,
-)
+    """
+
+
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics — token statistics (text_stats),
     BPE-ish token counts (token_counts), and quality signals
@@ -235,16 +233,15 @@ def language_id_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE = 16
 
 
-@register(
-    "doc_fingerprint",
-    oracle=f"""
+_DOC_FINGERPRINT_ORACLE = f"""
         SELECT doc_id,
                list_min(list_transform(
                    generate_series(1, greatest(length(text) - {_SHINGLE - 1}, 1)),
                    i -> md5(substr(text, CAST(i AS INT), {_SHINGLE})))) AS fingerprint
         FROM documents
-    """,
-)
+    """
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint: min-MD5 over all {_SHINGLE}-char
     shingles (a 1-permutation MinHash). Two docs sharing any extremal
@@ -257,6 +254,28 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" i -> md5(substring(text, i, {_SHINGLE}))))"
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "doc_profile",
+    oracle=f"""
+        WITH m AS ({_TEXT_METRICS_ORACLE}),
+             f AS ({_DOC_FINGERPRINT_ORACLE})
+        SELECT m.*, f.fingerprint
+        FROM m JOIN f ON m.doc_id = f.doc_id
+    """,
+    headline=True,
+)
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile in one registration (keeps the registry at
+    the driver's 50-row window): the nine text metrics joined with the
+    min-MD5 rolling-hash fingerprint on doc_id. Both constituents stay
+    importable individually and keep their full computation; the join
+    is doc_id-to-doc_id (1:1) and Catalyst collapses the two scans'
+    shared projection."""
+    return text_metrics(spark, sf_dir).join(
+        doc_fingerprint(spark, sf_dir), "doc_id"
+    )
 
 
 # --- TF-IDF top terms ------------------------------------------------------
