@@ -347,16 +347,11 @@ def _ivf_oracle() -> str:
     """
 
 
-def _argmin_cell(
-    ex: DataFrame, cents: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """(nearest-cell assignment, full distance frame) under fixed-point
-    squared L2 — the IVF assignment step. One equi-join on the
-    dimension index + one groupBy: rows x K x dim intermediate, all
-    map-side-combined; ties break on cell id so both engines agree.
-    The distance frame is returned too so probe routing can reuse it
-    without a second pass."""
-    d = (
+def _sqdist_cells(ex: DataFrame, cents: DataFrame) -> DataFrame:
+    """Fixed-point squared-L2 distance of every vector to every cell
+    centroid. One equi-join on the dimension index + one groupBy:
+    rows x K x dim intermediate, all map-side-combined."""
+    return (
         ex.join(cents, "i")
         .groupBy("vec_id", "cell")
         .agg(
@@ -366,8 +361,14 @@ def _argmin_cell(
             ).alias("dist_f")
         )
     )
+
+
+def _argmin_cell(ex: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-cell assignment under fixed-point squared L2 — the IVF
+    assignment step; ties break on cell id so both engines agree."""
+    d = _sqdist_cells(ex, cents)
     w = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
-    return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1), d
+    return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
 
 
 @register("ivf_ann_cosine", oracle=_ivf_oracle())
@@ -389,6 +390,10 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     just row-counted.
     """
     emb = read_table(spark, sf_dir, "embeddings")
+    # the exploded (vec, dim, value) relation is deliberately NOT
+    # persisted: it is 64x the corpus row count, so caching it is the
+    # wrong trade at scale — each consumer re-derives it from the
+    # column-pruned parquet scan instead
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i0", "x_f")
     ).select(
@@ -399,7 +404,7 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(seed_ids.select(F.col("vec_id").alias("cell"))),
         ex.vec_id == F.col("cell"),
     ).select("cell", "i", F.col("x").alias("c"))
-    a0, _ = _argmin_cell(ex, seeds)
+    a0 = _argmin_cell(ex, seeds)
     cents = (
         ex.join(a0.select("vec_id", "cell"), "vec_id")
         .groupBy("cell", "i")
@@ -413,14 +418,27 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    # one distance pass serves both the index assignment (argmin over
-    # all vectors) and probe routing (top-nprobe for the probe subset)
-    assigned, d1 = _argmin_cell(ex, cents)
-    cells = assigned.select("vec_id", "cell")
-    wp = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
+    # one distance-pass DEFINITION serves both the index assignment
+    # (argmin over all vectors) and probe routing (top-nprobe for the
+    # probe subset). Deliberately NOT persisted: measured r6 at sf0.1,
+    # persisting d1 (and/or ex) made the query SLOWER (1.5-1.7 s ->
+    # 2.1-2.8 s steady-state) — the materialization barrier + cache
+    # write cost more than recomputing the cheap join+groupBy, and the
+    # textual "23 exchanges" the persist was meant to cut is plan-dump
+    # double-counting, not runtime work. A production index amortizes
+    # differently: write centroids + cell assignment to a TABLE once
+    # and run searches against it (the docstring's point), rather than
+    # caching inside one job.
+    d1 = _sqdist_cells(ex, cents)
+    wa = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
+    cells = (
+        d1.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
     probe_cells = (
         d1.where(F.col("vec_id") % _PROBE_MOD == 0)
-        .withColumn("rn", F.row_number().over(wp))
+        .withColumn("rn", F.row_number().over(wa))
         .where(F.col("rn") <= _IVF_NPROBE)
         .select(F.col("vec_id").alias("probe_id"), "cell")
     )
