@@ -4,11 +4,14 @@ Prints ONE JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "failed": [name, ...], "sf": 0.1}
 
-Record schema: ``queries`` maps each timed query to wall seconds; a
-query that ERRORED appears as ``null`` there AND in the ``failed``
-list (never as a negative sentinel — a -1.0 once made naive
-sum(queries) disagree with ``value`` and could poison a baseline
-picker). ``value`` is the sum of the successful timings only.
+Record schema: ``queries`` maps each timed query to wall seconds —
+the MEDIAN of ``runs_per_query`` back-to-back runs (default 3,
+override with $SPARK_GRAFT_BENCH_RUNS), so one cold-JIT or lucky run
+can't set the record; a query that ERRORED on any run appears as
+``null`` there AND in the ``failed`` list (never as a negative
+sentinel — a -1.0 once made naive sum(queries) disagree with
+``value`` and could poison a baseline picker). ``value`` is the sum
+of the successful medians only.
 
 Each query is materialized with the noop datasource writer — full
 computation (scan→shuffle→agg) with zero driver-side collect cost, so
@@ -93,24 +96,43 @@ def main() -> None:
                 print(f"warmup error {name}: {e}", file=sys.stderr)
             spark.catalog.clearCache()
 
+    # median of N runs per query: a single timed run lands wherever
+    # the JVM's per-plan codegen/JIT state happens to be (r5 recorded
+    # dedup_ngram_jaccard at 6.0 s whose steady state is ~4.5 s), and
+    # single-run noise let round claims and committed records diverge.
+    # The median is robust to one slow (cold) and one lucky run; run 1
+    # doubles as the sf0.1-shaped warm-up the sf0.001 pass can't give
+    # (AQE picks different physical plans per SF).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float | None] = {}
     failed: list[str] = []
     for name, spec in QUERIES.items():
         if name in EXCLUDE:
             continue
-        t0 = time.time()
-        try:
-            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # record the failure, keep benching
-            print(f"bench error {name}: {e}", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.time()
+            try:
+                spec.fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                samples.append(round(time.time() - t0, 3))
+            except Exception as e:  # record the failure, keep benching
+                print(f"bench error {name}: {e}", file=sys.stderr)
+                samples = []
+                break
+            finally:
+                # isolate runs AND queries: several persist()
+                # intermediates (dedup signatures, LSH features) as
+                # part of their plan; left cached they pile up across
+                # 60 queries and the GC pressure skews every later
+                # measurement (observed 3-15x inflation)
+                spark.catalog.clearCache()
+        if samples:
+            times[name] = sorted(samples)[len(samples) // 2]
+        else:
             times[name] = None
             failed.append(name)
-        # isolate queries: several persist() intermediates (dedup
-        # signatures, LSH features) as part of their plan; left cached
-        # they pile up across 60 queries and the GC pressure skews
-        # every later measurement (observed 3-15x inflation)
-        spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t is not None), 3)
     payload = {
@@ -120,6 +142,8 @@ def main() -> None:
         "queries": times,
         "failed": failed,
         "sf": sf,
+        "runs_per_query": runs,
+        "aggregation": "median",
         "regressions": _regressions(times),
     }
     # sidecar record the driver can't truncate: BENCH_r03.json lost its

@@ -98,10 +98,30 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_featurize, FEATURE_SCHEMA)
 
 
+#: real-decode output: intrinsic image properties + a pixel digest
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("mode", T.StringType(), True),
+        T.StructField("pixel_digest", T.StringType(), True),
+    ]
+)
+
+
 def decode_image(df: DataFrame) -> DataFrame:
-    """Real image decode — requires an imaging library that is NOT in
-    this container; the Spark-side contract (signature, schema,
-    batching) is identical to :func:`extract_features`."""
+    """Real image decode — requires pillow, which is NOT baked into
+    this container (the import gate below turns its absence into a
+    clear NotImplementedError at plan-construction time, not a worker
+    crash mid-job). The Spark-side contract (Arrow ``mapInPandas``
+    over binary payloads, typed output schema, per-batch iteration) is
+    identical to :func:`extract_features`, which IS oracle-checked; on
+    a pillow-equipped cluster this decodes each payload once per Arrow
+    batch and emits intrinsic properties + a digest of the decoded
+    pixel buffer (content-addressed dedup key for decoded images).
+    Pinned by the pillow-gated test in tests/test_llm_ops.py, which
+    runs wherever pillow exists."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -110,7 +130,39 @@ def decode_image(df: DataFrame) -> DataFrame:
             "environment; extract_features exercises the identical "
             "mapInPandas plumbing with a deterministic featurizer"
         ) from e
-    raise NotImplementedError("wire a real decoder here when pillow is available")
+
+    def _decode(batches: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+        import PIL.Image
+
+        for pdf in batches:
+            widths, heights, modes, digests = [], [], [], []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    widths.append(None)
+                    heights.append(None)
+                    modes.append(None)
+                    digests.append(None)
+                    continue
+                img = PIL.Image.open(io.BytesIO(bytes(payload)))
+                img.load()
+                widths.append(img.width)
+                heights.append(img.height)
+                modes.append(img.mode)
+                digests.append(hashlib.sha256(img.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": widths,
+                    "height": heights,
+                    "mode": modes,
+                    "pixel_digest": digests,
+                }
+            )
+
+    return df.mapInPandas(_decode, DECODED_SCHEMA)
 
 
 #: frame sampling: fixed-width frames of the decoded stream, keeping

@@ -145,8 +145,40 @@ def test_decode_image_is_gated():
 
     from kcbdml9_big_data_processing_spark.operators.multimodal import decode_image
 
-    with _pytest.raises(NotImplementedError):
-        decode_image(None)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            decode_image(None)
+    else:
+        _pytest.skip("pillow present: real path covered by the test below")
+
+
+def test_decode_image_real_path_when_pillow_available(spark):
+    """Executes the REAL decode path on a generated PNG wherever
+    pillow exists (skipped in the pillow-less driver container): a
+    3x2 red RGB image decodes to its intrinsic properties, the pixel
+    digest matches the raw buffer, and a null payload degrades to a
+    null row instead of crashing the Arrow worker."""
+    import pytest as _pytest
+
+    PIL_Image = _pytest.importorskip("PIL.Image")
+    import hashlib as _hl
+    import io
+
+    from kcbdml9_big_data_processing_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = PIL_Image.new("RGB", (3, 2), (255, 0, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    rows = [(1, bytearray(buf.getvalue())), (2, None)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in decode_image(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mode"]) == (3, 2, "RGB")
+    assert got[1]["pixel_digest"] == _hl.sha256(img.tobytes()).hexdigest()
+    assert got[2]["width"] is None and got[2]["pixel_digest"] is None
 
 
 def test_dedup_clusters_converges_on_either_checkpoint_backend(spark, tmp_path):

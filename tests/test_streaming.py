@@ -438,3 +438,91 @@ def test_windowed_agg_on_rocksdb_state_store(tmp_path):
     )
     q.awaitTermination()
     assert (_t(0, 0), "a", 10.0, "rocks_test") in seen
+
+
+# --- Kafka wire-schema contract (S1 depth) --------------------------------
+
+#: the exact column set + types the spark-sql-kafka source yields
+#: (Kafka wire schema): only the broker socket itself is absent here
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+_DEVICE_SCHEMA = T.StructType(
+    [
+        T.StructField("device_id", T.StringType(), True),
+        T.StructField("bytes", T.LongType(), True),
+    ]
+)
+
+
+def test_kafka_wire_schema_chain_stream_equals_batch(spark, tmp_path):
+    """S1 depth (StreamingJobImpl.scala:18-41): the production chain
+    parse(value as JSON) -> windowed sum -> conform runs against a
+    stream bearing the EXACT Kafka wire schema (key/value binary,
+    topic, partition, offset, timestamp, timestampType), so the only
+    untested delta to a real broker is the socket. Pins: binary->string
+    cast inside from_json, metadata columns riding through untouched,
+    event time taken from the Kafka timestamp column, malformed
+    payloads degrading to a null-key row (PERMISSIVE), and bounded
+    stream == batch on the same rows."""
+    import json
+
+    from kcbdml9_big_data_processing_spark.operators.parse import (
+        parse_json_payload,
+    )
+
+    def msg(device: str, b: int) -> bytes:
+        return json.dumps({"device_id": device, "bytes": b}).encode()
+
+    rows = [
+        (b"k1", msg("a", 10), "devices", 0, 0, _t(0, 10), 0),
+        (b"k2", msg("a", 5), "devices", 0, 1, _t(0, 50), 0),
+        (b"k3", msg("b", 7), "devices", 1, 0, _t(2, 0), 0),
+        (None, b"not json", "devices", 1, 1, _t(2, 30), 0),
+    ]
+    src = str(tmp_path / "wire")
+    spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def chain(df):
+        parsed = parse_json_payload(
+            df, "value", _DEVICE_SCHEMA, keep=["timestamp"]
+        )
+        agg = windowed_sum(
+            parsed, "device_id", "90 seconds", ts_col="timestamp",
+            value_col="bytes",
+        )
+        return conform_metric(agg, "device_id", "kafka_bytes")
+
+    want = {
+        (r["timestamp"], r["id"]): r["value"]
+        for r in chain(spark.read.schema(KAFKA_WIRE_SCHEMA).parquet(src)).collect()
+    }
+    # the malformed payload must surface as a null-id row, not vanish
+    assert (_t(1, 30), None) in want
+
+    stream = read_file_stream(spark, src, KAFKA_WIRE_SCHEMA, fmt="parquet")
+    q = (
+        chain(stream)
+        .writeStream.format("memory")
+        .queryName("kafka_wire_chain")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["timestamp"], r["id"]): r["value"]
+        for r in spark.table("kafka_wire_chain").collect()
+    }
+    assert got == want and len(want) == 3
