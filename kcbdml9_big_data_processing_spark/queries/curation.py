@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.packing import pack_sequences
 from ..operators.sampling import (
     _bucket,
     _threshold,
@@ -59,6 +60,9 @@ _MIX_DEFAULT = 0.05
 _PRUNE_FRAC = 0.3
 #: every 97th doc plays the "benchmark" for decontamination
 _BENCH_MOD = 97
+#: sequence packing: token budget per training sequence, shard count
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
 
 
 def _mix_threshold_sql() -> str:
@@ -134,6 +138,15 @@ _LSH_SQL = f"list_distinct({_grams3_sql(_LTOKS_SQL)})"
         SELECT 'contamination', d.doc_id, CAST(count(b.s) AS DOUBLE)
         FROM doc_sh d LEFT JOIN bench b USING (s)
         GROUP BY d.doc_id
+        UNION ALL
+        SELECT 'pack', doc_id,
+               CAST((doc_id % {_PACK_SHARDS}) * {1 << 40}
+                    + floor(COALESCE(SUM(len(t)) OVER (
+                          PARTITION BY doc_id % {_PACK_SHARDS}
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) / {_PACK_BUDGET}) AS DOUBLE)
+        FROM toks
     """,
     headline=True,
 )
@@ -149,11 +162,15 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       within each language — pins the deterministic tie-break window;
     - ``rep_*``: the three Gopher-style repetition fractions, per doc;
     - ``contamination``: 3-gram overlap counts against the broadcast
-      benchmark shingle set (every 97th doc plays the eval set).
+      benchmark shingle set (every 97th doc plays the eval set);
+    - ``pack``: :func:`pack_sequences` greedy fixed-budget sequence
+      assembly (512-token budget, 8 shards) — pins the sharded
+      running-sum assignment.
 
     Shapes: sample/mix/rep_* are pure scans; prune is one window
-    shuffle on lang; contamination broadcasts only the benchmark
-    shingles — the corpus never shuffles anywhere."""
+    shuffle on lang; pack is one window shuffle on its shard key;
+    contamination broadcasts only the benchmark shingles — the corpus
+    never shuffles anywhere."""
     docs = read_table(spark, sf_dir, "documents")
     bucket_val = _bucket("doc_id").cast("double").alias("value")
     sample = deterministic_sample(docs, _SAMPLE_FRAC).select(
@@ -181,7 +198,18 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_contaminated_ngrams").cast("double").alias("value"),
     )
-    return sample.unionAll(mix).unionAll(prune).unionAll(rep).unionAll(cont)
+    pack = pack_sequences(docs, _PACK_BUDGET, _PACK_SHARDS).select(
+        F.lit("pack").alias("variant"),
+        "doc_id",
+        F.col("seq_id").cast("double").alias("value"),
+    )
+    return (
+        sample.unionAll(mix)
+        .unionAll(prune)
+        .unionAll(rep)
+        .unionAll(cont)
+        .unionAll(pack)
+    )
 
 
 # --- end-to-end curator run ------------------------------------------------

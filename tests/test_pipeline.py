@@ -332,3 +332,38 @@ def test_weighted_mix_rates_and_default(spark):
     assert weighted_mix(df.unionAll(extra), {"books": 1.0}, by="source").where(
         F.col("source") == "crawl"
     ).count() == 0
+
+
+def test_pack_sequences_greedy_budget_and_stability(spark):
+    """Sequence packing: greedy budget fill in id order within a
+    shard, exclusive-prefix semantics (a doc straddling the boundary
+    stays in the earlier sequence), globally unique seq ids across
+    shards, and repartition-stability."""
+    from kcbdml9_big_data_processing_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    # single shard (ids all ≡ 0 mod 1): budget 10, token counts 4,4,4,4
+    rows = [(i, " ".join(["w"] * 4)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["n_tokens"])
+        for r in pack_sequences(df, 10, shards=1).collect()
+    }
+    # prefixes 0,4,8,12 -> sequences 0,0,0,1: doc 2 (prefix 8 < 10)
+    # starts in seq 0 even though it overshoots the budget
+    assert [got[i][0] for i in range(4)] == [0, 0, 0, 1]
+    assert all(got[i][1] == 4 for i in range(4))
+
+    # multiple shards: seq ids never collide across shards, and the
+    # assignment is a pure function of ids (repartitioning-stable)
+    rows = [(i, " ".join(["w"] * (1 + i % 7))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["seq_id"] for r in pack_sequences(df, 16, shards=4).collect()}
+    b = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df.repartition(13), 16, shards=4).collect()
+    }
+    assert a == b
+    shard_of = {d: s >> 40 for d, s in a.items()}
+    assert all(shard_of[d] == d % 4 for d in shard_of)
