@@ -356,6 +356,12 @@ def curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                 perturbed_text.alias("text"),
             )
         )
+        # the curator reads its input from several stages (quality
+        # signals, content hashing, shingling, the final kept-join and
+        # decision branches) — persist the synthetic corpus once so
+        # each consumer reads the cache instead of re-deriving the
+        # 3-way union from the parquet scan
+        .persist()
     )
     _, decisions = TrainingDataCurator().run(corpus)
     return decisions.select(
