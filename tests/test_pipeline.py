@@ -367,3 +367,24 @@ def test_pack_sequences_greedy_budget_and_stability(spark):
     assert a == b
     shard_of = {d: s >> 40 for d, s in a.items()}
     assert all(shard_of[d] == d % 4 for d in shard_of)
+
+
+def test_sample_and_mix_agree_on_every_fraction(spark):
+    """The two sampling operators share one threshold rounding rule
+    (advisor r5: ceil-vs-truncate drift): for any fraction — including
+    ones that are NOT exact 1e-6 multiples — deterministic_sample and
+    a single-source weighted_mix keep the IDENTICAL id set."""
+    from kcbdml9_big_data_processing_spark.operators.sampling import (
+        deterministic_sample,
+        weighted_mix,
+    )
+
+    rows = [(i, "only") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    for frac in (0.1, 0.25, 1 / 3, 0.0000015, 0.9999999):
+        a = {r["doc_id"] for r in deterministic_sample(df, frac).collect()}
+        b = {
+            r["doc_id"]
+            for r in weighted_mix(df, {"only": frac}, by="source").collect()
+        }
+        assert a == b, frac
