@@ -174,6 +174,7 @@ _REGRESSION_MIN_DELTA = 0.5
 _CONSTITUENTS: dict[str, list[str]] = {
     "dedup_exact_suite": ["dedup_exact", "dedup_incremental"],
     "doc_profile": ["text_metrics", "doc_fingerprint"],
+    "stream_bytes_user_app_90s": ["stream_bytes_user_90s", "stream_bytes_app_90s"],
     "bytes_90s": ["bytes_antenna_90s", "bytes_user_90s", "bytes_app_90s"],
     "bytes_hourly": ["bytes_antenna_hourly", "bytes_email_hourly", "bytes_app_hourly"],
     "text_metrics": ["text_stats", "token_counts", "quality_score"],

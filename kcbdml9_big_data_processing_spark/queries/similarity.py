@@ -481,12 +481,15 @@ _NEAR_DUP_COS = 0.9
 _PERTURB_SQL = "((CAST(i % 3 AS DOUBLE) - 1.0) * 0.02)"
 
 
-def _near_dup_oracle() -> str:
+def _near_dup_ctes() -> str:
+    """The WITH-body (corpus -> prepped -> banded -> cand -> pairs)
+    shared by the embedding_near_dup oracle and the recursive
+    semantic-clustering oracle below."""
     planes = _planes()
     sig = _sig_expr("emb", planes, "duckdb")
     band_w = _N_PLANES // _N_BANDS
     return f"""
-        WITH corpus AS (
+        corpus AS (
             SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE))
                        AS emb
             FROM embeddings
@@ -523,7 +526,12 @@ def _near_dup_oracle() -> str:
             FROM cand
             JOIN prepped a ON a.vec_id = cand.vec_a
             JOIN prepped b ON b.vec_id = cand.vec_b
-        )
+        )"""
+
+
+def _near_dup_oracle() -> str:
+    return f"""
+        WITH {_near_dup_ctes()}
         SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {_NEAR_DUP_COS}
     """
 
@@ -618,6 +626,69 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emb"),
     )
     return embedding_near_dup_pairs(base.unionAll(perturbed))
+
+
+def _semantic_clusters_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_near_dup_ctes()},
+        dup_edges AS (
+            SELECT vec_a AS a, vec_b AS b FROM pairs
+            WHERE cosine >= {_NEAR_DUP_COS}
+            UNION
+            SELECT vec_b, vec_a FROM pairs WHERE cosine >= {_NEAR_DUP_COS}
+        ),
+        reach(a, b) AS (
+            SELECT vec_id, vec_id FROM corpus
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN dup_edges e ON r.b = e.a
+        )
+        SELECT a AS vec_id, CAST(MIN(b) AS BIGINT) AS canonical_id
+        FROM reach GROUP BY a
+    """
+
+
+@register("semantic_dedup_clusters", oracle=_semantic_clusters_oracle())
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023) as a driver
+    row: the curator's :meth:`TrainingDataCurator.semantic_dedup`
+    stage — embedding-cosine >= 0.9 pairs from the label x LSH-band
+    blocked join, clustered by the checkpointed connected-components
+    loop, smallest id kept per cluster — run over the embeddings table
+    plus its deterministically-perturbed copy (so clusters are
+    non-vacuous at every SF). Returns every vector's cluster label
+    (vec_id, canonical_id); the oracle phrases the same fixpoint as a
+    recursive transitive-closure CTE over the identical deterministic
+    pair set. Paraphrase-collapse behavior is additionally pinned in
+    tests/test_pipeline.py."""
+    from ..jobs.training_data import TrainingDataCurator
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"),
+        "label",
+        F.expr(
+            f"transform(sequence(1, {_DIM}), i ->"
+            f" cast(element_at(embedding, i) as double)"
+            f" + ((cast(i % 3 as double) - 1.0) * 0.02))"
+        ).alias("emb"),
+    )
+    corpus = base.unionAll(perturbed)
+    kept, dropped = TrainingDataCurator().semantic_dedup(
+        corpus, cos_min=_NEAR_DUP_COS, id_col="vec_id"
+    )
+    return kept.select(
+        "vec_id", F.col("vec_id").alias("canonical_id")
+    ).unionAll(
+        dropped.select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+        )
+    )
 
 
 # --- nearest-centroid assignment ------------------------------------------

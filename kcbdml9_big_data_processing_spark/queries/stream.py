@@ -61,10 +61,6 @@ def stream_bytes_antenna_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_bytes_user_90s",
-    oracle=_metric_oracle("user_id", NINETY_SECONDS, "user_bytes_total"),
-)
 def stream_bytes_user_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 as true streaming (key user_id)."""
     return _run_bounded_metric(
@@ -72,12 +68,6 @@ def stream_bytes_user_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_bytes_app_90s",
-    oracle=_metric_oracle(
-        "json_extract_string(props, '$.k')", NINETY_SECONDS, "app_bytes_total"
-    ),
-)
 def stream_bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 as true streaming: the key comes out of the JSON payload
     (P3) on the stream before windowing."""
@@ -97,6 +87,29 @@ def stream_bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_app_90s")
+
+
+@register(
+    "stream_bytes_user_app_90s",
+    oracle=f"""
+        ({_metric_oracle("user_id", NINETY_SECONDS, "user_bytes_total")})
+        UNION ALL
+        ({_metric_oracle(
+            "json_extract_string(props, '$.k')", NINETY_SECONDS,
+            "app_bytes_total")})
+    """,
+)
+def stream_bytes_user_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + A3 as true streaming, one registration (the ``type``
+    column already discriminates the two metric families, so the union
+    is the natural suite shape — same consolidation pattern the batch
+    bytes_90s suite uses). Each constituent still runs its own full
+    StreamExecution (file replay, state store, complete-mode drain);
+    only the registration count shrinks, freeing a driver row for the
+    semantic-dedup clustering query."""
+    return stream_bytes_user_90s(spark, sf_dir).unionAll(
+        stream_bytes_app_90s(spark, sf_dir)
+    )
 
 
 @register(
