@@ -104,9 +104,16 @@ class TrainingDataCurator:
             ).alias("lexical_diversity"),
         )
 
-    def quality_gate(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def quality_gate(
+        self, docs: DataFrame, cleanup: list[DataFrame] | None = None
+    ) -> tuple[DataFrame, DataFrame]:
         """Split docs into (passing, failing-doc_ids) by the config
-        thresholds. One scan, no shuffle."""
+        thresholds. One scan, no shuffle. With ``cleanup`` given, the
+        tiny (doc_id, q_ok) flag frame is persisted (and appended for
+        the caller to release): both outputs read it, and without the
+        cache each consumer re-runs the tokenize + stopword-filter
+        signal scan — the per-row arithmetic is the expensive part of
+        this stage, not the flags."""
         cfg = self.config
         sig = self.quality_signals(docs)
         # coalesce: a null text yields null signals (size/division over
@@ -121,16 +128,26 @@ class TrainingDataCurator:
             F.lit(False),
         )
         flagged = sig.select("doc_id", ok.alias("q_ok"))
+        if cleanup is not None:
+            flagged = flagged.persist()
+            cleanup.append(flagged)
         passing = docs.join(
             flagged.where(F.col("q_ok")).select("doc_id"), "doc_id", "left_semi"
         )
         failing = flagged.where(~F.col("q_ok")).select("doc_id")
         return passing, failing
 
-    def exact_dedup(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def exact_dedup(
+        self, docs: DataFrame, cleanup: list[DataFrame] | None = None
+    ) -> tuple[DataFrame, DataFrame]:
         """Keep the smallest doc_id per normalized content hash; return
         (kept-docs, dropped (doc_id, canonical_id)). One shuffle on the
-        sha256 digest — content never shuffles."""
+        sha256 digest — content never shuffles. With ``cleanup`` given,
+        the hash-tagged frame is persisted (and appended for the caller
+        to release): kept and dropped split it with complementary
+        filters, and every downstream consumer (shingling, the kept
+        join, the decision branches) would otherwise re-run the sha256
+        scan + canonical-hash join per consumer."""
         norm = F.sha2(
             F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
         )
@@ -139,6 +156,9 @@ class TrainingDataCurator:
             F.min("doc_id").alias("canonical_id")
         )
         tagged = hashed.join(canon, "content_hash")
+        if cleanup is not None:
+            tagged = tagged.persist()
+            cleanup.append(tagged)
         kept = tagged.where(F.col("doc_id") == F.col("canonical_id")).drop(
             "content_hash", "canonical_id"
         )
@@ -235,20 +255,33 @@ class TrainingDataCurator:
     # -- the pipeline ---------------------------------------------------
 
     def run(
-        self, docs: DataFrame, benchmark: DataFrame | None = None
+        self,
+        docs: DataFrame,
+        benchmark: DataFrame | None = None,
+        cleanup: list[DataFrame] | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """Curate ``docs``; with ``benchmark`` set, decontaminate first
         (drop docs sharing any word-3-gram with the eval set — the
         cheapest stage: one corpus scan against a broadcast shingle
-        set, so it runs before everything else)."""
+        set, so it runs before everything else).
+
+        With ``cleanup`` given, stage outputs that feed multiple
+        consumers (the quality flags and the hash-tagged exact-dedup
+        frame) are persisted and appended to it: the decision record
+        unions four branches that each reach back into those stages,
+        and without the caches the quality-signal scan runs ~4x and the
+        exact-dedup join ~3x per materialization. The caller unpersists
+        after its results are materialized (or lineage-truncated — see
+        queries/curation.curation_run). Without ``cleanup`` the
+        pipeline stays fully lazy and cache-free."""
         null_canon = F.lit(None).cast("long")
         c_fail = None
         if benchmark is not None:
             flags = contamination_flags(docs, benchmark)
             c_fail = flags.where(F.col("contaminated")).select("doc_id")
             docs = docs.join(c_fail, "doc_id", "left_anti")
-        q_pass, q_fail = self.quality_gate(docs)
-        e_kept, e_dropped = self.exact_dedup(q_pass)
+        q_pass, q_fail = self.quality_gate(docs, cleanup=cleanup)
+        e_kept, e_dropped = self.exact_dedup(q_pass, cleanup=cleanup)
         n_kept, n_dropped = self.near_dedup(e_kept)
 
         decisions = (

@@ -46,6 +46,7 @@ from ..operators.text_quality import (
     repetition_signals,
 )
 from ..sources.parquet import read_table
+from .dedup import _truncate_lineage
 from .registry import register
 from .text import _SW_ARR_SQL, _tokens_sql
 
@@ -363,7 +364,18 @@ def curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 3-way union from the parquet scan
         .persist()
     )
-    _, decisions = TrainingDataCurator().run(corpus)
-    return decisions.select(
+    # stage caches (quality flags, hash-tagged frame) collect here; the
+    # lineage truncation below materializes the decision record ONCE
+    # off those caches, then everything is released — the returned
+    # frame reads checkpoint blocks, not the cache, so a long-lived
+    # session keeps no blocks pinned after the query returns
+    cleanup: list[DataFrame] = [corpus]
+    _, decisions = TrainingDataCurator().run(corpus, cleanup=cleanup)
+    decisions = decisions.select(
         "doc_id", "reason", F.col("canonical_id").cast("long").alias("canonical_id")
     )
+    try:
+        return _truncate_lineage(decisions)
+    finally:
+        for frame in cleanup:
+            frame.unpersist()
