@@ -628,14 +628,21 @@ def connected_components(
     choice): it truncates the join lineage so plan size stays constant
     across rounds — without it, round N replans rounds 1..N-1.
 
-    Two constant-factor choices (r6): only EDGE-INCIDENT nodes enter
+    Three constant-factor choices (r6): only EDGE-INCIDENT nodes enter
     the loop — an isolated node's label is trivially itself, and in a
     dedup graph the incident set is a small fraction of the corpus, so
-    every per-round join runs on the pair-scale frame, not the
+    every per-round shuffle runs on the pair-scale frame, not the
     corpus-scale one (the isolated majority is unioned back at the
-    end, a scan with no shuffle); and the checkpoint is lazy with the
-    convergence count as its materializing action, so each round runs
-    ONE job instead of a materialize-then-count pair."""
+    end, a scan with no shuffle); each round is ONE shuffle — the
+    node's own label and its neighbors' labels are unioned as messages
+    and reduced with a single groupBy(min), instead of the
+    join + groupBy + left-outer-join a per-node update would cost
+    (the self-message makes the left-outer re-attach unnecessary);
+    and convergence is read off the label SUM — min-propagation only
+    ever decreases labels, so the per-node "did anything change" test
+    is equivalent to "did the sum decrease", a scan-speed aggregate
+    that doubles as the lazy checkpoint's materializing action (one
+    job per round)."""
     edges = (
         pairs.select("doc_a", "doc_b")
         .unionAll(
@@ -653,31 +660,23 @@ def connected_components(
         reliable_checkpoint,
     )
     labels = incident.select("doc_id", F.col("doc_id").alias("canonical_id"))
+    prev_sum: int | None = None
     for _ in range(max_rounds):
-        neighbor_min = (
-            labels.join(edges, labels.doc_id == edges.src)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("canonical_id").alias("nbr_min"))
+        neighbor_msgs = labels.join(edges, labels.doc_id == edges.src).select(
+            F.col("dst").alias("doc_id"), "canonical_id"
         )
-        # carry the previous label through the update so convergence is
-        # a scan-only count on the checkpointed frame — no extra join
-        # per round; eager=False lets that count be the action that
-        # materializes the checkpoint (one job per round)
         updated = _truncate_lineage(
-            labels.join(neighbor_min, "doc_id", "left_outer").select(
-                "doc_id",
-                F.col("canonical_id").alias("old"),
-                F.least(
-                    F.col("canonical_id"), F.coalesce("nbr_min", F.col("canonical_id"))
-                ).alias("canonical_id"),
-            ),
+            labels.unionAll(neighbor_msgs)
+            .groupBy("doc_id")
+            .agg(F.min("canonical_id").alias("canonical_id")),
             reliable_checkpoint,
             eager=False,
         )
-        changed = updated.where(F.col("canonical_id") != F.col("old")).count()
-        labels = updated.select("doc_id", "canonical_id")
-        if changed == 0:
+        label_sum = updated.agg(F.sum("canonical_id")).collect()[0][0]
+        labels = updated
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     edges.unpersist()
     # isolated nodes (the vast majority of a deduped corpus) never
     # entered the loop: their component is themselves
