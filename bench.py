@@ -173,7 +173,11 @@ _REGRESSION_MIN_DELTA = 0.5
 #: 0.511->2.826 s when its real prior was 0.511+1.930).
 _CONSTITUENTS: dict[str, list[str]] = {
     "dedup_exact_suite": ["dedup_exact", "dedup_incremental"],
-    "doc_profile": ["text_metrics", "doc_fingerprint"],
+    # r6 (late): doc_profile further absorbed redact_pii (freed the
+    # slot for stream_curated_ingest); its fair prior against an r6
+    # baseline is doc_profile + redact_pii, against pre-merge rounds
+    # the three original constituents + redact_pii
+    "doc_profile": ["doc_profile", "redact_pii"],
     "stream_bytes_user_app_90s": ["stream_bytes_user_90s", "stream_bytes_app_90s"],
     "bytes_90s": ["bytes_antenna_90s", "bytes_user_90s", "bytes_app_90s"],
     "bytes_hourly": ["bytes_antenna_hourly", "bytes_email_hourly", "bytes_app_hourly"],

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
 from ..operators.metrics import conform_metric, windowed_sum
-from ..streaming.sources import read_events_stream
+from ..streaming.sources import read_documents_stream, read_events_stream
 from .parity import NINETY_SECONDS, _metric_oracle
 from .registry import register
 
@@ -145,3 +145,58 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_dedup_events_sink")
+
+
+def _curated_ingest_oracle() -> str:
+    from .dedup import _NORM_SQL
+    from .text import _SW_ARR_SQL, _tokens_sql
+
+    t = _tokens_sql()
+    return f"""
+        SELECT doc_id, text, lang, source, n_chars,
+               {_NORM_SQL} AS content_hash
+        FROM documents
+        WHERE len({t}) >= 5
+          AND CAST(len(list_filter({t}, x -> list_contains({_SW_ARR_SQL}, x)))
+                   AS DOUBLE) / CAST(len({t}) AS DOUBLE) <= 0.9
+          AND CAST(len(list_distinct({t})) AS DOUBLE)
+                / CAST(len({t}) AS DOUBLE) >= 0.1
+    """
+
+
+@register("stream_curated_ingest", oracle=_curated_ingest_oracle())
+def stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-ingest curation operator
+    (streaming/curation.curate_stream) as a driver-checked query: two
+    independent file-source replays of the documents table are unioned
+    — every document arrives (at least) twice, the at-least-once
+    delivery a real broker gives you — and the curation stream
+    quality-gates each arrival (word count, stopword ratio, lexical
+    diversity: the same thresholds as the batch curator) then
+    suppresses redeliveries with ``dropDuplicatesWithinWatermark`` on
+    the normalized content hash, state evicted by the watermark. The
+    oracle is the quality-passing distinct document set plus its
+    content hash, so the driver hash-checks both halves of the ingest
+    path (gate arithmetic AND dedup) as executed by the real streaming
+    engine (StreamExecution, state store, watermark advance). The
+    event-time axis (``ts`` = epoch + doc_id seconds,
+    streaming/sources.read_documents_stream) is dropped from the
+    result to keep the comparison engine-portable; eviction *timing*
+    semantics are pinned in tests/test_stream_curation.py where
+    micro-batch boundaries are controlled."""
+    from ..streaming.curation import curate_stream
+
+    doubled = read_documents_stream(spark, sf_dir).unionAll(
+        read_documents_stream(spark, sf_dir)
+    )
+    curated = curate_stream(doubled)
+    q = (
+        curated.drop("ts")
+        .writeStream.format("memory")
+        .queryName("stream_curated_ingest_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_curated_ingest_sink")

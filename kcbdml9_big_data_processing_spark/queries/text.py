@@ -256,25 +256,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
-@register(
-    "doc_profile",
-    oracle=f"""
-        WITH m AS ({_TEXT_METRICS_ORACLE}),
-             f AS ({_DOC_FINGERPRINT_ORACLE})
-        SELECT m.*, f.fingerprint
-        FROM m JOIN f ON m.doc_id = f.doc_id
-    """,
-    headline=True,
-)
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile in one registration (keeps the registry at
     the driver's 50-row window): the nine text metrics joined with the
-    min-MD5 rolling-hash fingerprint on doc_id. Both constituents stay
-    importable individually and keep their full computation; the join
-    is doc_id-to-doc_id (1:1) and Catalyst collapses the two scans'
-    shared projection."""
-    return text_metrics(spark, sf_dir).join(
-        doc_fingerprint(spark, sf_dir), "doc_id"
+    min-MD5 rolling-hash fingerprint and the PII redaction output
+    (clean text + match counts) on doc_id. Every constituent stays
+    importable individually and keeps its full computation; the joins
+    are doc_id-to-doc_id (1:1) and Catalyst collapses the scans'
+    shared projections. (The @register lives below redact_pii so the
+    oracle fragments exist at decoration time.)"""
+    return (
+        text_metrics(spark, sf_dir)
+        .join(doc_fingerprint(spark, sf_dir), "doc_id")
+        .join(redact_pii(spark, sf_dir), "doc_id")
     )
 
 
@@ -479,9 +473,7 @@ _INJECT_SQL = (
 )
 
 
-@register(
-    "redact_pii",
-    oracle=f"""
+_REDACT_PII_ORACLE = f"""
         WITH corpus AS (SELECT doc_id, {_INJECT_SQL} AS text FROM documents)
         SELECT doc_id,
                regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
@@ -491,8 +483,9 @@ _INJECT_SQL = (
                CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
                    AS n_phones
         FROM corpus
-    """,
-)
+    """
+
+
 def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction stage of a training-data
     pipeline: emails and phone numbers replaced with typed placeholder
@@ -516,6 +509,25 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
     )
+
+
+# doc_profile's registration lives here (not at its def) because its
+# oracle composes the redaction fragment defined just above; the
+# redact_pii registration folded into doc_profile to free a registry
+# slot for stream_curated_ingest while keeping every constituent
+# hash-checked (r6 registry reshuffle — see ROUND_NOTES.md)
+register(
+    "doc_profile",
+    oracle=f"""
+        WITH m AS ({_TEXT_METRICS_ORACLE}),
+             f AS ({_DOC_FINGERPRINT_ORACLE}),
+             r AS ({_REDACT_PII_ORACLE})
+        SELECT m.*, f.fingerprint, r.clean_text, r.n_emails, r.n_phones
+        FROM m JOIN f ON m.doc_id = f.doc_id
+               JOIN r ON m.doc_id = r.doc_id
+    """,
+    headline=True,
+)(doc_profile)
 
 
 # --- bigram collocations --------------------------------------------------

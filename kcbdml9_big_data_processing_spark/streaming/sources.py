@@ -73,3 +73,46 @@ def read_events_stream(
     if legacy_nanos:
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+_DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+#: epoch-second base for the synthetic per-document event time. Must
+#: sit above the engine's initial watermark (epoch 0): a row whose
+#: event time equals the watermark is treated as late and dropped, so
+#: deriving ts directly from doc_id loses doc 0 (measured).
+_DOC_TS_BASE = 1_000_000_000
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream the documents table through the file source, with a
+    deterministic per-document event time (``ts`` = epoch +
+    _DOC_TS_BASE + doc_id seconds) so watermark-bearing operators
+    (``dropDuplicatesWithinWatermark`` in streaming/curation.py) have
+    an event-time axis. A real ingest stream carries arrival time;
+    deriving it from doc_id keeps bounded-replay results hash-stable
+    for the driver's oracle comparison."""
+    reader = (
+        spark.readStream.schema(_DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .option("recursiveFileLookup", "false")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(sf_dir).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") + F.lit(_DOC_TS_BASE))
+    )
