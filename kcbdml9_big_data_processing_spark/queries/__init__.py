@@ -21,5 +21,6 @@ from . import parity  # noqa: F401,E402
 from . import olap  # noqa: F401,E402
 from . import scale  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
+from . import cdc  # noqa: F401,E402
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

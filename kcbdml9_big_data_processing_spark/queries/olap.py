@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import davg, davg_sql, dsum, dsum_sql, epoch_millis
 from ..sources.parquet import read_table
+from .parity import LATEST_EVENT_ORACLE
 from .registry import register
 
 
@@ -295,19 +296,42 @@ def _pivot_col(t: str) -> str:
     )
 
 
-@register(
-    "user_value_pivot",
-    oracle=f"""
-        SELECT user_id, {', '.join(_pivot_col(t) for t in _PIVOT_TYPES)}
-        FROM events
-        GROUP BY user_id
-    """,
-)
 def user_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: one column of summed value per event_type. With the pivot
     values listed explicitly Spark skips the extra distinct-values job."""
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").pivot("event_type", _PIVOT_TYPES).agg(dsum("value"))
+
+
+@register(
+    "user_summary",
+    oracle=f"""
+        WITH p AS (
+            SELECT user_id, {', '.join(_pivot_col(t) for t in _PIVOT_TYPES)}
+            FROM events
+            GROUP BY user_id
+        ),
+        l AS ({LATEST_EVENT_ORACLE})
+        SELECT p.*, l.event_id AS last_event_id, l.ts AS last_ts,
+               l.event_type AS last_event_type
+        FROM p JOIN l ON p.user_id = l.user_id
+    """,
+)
+def user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user summary in one registration (r6 reshuffle freeing a
+    slot for the CDC suite): the PIVOT value matrix joined 1:1 on
+    user_id with the recency-compaction latest event. Both
+    constituents stay importable individually and keep their full
+    computation (pivot aggregate + WindowGroupLimit top-1)."""
+    from .parity import latest_event_per_user
+
+    latest = latest_event_per_user(spark, sf_dir).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+    )
+    return user_value_pivot(spark, sf_dir).join(latest, "user_id")
 
 
 # --- semi join (EXISTS) ---------------------------------------------------

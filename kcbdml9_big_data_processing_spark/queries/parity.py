@@ -377,9 +377,10 @@ def session_window_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- compaction / recency dedup -------------------------------------------
 
 
-@register(
-    "latest_event_per_user",
-    oracle="""
+#: registered via user_summary (queries/olap.py), which joins this
+#: with user_value_pivot on user_id — r6 registry reshuffle freeing a
+#: slot for the CDC suite
+LATEST_EVENT_ORACLE = """
         SELECT user_id, event_id, ts, event_type
         FROM (
             SELECT user_id, event_id, ts, event_type,
@@ -388,8 +389,9 @@ def session_window_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         )
         WHERE rn = 1
-    """,
-)
+    """
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency compaction: keep each key's newest record — the CDC/
     upsert-materialization primitive (dedup by key, latest wins).
