@@ -33,21 +33,31 @@ from pyspark.sql import functions as F
 _RESOLUTION = 1_000_000
 
 
-def _bucket(id_col: str) -> Column:
+def _bucket(id_col: str, salt: str | None = None) -> Column:
     """Uniform bucket in [0, 1e6): first 48 bits of sha256 of the id,
     mod the resolution. 48 bits keep the conv() result positive-long
     exact; the decimal-string encoding is what DuckDB's sha256 sees
-    too, so both engines agree bit-for-bit."""
-    h48 = F.conv(
-        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 12), 16, 10
-    ).cast("long")
+    too, so both engines agree bit-for-bit. ``salt`` prefixes the id
+    before hashing (``"<salt>:<id>"``) so different DECISIONS over the
+    same ids (sample membership vs split assignment vs per-group rank)
+    draw independent uniforms — without it, a 10% sample of the
+    'train' split would systematically overlap the sample keep-set."""
+    id_str = F.col(id_col).cast("string")
+    if salt is not None:
+        id_str = F.concat(F.lit(f"{salt}:"), id_str)
+    h48 = F.conv(F.substring(F.sha2(id_str, 256), 1, 12), 16, 10).cast("long")
     return F.pmod(h48, F.lit(_RESOLUTION))
 
 
-def bucket_sql(id_expr: str) -> str:
+def bucket_sql(id_expr: str, salt: str | None = None) -> str:
     """DuckDB twin of :func:`_bucket` — used by the registry oracle."""
+    arg = (
+        f"CAST({id_expr} AS VARCHAR)"
+        if salt is None
+        else f"'{salt}:' || CAST({id_expr} AS VARCHAR)"
+    )
     return (
-        f"(CAST(('0x' || substr(sha256(CAST({id_expr} AS VARCHAR)), 1, 12))"
+        f"(CAST(('0x' || substr(sha256({arg}), 1, 12))"
         f" AS BIGINT) % {_RESOLUTION})"
     )
 
@@ -96,3 +106,66 @@ def weighted_mix(
         rate_col.otherwise(default_thr) if rate_col is not None else default_thr
     )
     return df.where(_bucket(id_col) < threshold)
+
+
+#: hash salts decorrelating the three decision families (see _bucket)
+SPLIT_SALT = "split"
+CAP_SALT = "cap"
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: add a ``split`` column
+    mapping each row to the named partition whose cumulative bucket
+    range its (salted) id hash falls in. Pure per-row predicate — no
+    shuffle, reproducible across runs/engines/partitionings, and
+    stable under corpus growth (a doc's split never changes when other
+    docs arrive, the property a random assignment lacks). Fractions
+    are applied in dict order; if they sum below 1.0 the remainder of
+    the hash space is dropped (rows get a null split and are filtered)
+    — summing to 1.0 partitions the input exactly. The salt
+    decorrelates split assignment from sample membership so
+    ``deterministic_sample`` of one split stays unbiased."""
+    bucket = _bucket(id_col, salt)
+    assign = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cond = bucket < F.lit(_threshold(cum))
+        assign = (
+            F.when(cond, F.lit(name))
+            if assign is None
+            else assign.when(cond, F.lit(name))
+        )
+    if assign is None:
+        raise ValueError("fractions must name at least one split")
+    return df.withColumn("split", assign).where(F.col("split").isNotNull())
+
+
+def cap_per_group(
+    df: DataFrame,
+    n: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    salt: str = CAP_SALT,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by (salted) id-hash
+    order — the "cap every crawl domain at N documents" mixing
+    primitive. Hash order makes the kept subset a uniform,
+    deterministic draw (and nested: cap 10 keeps a subset of cap 20);
+    the id tie-break makes it total. One shuffle on the group key, and
+    the row_number window plans a partial top-n per map partition
+    (WindowGroupLimit) so the exchange carries at most n rows per
+    group per partition regardless of group skew. Adds ``cap_rank``
+    (1-based position in the group's hash order)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(_bucket(id_col, salt), F.col(id_col))
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .where(F.col("cap_rank") <= n)
+    )

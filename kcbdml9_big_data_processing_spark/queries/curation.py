@@ -37,7 +37,9 @@ from ..operators.sampling import (
     _bucket,
     _threshold,
     bucket_sql,
+    cap_per_group,
     deterministic_sample,
+    split_assign,
     weighted_mix,
 )
 from ..operators.text_quality import (
@@ -64,6 +66,10 @@ _BENCH_MOD = 97
 #: sequence packing: token budget per training sequence, shard count
 _PACK_BUDGET = 512
 _PACK_SHARDS = 8
+#: train/val/test fractions for the split variant (dict order matters)
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+#: per-source cap for the cap variant (binds: ~25 docs/source at test SFs)
+_CAP_N = 15
 
 
 def _mix_threshold_sql() -> str:
@@ -71,6 +77,26 @@ def _mix_threshold_sql() -> str:
         f"WHEN '{k}' THEN {_threshold(v)}" for k, v in _MIX_RATES.items()
     )
     return f"(CASE source {whens} ELSE {_threshold(_MIX_DEFAULT)} END)"
+
+
+def _split_cums() -> list[tuple[str, int]]:
+    """(name, cumulative threshold) pairs with the SAME float
+    accumulation order the Spark operator uses, so both engines round
+    identical cumulative sums onto the bucket grid."""
+    out, cum = [], 0.0
+    for name, frac in _SPLIT_FRACS.items():
+        cum += frac
+        out.append((name, _threshold(cum)))
+    return out
+
+
+def _split_index_sql() -> str:
+    b = bucket_sql("doc_id", salt="split")
+    whens = " ".join(
+        f"WHEN {b} < {thr} THEN {i}.0"
+        for i, (_, thr) in enumerate(_split_cums())
+    )
+    return f"(CASE {whens} END)"
 
 
 def _grams3_sql(toks_expr: str) -> str:
@@ -148,6 +174,17 @@ _LSH_SQL = f"list_distinct({_grams3_sql(_LTOKS_SQL)})"
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                       ), 0) / {_PACK_BUDGET}) AS DOUBLE)
         FROM toks
+        UNION ALL
+        SELECT 'split', doc_id, {_split_index_sql()}
+        FROM documents
+        UNION ALL
+        SELECT 'cap', doc_id, CAST(rnk AS DOUBLE)
+        FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY {bucket_sql('doc_id', salt='cap')}, doc_id) AS rnk
+            FROM documents
+        ) WHERE rnk <= {_CAP_N}
     """,
     headline=True,
 )
@@ -166,10 +203,15 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       benchmark shingle set (every 97th doc plays the eval set);
     - ``pack``: :func:`pack_sequences` greedy fixed-budget sequence
       assembly (512-token budget, 8 shards) — pins the sharded
-      running-sum assignment.
+      running-sum assignment;
+    - ``split``: :func:`split_assign` 80/10/10 train/val/test (value =
+      split index) — pins the salted cumulative-range assignment;
+    - ``cap``: :func:`cap_per_group` keeping 15 docs per source (value
+      = the in-group hash rank) — pins the salted-hash draw order.
 
-    Shapes: sample/mix/rep_* are pure scans; prune is one window
-    shuffle on lang; pack is one window shuffle on its shard key;
+    Shapes: sample/mix/rep_*/split are pure scans; prune and cap are
+    one window shuffle each (lang / source) planning partial top-n
+    (WindowGroupLimit); pack is one window shuffle on its shard key;
     contamination broadcasts only the benchmark shingles — the corpus
     never shuffles anywhere."""
     docs = read_table(spark, sf_dir, "documents")
@@ -204,12 +246,30 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("seq_id").cast("double").alias("value"),
     )
+    idx_col = None
+    for i, name in enumerate(_SPLIT_FRACS):
+        cond = F.col("split") == name
+        idx_col = (
+            F.when(cond, float(i)) if idx_col is None else idx_col.when(cond, float(i))
+        )
+    split = split_assign(docs, _SPLIT_FRACS).select(
+        F.lit("split").alias("variant"),
+        "doc_id",
+        idx_col.cast("double").alias("value"),
+    )
+    cap = cap_per_group(docs, _CAP_N, by="source").select(
+        F.lit("cap").alias("variant"),
+        "doc_id",
+        F.col("cap_rank").cast("double").alias("value"),
+    )
     return (
         sample.unionAll(mix)
         .unionAll(prune)
         .unionAll(rep)
         .unionAll(cont)
         .unionAll(pack)
+        .unionAll(split)
+        .unionAll(cap)
     )
 
 

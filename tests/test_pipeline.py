@@ -388,3 +388,78 @@ def test_sample_and_mix_agree_on_every_fraction(spark):
             for r in weighted_mix(df, {"only": frac}, by="source").collect()
         }
         assert a == b, frac
+
+
+def test_split_assign_partitions_and_is_growth_stable(spark):
+    from kcbdml9_big_data_processing_spark.operators.sampling import (
+        split_assign,
+    )
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = split_assign(docs, fracs).select("doc_id", "split").collect()
+    by_doc = {r["doc_id"]: r["split"] for r in got}
+    # fractions summing to 1.0 partition the input exactly
+    assert len(by_doc) == 2000
+    # roughly proportional (hash-uniform; generous band)
+    from collections import Counter
+
+    counts = Counter(by_doc.values())
+    assert 0.7 * 2000 < counts["train"] < 0.9 * 2000
+    # growth stability: the first half's assignments are unchanged
+    # when only the first half exists
+    half = split_assign(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"), fracs
+    ).collect()
+    assert all(by_doc[r["doc_id"]] == r["split"] for r in half)
+
+
+def test_split_assign_sub_one_total_drops_remainder(spark):
+    from kcbdml9_big_data_processing_spark.operators.sampling import (
+        split_assign,
+    )
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    kept = split_assign(docs, {"train": 0.5}).count()
+    assert 0.4 * 1000 < kept < 0.6 * 1000
+
+
+def test_cap_per_group_nested_and_partition_stable(spark):
+    from kcbdml9_big_data_processing_spark.operators.sampling import (
+        cap_per_group,
+    )
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 5)))
+    )
+    c10 = {r["doc_id"] for r in cap_per_group(docs, 10).collect()}
+    c20 = {r["doc_id"] for r in cap_per_group(docs, 20).collect()}
+    assert len(c10) == 50 and len(c20) == 100
+    assert c10 <= c20  # nesting: a tighter cap keeps a subset
+    # repartitioning must not change the draw
+    c10b = {
+        r["doc_id"] for r in cap_per_group(docs.repartition(13), 10).collect()
+    }
+    assert c10 == c10b
+
+
+def test_split_and_sample_decorrelated_by_salt(spark):
+    """A 50% sample of the train split should keep ~50% of it — the
+    salt makes the two hash draws independent; without it the sample
+    keep-set would systematically align with the low-bucket splits."""
+    from kcbdml9_big_data_processing_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    train = split_assign(docs, {"train": 0.5, "rest": 0.5}).where(
+        F.col("split") == "train"
+    )
+    n_train = train.count()
+    n_sampled = deterministic_sample(train, 0.5).count()
+    assert 0.4 < n_sampled / n_train < 0.6
