@@ -73,3 +73,45 @@ def test_agg_stays_in_codegen(spark):
     ev = read_table(spark, SF_SMOKE, "events")
     q = ev.groupBy("event_type").agg(F.sum("value"))
     assert wholestage_codegen_spans(q) >= 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """100 TB shape: a selective dimension filter should reach the fact
+    scan as a runtime bloom filter (Spark's InjectRuntimeFilter), so
+    the shuffle join exchanges only rows whose key might match instead
+    of the whole fact table. On a cluster this triggers at default
+    thresholds (creation side <=10MB post-filter, application side a
+    >=10GB scan); the thresholds here are set to make local test data
+    representative of that regime. Conf-scoped so the session's other
+    tests see default behavior."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # force a shuffle join: against a broadcast join Spark rightly
+        # skips the bloom filter (the broadcast IS the filter)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = read_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = read_table(spark, SF_SMOKE, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        physical = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in physical
+        # and the result is unaffected by the filter
+        rows = {(r.o_orderpriority, r.n) for r in j.collect()}
+        assert len(rows) == 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
