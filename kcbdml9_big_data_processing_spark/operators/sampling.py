@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 _RESOLUTION = 1_000_000
 
 
-def _bucket(id_col: str, salt: str | None = None) -> Column:
+def _bucket(id_col: str | Column, salt: str | None = None) -> Column:
     """Uniform bucket in [0, 1e6): first 48 bits of sha256 of the id,
     mod the resolution. 48 bits keep the conv() result positive-long
     exact; the decimal-string encoding is what DuckDB's sha256 sees
@@ -42,7 +42,8 @@ def _bucket(id_col: str, salt: str | None = None) -> Column:
     same ids (sample membership vs split assignment vs per-group rank)
     draw independent uniforms — without it, a 10% sample of the
     'train' split would systematically overlap the sample keep-set."""
-    id_str = F.col(id_col).cast("string")
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    id_str = col.cast("string")
     if salt is not None:
         id_str = F.concat(F.lit(f"{salt}:"), id_str)
     h48 = F.conv(F.substring(F.sha2(id_str, 256), 1, 12), 16, 10).cast("long")

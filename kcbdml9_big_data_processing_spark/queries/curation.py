@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.chunking import chunk_documents
 from ..operators.packing import pack_sequences
 from ..operators.sampling import (
     _bucket,
@@ -70,6 +71,10 @@ _PACK_SHARDS = 8
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 #: per-source cap for the cap variant (binds: ~25 docs/source at test SFs)
 _CAP_N = 15
+#: chunking: token window + overlap (small enough that test docs
+#: produce multi-chunk output, so boundaries are non-vacuous)
+_CHUNK_TOKENS = 16
+_CHUNK_OVERLAP = 4
 
 
 def _mix_threshold_sql() -> str:
@@ -185,6 +190,16 @@ _LSH_SQL = f"list_distinct({_grams3_sql(_LTOKS_SQL)})"
                 ORDER BY {bucket_sql('doc_id', salt='cap')}, doc_id) AS rnk
             FROM documents
         ) WHERE rnk <= {_CAP_N}
+        UNION ALL
+        SELECT 'chunk', doc_id,
+               CAST(((u.s - 1) // {_CHUNK_TOKENS - _CHUNK_OVERLAP}) * 10000000
+                    + {bucket_sql(
+                        "array_to_string(list_slice(t, CAST(u.s AS INT),"
+                        f" CAST(u.s + {_CHUNK_TOKENS} - 1 AS INT)), ' ')")}
+               AS DOUBLE)
+        FROM toks, unnest(generate_series(
+                 1, greatest(len(t) - {_CHUNK_OVERLAP}, 1),
+                 {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS u(s)
     """,
     headline=True,
 )
@@ -207,7 +222,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``split``: :func:`split_assign` 80/10/10 train/val/test (value =
       split index) — pins the salted cumulative-range assignment;
     - ``cap``: :func:`cap_per_group` keeping 15 docs per source (value
-      = the in-group hash rank) — pins the salted-hash draw order.
+      = the in-group hash rank) — pins the salted-hash draw order;
+    - ``chunk``: :func:`chunk_documents` 16-token windows with overlap
+      4 (value = chunk_idx·1e7 + a 48-bit content fingerprint of the
+      chunk text) — pins every chunk boundary AND its exact content.
 
     Shapes: sample/mix/rep_*/split are pure scans; prune and cap are
     one window shuffle each (lang / source) planning partial top-n
@@ -262,6 +280,20 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("cap_rank").cast("double").alias("value"),
     )
+    chunk = chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    ).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        # chunk index + content fingerprint in one value: the hash
+        # equality pins every chunk's exact text, not just the count
+        (
+            F.col("chunk_idx") * F.lit(10_000_000)
+            + _bucket(F.col("chunk_text"))
+        )
+        .cast("double")
+        .alias("value"),
+    )
     return (
         sample.unionAll(mix)
         .unionAll(prune)
@@ -270,6 +302,7 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pack)
         .unionAll(split)
         .unionAll(cap)
+        .unionAll(chunk)
     )
 
 

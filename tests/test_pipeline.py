@@ -463,3 +463,47 @@ def test_split_and_sample_decorrelated_by_salt(spark):
     n_train = train.count()
     n_sampled = deterministic_sample(train, 0.5).count()
     assert 0.4 < n_sampled / n_train < 0.6
+
+
+def test_chunk_documents_boundaries(spark):
+    from kcbdml9_big_data_processing_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(1, 101))),  # 100 tokens
+            (2, "a b c"),  # shorter than one chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts at 1 and 49 (bound = 100-16 = 84), so 2 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1]
+    assert c1[0].n_tokens == 64 and c1[0].chunk_text.startswith("t1 ")
+    # second chunk starts at token 49 -> overlaps 16 tokens, runs short
+    assert c1[1].chunk_text.startswith("t49 ")
+    assert c1[1].n_tokens == 52
+    # every token is covered
+    covered = set()
+    for r in c1:
+        covered.update(r.chunk_text.split())
+    assert len(covered) == 100
+    # doc 2: one chunk, the whole doc
+    assert [(r.chunk_idx, r.chunk_text) for r in by_doc[2]] == [(0, "a b c")]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from kcbdml9_big_data_processing_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
