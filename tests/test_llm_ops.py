@@ -320,3 +320,25 @@ def test_resize_payload_matches_python_reference(spark):
     assert bytes(out[1]["payload"]) == b"abcdefghij"[::3]
     assert out[1]["n_bytes"] == len(b"abcdefghij"[::3])
     assert bytes(out[2]["payload"]) == b"xy"[::3]
+
+
+@pytest.mark.parametrize(
+    "sf,floor",
+    [("/root/testdata/sf0.001", 0.5), ("/root/testdata/sf0.1", 0.5)],
+    ids=["sf0.001", "sf0.1"],
+)
+def test_pq_recall_vs_brute_force(spark, sf, floor):
+    """PQ quality, quantified the same way: 16-codebook product
+    quantization + ADC shortlist + exact re-rank. Raw ADC order on
+    random unit vectors (the PQ worst case — no cluster structure, and
+    quantization error dominates distances near the top-10 boundary)
+    measures only ~0.17-0.28 recall@10; the L*K exact re-rank recovers
+    it (measured 0.80 at sf0.001, 0.605 at sf0.1), which is the
+    standard PQ deployment shape. Pinned at sf0.1 as well so density
+    degradation can't rot silently."""
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        pq_ann_cosine,
+    )
+
+    mean_recall = _mean_recall(spark, sf, pq_ann_cosine)
+    assert mean_recall >= floor, f"mean recall@10 {mean_recall:.2f} at {sf}"
