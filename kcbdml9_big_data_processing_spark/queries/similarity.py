@@ -953,35 +953,80 @@ def pq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("i0") / _PQ_SUBDIM).cast("int").alias("m"),
         (F.col("i0") % _PQ_SUBDIM + 1).alias("j"),
         F.col("x_f").cast("double").alias("x"),
+    )  # == _pq_explode(emb); kept inline so the registered query is
+    # self-contained to read top-to-bottom
+    book = _pq_train(emb, ex)
+    d1 = _pq_assign(ex, book)
+    w_code = Window.partitionBy("vec_id", "m").orderBy("dist_f", "code")
+    codes = (
+        d1.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
     )
+    # probe LUTs are a restriction of the same distance pass, so the
+    # inline query shares d1 between encoding and probing; the
+    # persisted-index path (search_pq_index) computes the probe-only
+    # restriction directly
+    lut = d1.where(F.col("vec_id") % _PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), "m", "code", "dist_f"
+    )
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dot_fixed_expr("embedding", "embedding")).alias("nf"),
+    )
+    return _pq_adc_rerank(codes, lut, corpus)
+
+
+# --- PQ helpers + the persisted-index API ---------------------------------
+
+
+def _pq_explode(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, m [subspace], j [dim-in-sub], x)."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x_f")
+    ).select(
+        "vec_id",
+        F.floor(F.col("i0") / _PQ_SUBDIM).cast("int").alias("m"),
+        (F.col("i0") % _PQ_SUBDIM + 1).alias("j"),
+        F.col("x_f").cast("double").alias("x"),
+    )
+
+
+def _pq_assign(ex: DataFrame, book: DataFrame) -> DataFrame:
+    """Fixed-point squared-L2 of every (vector, subspace) to every
+    codebook centroid: (vec_id, m, code, dist_f)."""
+    return (
+        ex.join(book, ["m", "j"])
+        .groupBy("vec_id", "m", "code")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * _SCALE
+                ).cast("long")
+            ).alias("dist_f")
+        )
+    )
+
+
+def _pq_train(emb: DataFrame, ex: DataFrame | None = None) -> DataFrame:
+    """Train the per-subspace codebooks: deterministic lowest-id
+    seeding + one fixed-point Lloyd refinement -> (m, code, j, c)."""
+    if ex is None:
+        ex = _pq_explode(emb)
     seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_PQ_CODES)
     book0 = ex.join(
         F.broadcast(seed_ids.select(F.col("vec_id").alias("code"))),
         ex.vec_id == F.col("code"),
     ).select("code", "m", "j", F.col("x").alias("c"))
-
-    def assign(book: DataFrame) -> DataFrame:
-        d = (
-            ex.join(book, ["m", "j"])
-            .groupBy("vec_id", "m", "code")
-            .agg(
-                F.sum(
-                    F.floor(
-                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * _SCALE
-                    ).cast("long")
-                ).alias("dist_f")
-            )
-        )
-        return d
-
     w_code = Window.partitionBy("vec_id", "m").orderBy("dist_f", "code")
     a0 = (
-        assign(book0)
+        _pq_assign(ex, book0)
         .withColumn("rn", F.row_number().over(w_code))
         .where(F.col("rn") == 1)
         .select("vec_id", "m", "code")
     )
-    book = (
+    return (
         ex.join(a0, ["vec_id", "m"])
         .groupBy("m", "code", "j")
         .agg(
@@ -994,15 +1039,14 @@ def pq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    d1 = assign(book)
-    codes = (
-        d1.withColumn("rn", F.row_number().over(w_code))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
-    lut = d1.where(F.col("vec_id") % _PROBE_MOD == 0).select(
-        F.col("vec_id").alias("probe_id"), "m", "code", "dist_f"
-    )
+
+
+def _pq_adc_rerank(
+    codes: DataFrame, lut: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """ADC scan + exact re-rank shared by the inline query and the
+    persisted-index search. ``lut`` is (probe_id, m, code, dist_f);
+    ``corpus`` is (vec_id, embedding, nf)."""
     adc = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .where(F.col("vec_id") != F.col("probe_id"))
@@ -1021,11 +1065,6 @@ def pq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rn", F.row_number().over(w_adc))
         .where(F.col("rn") <= _K * _PQ_SHORTLIST)
         .select("probe_id", "vec_id")
-    )
-    corpus = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(_dot_fixed_expr("embedding", "embedding")).alias("nf"),
     )
     rescored = (
         shortlist.join(
@@ -1048,3 +1087,48 @@ def pq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _K)
         .select("probe_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def build_pq_index(emb: DataFrame, path: str) -> None:
+    """Materialize the PQ index as two parquet tables under ``path``:
+    ``book`` (m, code, j, c — the codebooks, KxMxsubdim rows, tiny)
+    and ``codes`` (vec_id, m, code — 8 small ints per vector). This is
+    the amortization the inline query's docstring points at: the
+    build's two assignment passes run ONCE at write time, and every
+    later search reads the code table (8 small ints per vector)
+    instead of re-deriving it — at 100 TB the codes table is orders
+    of magnitude smaller than the embeddings it indexes."""
+    ex = _pq_explode(emb)
+    book = _pq_train(emb, ex)
+    book.write.mode("overwrite").parquet(f"{path}/book")
+    codes = _pq_assign(ex, book)
+    w_code = Window.partitionBy("vec_id", "m").orderBy("dist_f", "code")
+    (
+        codes.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+
+
+def search_pq_index(
+    spark: SparkSession, path: str, probes: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Answer (probe_id, embedding) probes against a persisted PQ
+    index: LUTs from the probes' exact subvectors vs the stored
+    codebooks, ADC over the stored codes, exact re-rank against
+    ``corpus`` (vec_id, embedding). Identical results to the inline
+    query for the same probe set — pinned in tests/test_llm_ops.py."""
+    book = spark.read.parquet(f"{path}/book")
+    codes = spark.read.parquet(f"{path}/codes")
+    probe_ex = _pq_explode(probes)
+    lut = _pq_assign(probe_ex, book).select(
+        F.col("vec_id").alias("probe_id"), "m", "code", "dist_f"
+    )
+    full = corpus.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dot_fixed_expr("embedding", "embedding")).alias("nf"),
+    )
+    return _pq_adc_rerank(codes, lut, full)

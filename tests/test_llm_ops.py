@@ -342,3 +342,35 @@ def test_pq_recall_vs_brute_force(spark, sf, floor):
 
     mean_recall = _mean_recall(spark, sf, pq_ann_cosine)
     assert mean_recall >= floor, f"mean recall@10 {mean_recall:.2f} at {sf}"
+
+
+def test_pq_persisted_index_matches_inline_query(spark, tmp_path):
+    """The amortized path: build_pq_index writes the codebooks + code
+    table to parquet, search_pq_index answers probes from them — and
+    must produce EXACTLY the inline pq_ann_cosine result for the same
+    probe set (same fixed-point arithmetic, same tie-breaks), proving
+    the persisted index is the same index, not a lookalike."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _PROBE_MOD,
+        build_pq_index,
+        pq_ann_cosine,
+        search_pq_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "pq_index")
+    build_pq_index(emb, path)
+    probes = emb.where(F.col("vec_id") % _PROBE_MOD == 0)
+    from_index = {
+        (r.probe_id, r.vec_id, r.rank, round(r.cosine, 12))
+        for r in search_pq_index(spark, path, probes, emb).collect()
+    }
+    inline = {
+        (r.probe_id, r.vec_id, r.rank, round(r.cosine, 12))
+        for r in pq_ann_cosine(spark, sf).collect()
+    }
+    assert from_index == inline and len(inline) > 0
