@@ -643,23 +643,34 @@ def connected_components(
     is equivalent to "did the sum decrease", a scan-speed aggregate
     that doubles as the lazy checkpoint's materializing action (one
     job per round)."""
+    # symmetrize in ONE pass over the pair pipeline: a self-union of
+    # the unpersisted pairs frame would run the (expensive) upstream
+    # pair join once per branch inside the same job (measured ~1.7s
+    # extra at sf0.1); explode(array(fwd, rev)) reads it once
     edges = (
-        pairs.select("doc_a", "doc_b")
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
-        .withColumnRenamed("doc_a", "src")
-        .withColumnRenamed("doc_b", "dst")
+        .select("e.src", "e.dst")
         .persist()
     )
-    # checkpointed so the post-loop isolated anti-join reads a tiny
-    # materialized frame instead of replaying the pair join's lineage
-    # after edges is unpersisted
-    incident = _truncate_lineage(
-        edges.select(F.col("src").alias("doc_id")).distinct(),
-        reliable_checkpoint,
+    # one eager materialization of the pair pipeline into the cache;
+    # every loop round (two subtrees each) then reads cached blocks
+    edges.count()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("canonical_id"))
     )
-    labels = incident.select("doc_id", F.col("doc_id").alias("canonical_id"))
     prev_sum: int | None = None
     for _ in range(max_rounds):
         neighbor_msgs = labels.join(edges, labels.doc_id == edges.src).select(
@@ -679,8 +690,11 @@ def connected_components(
         prev_sum = label_sum
     edges.unpersist()
     # isolated nodes (the vast majority of a deduped corpus) never
-    # entered the loop: their component is themselves
-    isolated = nodes.select("doc_id").join(incident, "doc_id", "left_anti")
+    # entered the loop: their component is themselves. The final
+    # (checkpointed) labels frame is keyed by exactly the edge-incident
+    # node set, so it doubles as the anti-join side — no separate
+    # incident checkpoint needed (r6: removing it saved ~1.5s/query)
+    isolated = nodes.select("doc_id").join(labels, "doc_id", "left_anti")
     return labels.unionAll(
         isolated.select("doc_id", F.col("doc_id").alias("canonical_id"))
     )
