@@ -182,6 +182,10 @@ _CONSTITUENTS: dict[str, list[str]] = {
     "user_summary": ["user_value_pivot", "latest_event_per_user"],
     # r6 (late): freed the slot for pq_ann_cosine
     "knn_centroid_suite": ["knn_topk_cosine", "nearest_centroid"],
+    "stream_bytes_90s_suite": [
+        "stream_bytes_antenna_90s",
+        "stream_bytes_user_app_90s",
+    ],
     "stream_bytes_user_app_90s": ["stream_bytes_user_90s", "stream_bytes_app_90s"],
     "bytes_90s": ["bytes_antenna_90s", "bytes_user_90s", "bytes_app_90s"],
     "bytes_hourly": ["bytes_antenna_hourly", "bytes_email_hourly", "bytes_app_hourly"],

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
 from ..operators.metrics import conform_metric, windowed_sum
+from ..sources.parquet import read_table
 from ..streaming.sources import read_documents_stream, read_events_stream
 from .parity import NINETY_SECONDS, _metric_oracle
 from .registry import register
@@ -47,10 +48,6 @@ def _run_bounded_metric(
     return spark.table(name)
 
 
-@register(
-    "stream_bytes_antenna_90s",
-    oracle=_metric_oracle("event_type", NINETY_SECONDS, "antenna_bytes_total"),
-)
 def stream_bytes_antenna_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 as true streaming: file-source replay -> 90 s tumbling
     window -> sum -> metric conformance, executed by the streaming
@@ -90,8 +87,10 @@ def stream_bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_bytes_user_app_90s",
+    "stream_bytes_90s_suite",
     oracle=f"""
+        ({_metric_oracle("event_type", NINETY_SECONDS, "antenna_bytes_total")})
+        UNION ALL
         ({_metric_oracle("user_id", NINETY_SECONDS, "user_bytes_total")})
         UNION ALL
         ({_metric_oracle(
@@ -99,16 +98,18 @@ def stream_bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
             "app_bytes_total")})
     """,
 )
-def stream_bytes_user_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 + A3 as true streaming, one registration (the ``type``
-    column already discriminates the two metric families, so the union
-    is the natural suite shape — same consolidation pattern the batch
-    bytes_90s suite uses). Each constituent still runs its own full
-    StreamExecution (file replay, state store, complete-mode drain);
-    only the registration count shrinks, freeing a driver row for the
-    semantic-dedup clustering query."""
-    return stream_bytes_user_90s(spark, sf_dir).unionAll(
-        stream_bytes_app_90s(spark, sf_dir)
+def stream_bytes_90s_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A2 + A3 as true streaming, one registration (the ``type``
+    column already discriminates the three metric families, so the
+    union is the natural suite shape — same consolidation pattern the
+    batch bytes_90s suite uses). Each constituent still runs its own
+    full StreamExecution (file replay, state store, complete-mode
+    drain); only the registration count shrinks — r6 folds the antenna
+    stream in too, freeing a driver row for the stream-join suite."""
+    return (
+        stream_bytes_antenna_90s(spark, sf_dir)
+        .unionAll(stream_bytes_user_90s(spark, sf_dir))
+        .unionAll(stream_bytes_app_90s(spark, sf_dir))
     )
 
 
@@ -200,3 +201,134 @@ def stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_curated_ingest_sink")
+
+
+# --- stream joins ----------------------------------------------------------
+
+#: +/- window for the stream-stream interval join (same as the batch
+#: events_near_errors range, queries/parity.py)
+_JOIN_RANGE_S = 300
+
+
+@register(
+    "stream_join_suite",
+    oracle=f"""
+        SELECT 'near_errors' AS variant, e.event_id,
+               CAST(NULL AS VARCHAR) AS k,
+               CAST(COUNT(*) AS DOUBLE) AS v
+        FROM events e
+        JOIN events r
+          ON r.event_type = 'error'
+         AND r.user_id = e.user_id
+         AND r.event_id <> e.event_id
+         AND abs(epoch_ms(e.ts) - epoch_ms(r.ts)) <= {_JOIN_RANGE_S * 1000}
+        GROUP BY e.event_id
+        UNION ALL
+        SELECT 'enrich', e.event_id, c.c_name, e.value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming joins, both as real StreamExecutions, one suite row
+    (variant, event_id, k, v):
+
+    - ``near_errors``: a true STREAM-STREAM interval join — the events
+      stream inner-joined to an error-filtered replay of itself on
+      user_id plus a +/-5 min event-time range condition, the join
+      state maintained by the streaming state store across
+      micro-batches (Spark's symmetric hash join; each side buffers
+      rows until the other side's watermark passes the range bound).
+      The joined PAIRS are what the stream emits (append mode — inner
+      join output finalizes at match time); the per-event count is a
+      batch aggregation over the drained sink, because an unwindowed
+      per-key aggregate downstream of a stream-stream join has no
+      append-mode finalization point on a bounded replay. Matches the
+      batch interval-join oracle exactly, so the driver hash-proves
+      the streaming join loses/duplicates no pair.
+    - ``enrich``: a STREAM-STATIC join — the events stream joined to
+      the static customer dimension (J1's stream-side twin,
+      StreamingJobImpl.scala:55-60 does the same against a JDBC dim).
+      The static side plans as a broadcast per micro-batch, so the
+      stream never shuffles.
+
+    Watermark note: both sides carry a generous watermark (30 days) —
+    on a bounded availableNow replay the watermark's only role here is
+    state-cleanup eligibility, and a tight bound could DROP genuinely
+    late rows mid-replay (the file source does not replay in event-time
+    order), breaking stream==batch equality. Production tightens it to
+    the real out-of-orderness bound; the state-eviction semantics under
+    a tight watermark are pinned in tests/test_streaming.py.
+    """
+    # stream-stream: events x errors within +/- 5 min per user.
+    # Watermarks demand TIMESTAMP (not the table's TIMESTAMP_NTZ), so
+    # the join axis is a session-tz cast (the session factory and the
+    # driver both pin UTC, making it the identical instant; both sides
+    # cast identically either way, so the |Δt| arithmetic is unmoved)
+    left = read_events_stream(spark, sf_dir).withColumn(
+        "ts_wm", F.col("ts").cast("timestamp")
+    ).withWatermark("ts_wm", "30 days")
+    right = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").cast("timestamp").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "30 days")
+    )
+    pairs = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_id") != F.col("event_id"))
+        & (
+            F.col("r_ts")
+            >= F.col("ts_wm") - F.expr(f"INTERVAL {_JOIN_RANGE_S} SECONDS")
+        )
+        & (
+            F.col("r_ts")
+            <= F.col("ts_wm") + F.expr(f"INTERVAL {_JOIN_RANGE_S} SECONDS")
+        ),
+        "inner",
+    ).select("event_id", "r_id")
+    q1 = (
+        pairs.writeStream.format("memory")
+        .queryName("stream_join_pairs_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # stream-static: events enriched with the customer dim (broadcast
+    # per micro-batch; the stream side never shuffles)
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    enriched = (
+        read_events_stream(spark, sf_dir)
+        .join(cust, "user_id")
+        .select("event_id", F.col("c_name").alias("k"), F.col("value").alias("v"))
+    )
+    q2 = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_join_enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+    near = (
+        spark.table("stream_join_pairs_sink")
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(
+            F.lit("near_errors").alias("variant"),
+            "event_id",
+            F.lit(None).cast("string").alias("k"),
+            "v",
+        )
+    )
+    enrich = spark.table("stream_join_enrich_sink").select(
+        F.lit("enrich").alias("variant"), "event_id", "k", "v"
+    )
+    return near.unionAll(enrich)

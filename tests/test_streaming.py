@@ -526,3 +526,48 @@ def test_kafka_wire_schema_chain_stream_equals_batch(spark, tmp_path):
         for r in spark.table("kafka_wire_chain").collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_stream_join_suite_equals_batch(spark):
+    """The stream-stream interval join and the stream-static enrich
+    join both match their batch formulations on a bounded replay (the
+    registry row's oracle proves the same against DuckDB; this pins it
+    engine-internally where micro-batch machinery is exercised)."""
+    from kcbdml9_big_data_processing_spark.operators.temporal import interval_join
+    from kcbdml9_big_data_processing_spark.queries.stream import (
+        _JOIN_RANGE_S,
+        stream_join_suite,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_join_suite(spark, sf)
+    near = {
+        r["event_id"]: r["v"]
+        for r in got.where(F.col("variant") == "near_errors").collect()
+    }
+    ev = read_table(spark, sf, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("r_id"), "user_id", "ts"
+    )
+    pairs = interval_join(
+        ev, errors, on="user_id", tolerance_ms=_JOIN_RANGE_S * 1000,
+        left_id="event_id", right_id="r_id",
+    ).where(F.col("r_id") != F.col("event_id"))
+    want = {
+        r["event_id"]: float(r["n"])
+        for r in pairs.groupBy("event_id").agg(F.count("r_id").alias("n")).collect()
+    }
+    assert near == want
+
+    enrich = {
+        r["event_id"]: (r["k"], r["v"])
+        for r in got.where(F.col("variant") == "enrich").collect()
+    }
+    cust = read_table(spark, sf, "customer")
+    batch = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id", "c_name", "value"
+    )
+    want_e = {r["event_id"]: (r["c_name"], r["value"]) for r in batch.collect()}
+    assert enrich == want_e
