@@ -371,6 +371,44 @@ def _argmin_cell(ex: DataFrame, cents: DataFrame) -> DataFrame:
     return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
 
 
+def _ivf_explode(emb: DataFrame) -> DataFrame:
+    """(vec_id, i [1-based], x) long form of the embedding column —
+    deliberately never persisted (64x the row count; each consumer
+    re-derives it from the column-pruned scan)."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x_f")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("x_f").cast("double").alias("x"),
+    )
+
+
+def _ivf_train(emb: DataFrame, ex: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: seeds = the _IVF_K lowest
+    vec_ids, one Lloyd refinement with fixed-point means. Returns the
+    (cell, i, c) centroid relation."""
+    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_IVF_K)
+    seeds = ex.join(
+        F.broadcast(seed_ids.select(F.col("vec_id").alias("cell"))),
+        ex.vec_id == F.col("cell"),
+    ).select("cell", "i", F.col("x").alias("c"))
+    a0 = _argmin_cell(ex, seeds)
+    return (
+        ex.join(a0.select("vec_id", "cell"), "vec_id")
+        .groupBy("cell", "i")
+        .agg(
+            (
+                (
+                    F.sum(F.floor(F.col("x") * _SCALE).cast("long")).cast("double")
+                    / F.lit(float(_SCALE))
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("c")
+        )
+    )
+
+
 @register("ivf_ann_cosine", oracle=_ivf_oracle())
 def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: train a deterministic coarse quantizer
@@ -394,30 +432,8 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: it is 64x the corpus row count, so caching it is the
     # wrong trade at scale — each consumer re-derives it from the
     # column-pruned parquet scan instead
-    ex = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "x_f")
-    ).select(
-        "vec_id", (F.col("i0") + 1).alias("i"), F.col("x_f").cast("double").alias("x")
-    )
-    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_IVF_K)
-    seeds = ex.join(
-        F.broadcast(seed_ids.select(F.col("vec_id").alias("cell"))),
-        ex.vec_id == F.col("cell"),
-    ).select("cell", "i", F.col("x").alias("c"))
-    a0 = _argmin_cell(ex, seeds)
-    cents = (
-        ex.join(a0.select("vec_id", "cell"), "vec_id")
-        .groupBy("cell", "i")
-        .agg(
-            (
-                (
-                    F.sum(F.floor(F.col("x") * _SCALE).cast("long")).cast("double")
-                    / F.lit(float(_SCALE))
-                )
-                / F.count(F.lit(1)).cast("double")
-            ).alias("c")
-        )
-    )
+    ex = _ivf_explode(emb)
+    cents = _ivf_train(emb, ex)
     # one distance-pass DEFINITION serves both the index assignment
     # (argmin over all vectors) and probe routing (top-nprobe for the
     # probe subset). Deliberately NOT persisted: measured r6 at sf0.1,
@@ -1132,3 +1148,83 @@ def search_pq_index(
         F.expr(_dot_fixed_expr("embedding", "embedding")).alias("nf"),
     )
     return _pq_adc_rerank(codes, lut, full)
+
+
+def build_ivf_index(emb: DataFrame, path: str) -> None:
+    """Materialize the IVF index as two parquet tables under ``path``:
+    ``centroids`` (cell, i, c — K x dim rows, tiny) and ``cells``
+    (vec_id, cell — one small int per vector). The sibling of
+    :func:`build_pq_index`: the quantizer training and the full-corpus
+    assignment pass run ONCE at write time; every later search routes
+    probes against the (broadcastable) centroid table and touches only
+    ~nprobe/K of the corpus via the cell table — at 100 TB the
+    assignment pass is the expensive part and this is its
+    amortization."""
+    ex = _ivf_explode(emb)
+    cents = _ivf_train(emb, ex)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # assign against the WRITTEN centroids (re-read, not the lineage):
+    # the stored index is the source of truth the searches will read
+    stored = emb.sparkSession.read.parquet(f"{path}/centroids")
+    d = _sqdist_cells(ex, stored)
+    w = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
+    (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+        .write.mode("overwrite")
+        .parquet(f"{path}/cells")
+    )
+
+
+def search_ivf_index(
+    spark: SparkSession, path: str, probes: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Answer (vec_id, embedding) probes against a persisted IVF
+    index: route each probe to its _IVF_NPROBE nearest stored
+    centroids, gather the corpus vectors assigned to those cells from
+    the stored cell table, and exact-fixed-point-cosine re-rank the
+    candidates. Identical results to the inline ivf_ann_cosine query
+    for the same probe set (same arithmetic, same tie-breaks) —
+    pinned in tests/test_llm_ops.py."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    cells = spark.read.parquet(f"{path}/cells")
+    d = _sqdist_cells(_ivf_explode(probes), cents)
+    w = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
+    probe_cells = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), "cell")
+    )
+    cand = (
+        probe_cells.join(cells, "cell")
+        .where(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id")
+    )
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+    ).withColumn("p_nf", F.expr(_dot_fixed_expr("p_emb", "p_emb")))
+    full = corpus.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dot_fixed_expr("embedding", "embedding")).alias("nf"),
+    )
+    scored = (
+        cand.join(p, "probe_id")
+        .join(full, "vec_id")
+        .withColumn(
+            "cosine",
+            F.expr(_cos_expr(_dot_fixed_expr("p_emb", "embedding"), "p_nf", "nf")),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _K)
+        .select(
+            "probe_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -374,3 +374,35 @@ def test_pq_persisted_index_matches_inline_query(spark, tmp_path):
         for r in pq_ann_cosine(spark, sf).collect()
     }
     assert from_index == inline and len(inline) > 0
+
+
+def test_ivf_persisted_index_matches_inline_query(spark, tmp_path):
+    """The amortized IVF path: build_ivf_index writes centroids + cell
+    assignments to parquet, search_ivf_index answers probes from them
+    — and must produce EXACTLY the inline ivf_ann_cosine result for
+    the same probe set (same fixed-point arithmetic, same tie-breaks),
+    proving the persisted index is the same index, not a lookalike."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _PROBE_MOD,
+        build_ivf_index,
+        ivf_ann_cosine,
+        search_ivf_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path)
+    probes = emb.where(F.col("vec_id") % _PROBE_MOD == 0)
+    from_index = {
+        (r.probe_id, r.vec_id, r.rank, round(r.cosine, 12))
+        for r in search_ivf_index(spark, path, probes, emb).collect()
+    }
+    inline = {
+        (r.probe_id, r.vec_id, r.rank, round(r.cosine, 12))
+        for r in ivf_ann_cosine(spark, sf).collect()
+    }
+    assert from_index == inline and len(inline) > 0
