@@ -1228,3 +1228,28 @@ def search_ivf_index(
             "probe_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def extend_ivf_index(new_emb: DataFrame, path: str) -> None:
+    """Append newly-ingested vectors to a persisted IVF index WITHOUT
+    retraining: assign each new vector to its nearest STORED centroid
+    (frozen quantizer — the standard incremental-ingest trade: cell
+    balance can drift as the distribution moves, a periodic
+    build_ivf_index rebuild restores it) and append the assignments to
+    the cell table. Searches pick the new vectors up immediately; one
+    linear assignment pass over the new batch only, nothing existing
+    is rewritten. Pinned in tests/test_llm_ops.py: extension is
+    batch-split invariant (one extend vs several sub-batch extends
+    answer probes identically) and the appended rows are exactly the
+    argmin assignment against the stored centroids."""
+    spark = new_emb.sparkSession
+    stored = spark.read.parquet(f"{path}/centroids")
+    d = _sqdist_cells(_ivf_explode(new_emb), stored)
+    w = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
+    (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+        .write.mode("append")
+        .parquet(f"{path}/cells")
+    )

@@ -406,3 +406,66 @@ def test_ivf_persisted_index_matches_inline_query(spark, tmp_path):
         for r in ivf_ann_cosine(spark, sf).collect()
     }
     assert from_index == inline and len(inline) > 0
+
+
+def test_ivf_index_incremental_extend(spark, tmp_path):
+    """extend_ivf_index properties: (1) batch-split invariance —
+    extending with B in one shot vs two sub-batches yields identical
+    search answers (training is deterministic, so two build(A) runs
+    store identical centroids; extension order must not matter);
+    (2) the appended assignments are exactly argmin over the STORED
+    centroids; (3) every vector is in the cell table exactly once."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _PROBE_MOD,
+        _argmin_cell,
+        _ivf_explode,
+        build_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    cut1, cut2 = ids[int(len(ids) * 0.8)], ids[int(len(ids) * 0.9)]
+    a = emb.where(F.col("vec_id") <= cut1)
+    b = emb.where(F.col("vec_id") > cut1)
+    b1 = b.where(F.col("vec_id") <= cut2)
+    b2 = b.where(F.col("vec_id") > cut2)
+
+    one, two = str(tmp_path / "one"), str(tmp_path / "two")
+    build_ivf_index(a, one)
+    extend_ivf_index(b, one)
+    build_ivf_index(a, two)
+    extend_ivf_index(b1, two)
+    extend_ivf_index(b2, two)
+
+    probes = emb.where(F.col("vec_id") % _PROBE_MOD == 0)
+    got_one = {
+        (r.probe_id, r.vec_id, r.rank, round(r.cosine, 12))
+        for r in search_ivf_index(spark, one, probes, emb).collect()
+    }
+    got_two = {
+        (r.probe_id, r.vec_id, r.rank, round(r.cosine, 12))
+        for r in search_ivf_index(spark, two, probes, emb).collect()
+    }
+    assert got_one == got_two and len(got_one) > 0
+
+    cells = spark.read.parquet(f"{one}/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    stored = spark.read.parquet(f"{one}/centroids")
+    want_b = {
+        (r["vec_id"], r["cell"])
+        for r in _argmin_cell(_ivf_explode(b), stored)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    got_b = {
+        (r["vec_id"], r["cell"])
+        for r in cells.join(b.select("vec_id"), "vec_id", "left_semi").collect()
+    }
+    assert got_b == want_b
