@@ -507,3 +507,48 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_reconstruction_sweep(spark):
+    """Exhaustive boundary sweep: for every token count 0..50, the
+    chunks of a synthetic doc must (a) start at 1, 1+step, ... per the
+    documented rule, (b) reconstruct the ORIGINAL token stream exactly
+    when each non-first chunk drops its `overlap`-token prefix, and
+    (c) never produce a chunk of <= overlap tokens except a single-
+    chunk document. Pins the operator against off-by-one regressions
+    at every alignment of doc length vs step."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    chunk_tokens, overlap = 16, 4
+    step = chunk_tokens - overlap
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{n}_{i}" for i in range(n))) for n in range(51)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=overlap)
+    rows = out.orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n in range(51):
+        chunks = by_doc[n]
+        toks = [f"t{n}_{i}" for i in range(n)]
+        # empty doc: split('') yields one empty token; one chunk
+        expected_tokens = toks if n else [""]
+        n_tok = len(expected_tokens)
+        expected_chunks = len(list(range(1, max(n_tok - overlap, 1) + 1, step)))
+        assert len(chunks) == expected_chunks, (n, len(chunks))
+        rebuilt = []
+        for idx, c in enumerate(chunks):
+            assert c["chunk_idx"] == idx
+            ctoks = c["chunk_text"].split(" ")
+            assert c["n_tokens"] == len(ctoks)
+            if idx > 0:
+                assert len(ctoks) > overlap  # no pure-suffix chunk
+                ctoks = ctoks[overlap:]
+            rebuilt.extend(ctoks)
+        assert rebuilt == expected_tokens, n
