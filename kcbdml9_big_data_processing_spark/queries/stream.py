@@ -301,9 +301,17 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join axis is a session-tz cast (the session factory and the
     # driver both pin UTC, making it the identical instant; both sides
     # cast identically either way, so the |Δt| arithmetic is unmoved)
-    left = read_events_stream(spark, sf_dir).withColumn(
-        "ts_wm", F.col("ts").cast("timestamp")
-    ).withWatermark("ts_wm", "30 days")
+    # project BEFORE the join: every left column rides the join state
+    # (the symmetric hash join buffers whole rows per key) — carrying
+    # the full event schema incl. the props JSON string through state
+    # is pure write amplification when the output needs only the ids
+    left = (
+        read_events_stream(spark, sf_dir)
+        .select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts_wm")
+        )
+        .withWatermark("ts_wm", "30 days")
+    )
     right = (
         read_events_stream(spark, sf_dir)
         .where(F.col("event_type") == "error")
