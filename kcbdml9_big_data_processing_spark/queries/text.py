@@ -163,6 +163,12 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     importable on its own; every ratio is a single integer-over-integer
     IEEE division, bit-identical across engines."""
     docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_text_metric_cols())
+
+
+def _text_metric_cols() -> list:
+    """The nine per-row metric columns (shared by text_metrics and the
+    fused doc_profile scan)."""
     toks = _tokens()
     total_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("long")),
@@ -173,8 +179,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words_d = F.size(toks).cast("double")
     sw = F.array([F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return docs.select(
-        "doc_id",
+    return [
         F.length("text").cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_words"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_words"),
@@ -188,7 +193,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct(toks)).cast("double") / n_words_d).alias(
             "lexical_diversity"
         ),
-    )
+    ]
 
 
 # --- language ID (stopword-profile heuristic) -----------------------------
@@ -249,26 +254,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     array functions, no explode: the shingle array never leaves the
     row."""
     docs = read_table(spark, sf_dir, "documents")
-    fp = F.expr(
+    return docs.select("doc_id", _fingerprint_col())
+
+
+def _fingerprint_col():
+    return F.expr(
         f"array_min(transform(sequence(1, greatest(length(text) - {_SHINGLE - 1}, 1)),"
         f" i -> md5(substring(text, i, {_SHINGLE}))))"
-    )
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    ).alias("fingerprint")
 
 
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile in one registration (keeps the registry at
-    the driver's 50-row window): the nine text metrics joined with the
-    min-MD5 rolling-hash fingerprint and the PII redaction output
-    (clean text + match counts) on doc_id. Every constituent stays
-    importable individually and keeps its full computation; the joins
-    are doc_id-to-doc_id (1:1) and Catalyst collapses the scans'
-    shared projections. (The @register lives below redact_pii so the
-    oracle fragments exist at decoration time.)"""
-    return (
-        text_metrics(spark, sf_dir)
-        .join(doc_fingerprint(spark, sf_dir), "doc_id")
-        .join(redact_pii(spark, sf_dir), "doc_id")
+    the driver's 50-row window): the nine text metrics, the min-MD5
+    rolling-hash fingerprint, and the PII redaction output (clean text
+    + match counts) — computed in ONE scan as pure per-row columns
+    (every constituent is a projection over the same row, so the
+    r6-earlier 1:1 self-joins were two shuffles and two extra scans of
+    pure overhead; Catalyst cannot eliminate a self-join). Each
+    constituent stays importable individually. (The @register lives
+    below redact_pii so the oracle fragments exist at decoration
+    time.)"""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *_text_metric_cols(),
+        _fingerprint_col(),
+        *_redact_cols(F.expr(_INJECT_SPARK)),
     )
 
 
@@ -498,17 +510,20 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_INJECT_SPARK).alias("text")
     )
+    return docs.select("doc_id", *_redact_cols(F.col("text")))
+
+
+def _redact_cols(text) -> list:
+    """Redaction columns over an (already PII-injected) text column —
+    shared by redact_pii and the fused doc_profile scan."""
     clean = F.regexp_replace(
-        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-        _PHONE_RE,
-        "<PHONE>",
+        F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
-    return docs.select(
-        "doc_id",
+    return [
         clean.alias("clean_text"),
-        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
-    )
+        F.regexp_count(text, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    ]
 
 
 # doc_profile's registration lives here (not at its def) because its
