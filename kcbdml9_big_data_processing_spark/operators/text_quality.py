@@ -147,3 +147,77 @@ def contamination_flags(
             (n_hits > 0).alias("contaminated"),
         )
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cleanup: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Cross-DOCUMENT repeated token spans — the memorization-hazard
+    signal behind exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes 50-token spans occurring verbatim more than once; the
+    suffix-array formulation there is single-machine — this is the
+    shuffle-bounded Spark shape of the same detection).
+
+    Every ``span_tokens``-token window (stride 1) is fingerprinted;
+    per-document DISTINCT fingerprints explode into a (fingerprint ->
+    distinct-doc count) aggregation, and spans seen in >= 2 documents
+    come back as (id_col, n_repeated_spans): how many of each
+    document's distinct spans also appear verbatim elsewhere.
+    Documents with zero shared spans are absent (join the result back
+    and coalesce to 0 for a total accounting).
+
+    Fingerprint scheme: each token is xxhash64'd ONCE (a dedicated
+    projection, so codegen evaluates it once per row, not once per
+    window), and a window's fingerprint chains its token hashes
+    through xxhash64(acc, h) — O(span) JVM hash calls per window, full
+    64-bit space, ANSI-safe (a plain polynomial overflows longs under
+    ANSI arithmetic), instead of building and hashing a span STRING
+    per window. Consumers compare COUNTS, so any collision-resistant
+    scheme is equivalent — the oracle twin counts raw span strings.
+
+    The exploded postings frame is persisted internally (it feeds both
+    the shared-fingerprint aggregation and the per-doc count); pass
+    ``cleanup`` to release the cache once results are materialized —
+    same convention as queries/dedup._exact_jaccard_pairs.
+
+    Scale shape: only (doc_id, 8-byte fingerprint) rows ever shuffle —
+    never span text; work is one explode (~n_tokens rows per doc), one
+    map-side-combined count per fingerprint, one semi-join back. A
+    boilerplate span shared by millions of docs costs one count row,
+    not a pair join — this DETECTS repeats; removing them is the
+    caller's policy (typically: drop or truncate the offending
+    documents, which the returned per-doc counts rank)."""
+    token_hashes = F.transform(_toks(text_col), lambda t: F.xxhash64(t))
+    hashed = docs.select(F.col(id_col), token_hashes.alias("__th"))
+    window_fp = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(F.col("__th")) - (span_tokens - 1), F.lit(1)),
+        ),
+        lambda i: F.aggregate(
+            F.slice(F.col("__th"), i, span_tokens),
+            F.lit(0).cast("long"),
+            lambda acc, v: F.xxhash64(acc, v),
+        ),
+    )
+    ex = hashed.select(
+        id_col, F.explode(F.array_distinct(window_fp)).alias("fp")
+    ).persist()
+    if cleanup is not None:
+        cleanup.append(ex)
+    shared = (
+        ex.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    return (
+        ex.join(shared, "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_repeated_spans"))
+    )

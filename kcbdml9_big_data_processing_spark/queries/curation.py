@@ -46,6 +46,7 @@ from ..operators.sampling import (
 from ..operators.text_quality import (
     contamination_flags,
     quantile_prune,
+    repeated_spans,
     repetition_signals,
 )
 from ..sources.parquet import read_table
@@ -118,6 +119,15 @@ def _grams3_sql(toks_expr: str) -> str:
 _LTOKS_SQL = f"string_split_regex(trim(lower(text)), '{_WS}')"
 _LSH_SQL = f"list_distinct({_grams3_sql(_LTOKS_SQL)})"
 
+#: repeated-span variant: window width + the perturbed-copy layer that
+#: guarantees non-trivial cross-document repeats at every SF (a copy
+#: missing its last _SPAN_DROP tokens shares every span that fits in
+#: the shortened text and none of the trailing ones — so per-doc
+#: counts exercise both the sharing and the boundary arithmetic)
+_SPAN_TOKENS = 16
+_SPAN_DROP = 2
+_SPAN_COPY_OFFSET = 30_000_000
+
 
 @register(
     "llm_curation_suite",
@@ -134,6 +144,25 @@ _LSH_SQL = f"list_distinct({_grams3_sql(_LTOKS_SQL)})"
         ),
         doc_sh AS (
             SELECT doc_id, unnest({_LSH_SQL}) AS s FROM documents
+        ),
+        span_corpus AS (
+            SELECT doc_id, {_tokens_sql()} AS t2 FROM documents
+            UNION ALL
+            SELECT doc_id + {_SPAN_COPY_OFFSET},
+                   list_slice({_tokens_sql()}, 1,
+                              greatest(len({_tokens_sql()}) - {_SPAN_DROP}, 1))
+            FROM documents
+        ),
+        span_spans AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(t2) - {_SPAN_TOKENS - 1}, 1)),
+                i -> array_to_string(list_slice(t2, CAST(i AS INT),
+                         CAST(i + {_SPAN_TOKENS - 1} AS INT)), ' ')))) AS sp
+            FROM span_corpus
+        ),
+        span_shared AS (
+            SELECT sp FROM span_spans
+            GROUP BY sp HAVING COUNT(DISTINCT doc_id) >= 2
         )
         SELECT 'sample' AS variant, doc_id,
                CAST({bucket_sql('doc_id')} AS DOUBLE) AS value
@@ -200,6 +229,11 @@ _LSH_SQL = f"list_distinct({_grams3_sql(_LTOKS_SQL)})"
         FROM toks, unnest(generate_series(
                  1, greatest(len(t) - {_CHUNK_OVERLAP}, 1),
                  {_CHUNK_TOKENS - _CHUNK_OVERLAP})) AS u(s)
+        UNION ALL
+        SELECT 'span', doc_id, CAST(COUNT(*) AS DOUBLE)
+        FROM span_spans JOIN span_shared USING (sp)
+        WHERE doc_id < {_SPAN_COPY_OFFSET}
+        GROUP BY doc_id
     """,
     headline=True,
 )
@@ -225,7 +259,13 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       = the in-group hash rank) — pins the salted-hash draw order;
     - ``chunk``: :func:`chunk_documents` 16-token windows with overlap
       4 (value = chunk_idx·1e7 + a 48-bit content fingerprint of the
-      chunk text) — pins every chunk boundary AND its exact content.
+      chunk text) — pins every chunk boundary AND its exact content;
+    - ``span``: :func:`repeated_spans` cross-document repeated
+      16-token windows over the corpus plus a last-2-tokens-dropped
+      copy layer (value = the doc's count of distinct spans repeated
+      verbatim elsewhere) — Spark counts xxhash64 fingerprints, the
+      oracle raw span strings; equal unless the hash collides
+      (the contamination variant's standard argument).
 
     Shapes: sample/mix/rep_*/split are pure scans; prune and cap are
     one window shuffle each (lang / source) planning partial top-n
@@ -280,6 +320,28 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("cap_rank").cast("double").alias("value"),
     )
+    span_toks = F.split(F.trim(F.col("text")), _WS)
+    span_pert = docs.select(
+        (F.col("doc_id") + _SPAN_COPY_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                span_toks, 1, F.greatest(F.size(span_toks) - _SPAN_DROP, F.lit(1))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    span = (
+        repeated_spans(
+            docs.select("doc_id", "text").unionAll(span_pert),
+            span_tokens=_SPAN_TOKENS,
+        )
+        .where(F.col("doc_id") < _SPAN_COPY_OFFSET)
+        .select(
+            F.lit("span").alias("variant"),
+            "doc_id",
+            F.col("n_repeated_spans").cast("double").alias("value"),
+        )
+    )
     chunk = chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
     ).select(
@@ -303,6 +365,7 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(split)
         .unionAll(cap)
         .unionAll(chunk)
+        .unionAll(span)
     )
 
 

@@ -552,3 +552,43 @@ def test_chunk_documents_reconstruction_sweep(spark):
                 ctoks = ctoks[overlap:]
             rebuilt.extend(ctoks)
         assert rebuilt == expected_tokens, n
+
+
+def test_repeated_spans_known_answer(spark):
+    """Hand-checkable corpus: doc 1 and doc 2 share exactly their
+    (identical) first 4-token window; doc 3 shares nothing; doc 4 is
+    a verbatim copy of doc 1 (every window shared). Span width 4."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # windows: abcd bcde cdef
+            (2, "a b c d x y"),   # windows: abcd bcdx cdxy
+            (3, "p q r s t u"),
+            (4, "a b c d e f"),   # copy of 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_repeated_spans"]
+        for r in repeated_spans(docs, span_tokens=4).collect()
+    }
+    # docs 1 and 4 share all 3 windows (with each other); doc 2 shares
+    # only 'a b c d'; doc 3 shares none (absent)
+    assert got == {1: 3, 4: 3, 2: 1}
+
+    # short doc (< span) fingerprints its whole text once: two
+    # identical short docs are repeated, a distinct one is not
+    short = spark.createDataFrame(
+        [(10, "tiny doc"), (11, "tiny doc"), (12, "other doc")],
+        "doc_id long, text string",
+    )
+    got_s = {
+        r["doc_id"]: r["n_repeated_spans"]
+        for r in repeated_spans(short, span_tokens=4).collect()
+    }
+    assert got_s == {10: 1, 11: 1}
