@@ -37,7 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.text_quality import contamination_flags
+from ..operators.text_quality import contamination_flags, repeated_spans
 from ..queries.dedup import (
     _exact_jaccard_pairs,
     connected_components,
@@ -49,6 +49,7 @@ from ..queries.text import _STOPWORDS, _tokens
 REASON_CONTAMINATED = "contaminated"
 REASON_QUALITY = "quality"
 REASON_EXACT_DUP = "exact_dup"
+REASON_SPAN_DUP = "span_dup"
 REASON_NEAR_DUP = "near_dup"
 REASON_KEPT = "kept"
 
@@ -66,6 +67,12 @@ class CurationConfig:
     max_stopword_ratio: float = 0.9
     min_lexical_diversity: float = 0.1
     jaccard_min: float = 0.5
+    #: opt-in span-dedup policy: drop docs whose count of distinct
+    #: cross-document repeated ``span_tokens``-token windows exceeds
+    #: this (None = stage off; the exact-substring-dedup policy on top
+    #: of operators/text_quality.repeated_spans' detection)
+    max_repeated_spans: int | None = None
+    span_tokens: int = 16
     #: reliable CC checkpointing (None = auto-detect setCheckpointDir)
     reliable_checkpoint: bool | None = None
 
@@ -75,9 +82,9 @@ class TrainingDataCurator:
 
     ``docs`` must carry (doc_id, text); extra columns ride along into
     ``kept``. ``decisions`` is (doc_id, reason, canonical_id) with one
-    row per INPUT doc: reason in {quality, exact_dup, near_dup, kept},
-    canonical_id = the retained duplicate for dropped dup docs, null
-    otherwise.
+    row per INPUT doc: reason in {quality, exact_dup, span_dup [when
+    max_repeated_spans is set], near_dup, kept}, canonical_id = the
+    retained duplicate for dropped dup docs, null otherwise.
     """
 
     def __init__(self, config: CurationConfig | None = None):
@@ -282,6 +289,20 @@ class TrainingDataCurator:
             docs = docs.join(c_fail, "doc_id", "left_anti")
         q_pass, q_fail = self.quality_gate(docs, cleanup=cleanup)
         e_kept, e_dropped = self.exact_dedup(q_pass, cleanup=cleanup)
+        s_fail = None
+        if self.config.max_repeated_spans is not None:
+            # span-dedup policy (opt-in): the detection operator ranks
+            # docs by how many of their spans repeat verbatim in OTHER
+            # docs; over-threshold docs drop before the (pricier)
+            # pairwise near-dup stage. Runs after exact dedup so a
+            # verbatim redelivery doesn't count as a span repeat.
+            counts = repeated_spans(
+                e_kept, span_tokens=self.config.span_tokens, cleanup=cleanup
+            )
+            s_fail = counts.where(
+                F.col("n_repeated_spans") > self.config.max_repeated_spans
+            ).select("doc_id")
+            e_kept = e_kept.join(s_fail, "doc_id", "left_anti")
         n_kept, n_dropped = self.near_dedup(e_kept)
 
         decisions = (
@@ -308,6 +329,12 @@ class TrainingDataCurator:
                 )
             )
         )
+        if s_fail is not None:
+            decisions = s_fail.select(
+                "doc_id",
+                F.lit(REASON_SPAN_DUP).alias("reason"),
+                null_canon.alias("canonical_id"),
+            ).unionAll(decisions)
         if c_fail is not None:
             decisions = c_fail.select(
                 "doc_id",

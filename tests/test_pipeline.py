@@ -592,3 +592,49 @@ def test_repeated_spans_known_answer(spark):
         for r in repeated_spans(short, span_tokens=4).collect()
     }
     assert got_s == {10: 1, 11: 1}
+
+
+def test_curator_span_dedup_stage(spark):
+    """Opt-in span-dedup policy: a doc that shares many 4-token spans
+    with another doc (without being an exact or near dup under the
+    strict Jaccard threshold) drops with reason span_dup; the decision
+    record still partitions the input exactly."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        REASON_SPAN_DUP,
+        CurationConfig,
+        TrainingDataCurator,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    # doc 2 = doc 1's 30 tokens + 40 fresh ones: every 4-token window of
+    # doc 1 repeats in doc 2 (27 spans), but Jaccard(1,2) = 30/70 < 0.5
+    extended = base + " " + " ".join(f"x{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, extended), (3, other)],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(
+        min_words=1,
+        min_lexical_diversity=0.0,
+        max_repeated_spans=5,
+        span_tokens=4,
+    )
+    kept, decisions = TrainingDataCurator(cfg).run(docs)
+    by_reason = {
+        r["doc_id"]: r["reason"] for r in decisions.collect()
+    }
+    # both 1 and 2 exceed the 5-shared-span threshold; 3 is untouched
+    assert by_reason[1] == REASON_SPAN_DUP
+    assert by_reason[2] == REASON_SPAN_DUP
+    assert by_reason[3] == "kept"
+    assert len(by_reason) == 3  # record partitions the input
+    assert {r["doc_id"] for r in kept.collect()} == {3}
+
+    # stage off by default: same corpus, no span config -> all kept
+    kept2, dec2 = TrainingDataCurator(
+        CurationConfig(min_words=1, min_lexical_diversity=0.0)
+    ).run(docs)
+    assert {r["doc_id"] for r in kept2.collect()} == {1, 2, 3}
