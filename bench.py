@@ -250,21 +250,42 @@ def _baseline_times() -> dict[str, float]:
     return {}
 
 
-def _prior_for(name: str, prior_times: dict[str, float]) -> float | None:
+def _prior_for(
+    name: str, prior_times: dict[str, float], _seen: frozenset[str] = frozenset()
+) -> float | None:
     """Fair baseline for ``name``: its own prior time, else (when the
     baseline round predates a registry consolidation) the sum of its
     constituents' prior times, when ALL of them are present. A merged
     query's own name can collide with one constituent (language_id):
     prefer the constituent sum whenever the baseline still carries the
-    OTHER constituents — that means the baseline predates the merge."""
+    OTHER constituents — that means the baseline predates the merge.
+
+    Constituents resolve RECURSIVELY (r6 ADVICE): a merged query can
+    list another consolidation as a constituent (stream_bytes_90s_suite
+    -> stream_bytes_user_app_90s -> user/app leaves), and against a
+    baseline predating BOTH merges the constituent itself has no prior
+    row — only its leaves do. ``_seen`` guards accidental cycles."""
+    if name in _seen:
+        return None
     parts = _CONSTITUENTS.get(name)
     if parts:
-        vals = [prior_times.get(p) for p in parts]
-        if all(v is not None and v > 0 for v in vals) and (
+        vals = [
+            prior_times.get(p)
+            if prior_times.get(p) is not None
+            else _prior_for(p, prior_times, _seen | {name})
+            for p in parts
+            if p != name
+        ]
+        own = prior_times.get(name) if name in parts else None
+        if own is not None:
+            vals.append(own)
+        if vals and all(v is not None and v > 0 for v in vals) and (
             name not in parts or len(parts) > 1
         ):
             others = [p for p in parts if p != name]
-            if not others or any(p in prior_times for p in others):
+            if not others or any(
+                p in prior_times or p in _CONSTITUENTS for p in others
+            ):
                 return round(sum(vals), 3)
     then = prior_times.get(name)
     return then if then is not None and then > 0 else None

@@ -180,10 +180,15 @@ def repeated_spans(
     per window. Consumers compare COUNTS, so any collision-resistant
     scheme is equivalent — the oracle twin counts raw span strings.
 
-    The exploded postings frame is persisted internally (it feeds both
-    the shared-fingerprint aggregation and the per-doc count); pass
-    ``cleanup`` to release the cache once results are materialized —
-    same convention as queries/dedup._exact_jaccard_pairs.
+    The exploded postings frame feeds two consumers (the
+    shared-fingerprint aggregation and the per-doc count), so it is
+    persisted — but ONLY when a ``cleanup`` list is passed to release
+    the cache once results materialize (same convention as
+    queries/dedup._exact_jaccard_pairs). Without ``cleanup`` the
+    operator stays fully lazy: the explode recomputes once per
+    consumer, the honest trade for a caller that cannot own an
+    unpersist (r6 ADVICE — an unconditional persist leaked executor
+    memory per call in long-lived sessions).
 
     Scale shape: only (doc_id, 8-byte fingerprint) rows ever shuffle —
     never span text; work is one explode (~n_tokens rows per doc), one
@@ -207,8 +212,9 @@ def repeated_spans(
     )
     ex = hashed.select(
         id_col, F.explode(F.array_distinct(window_fp)).alias("fp")
-    ).persist()
+    )
     if cleanup is not None:
+        ex = ex.persist()
         cleanup.append(ex)
     shared = (
         ex.groupBy("fp")

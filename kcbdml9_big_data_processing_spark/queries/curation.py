@@ -271,8 +271,16 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window shuffle each (lang / source) planning partial top-n
     (WindowGroupLimit); pack is one window shuffle on its shard key;
     contamination broadcasts only the benchmark shingles — the corpus
-    never shuffles anywhere."""
-    docs = read_table(spark, sf_dir, "documents")
+    never shuffles anywhere.
+
+    The ten variants compose off ONE persisted ``documents`` scan (r7:
+    previously each union branch re-scanned the table — fine for
+    independence, wasteful for the suite as benched); the modest
+    long-format result is eagerly lineage-truncated so every cache
+    (the corpus and the span postings) is released before returning —
+    the caller gets a self-contained frame, not live cache
+    references."""
+    docs = read_table(spark, sf_dir, "documents").persist()
     bucket_val = _bucket("doc_id").cast("double").alias("value")
     sample = deterministic_sample(docs, _SAMPLE_FRAC).select(
         F.lit("sample").alias("variant"), "doc_id", bucket_val
@@ -330,10 +338,12 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
+    cleanup: list[DataFrame] = [docs]
     span = (
         repeated_spans(
             docs.select("doc_id", "text").unionAll(span_pert),
             span_tokens=_SPAN_TOKENS,
+            cleanup=cleanup,
         )
         .where(F.col("doc_id") < _SPAN_COPY_OFFSET)
         .select(
@@ -356,7 +366,7 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value"),
     )
-    return (
+    out = (
         sample.unionAll(mix)
         .unionAll(prune)
         .unionAll(rep)
@@ -367,6 +377,12 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(chunk)
         .unionAll(span)
     )
+    # eager truncation materializes the (small, long-format) result
+    # off the caches, which are then safe to release immediately
+    out = _truncate_lineage(out, eager=True)
+    for frame in cleanup:
+        frame.unpersist()
+    return out
 
 
 # --- end-to-end curator run ------------------------------------------------

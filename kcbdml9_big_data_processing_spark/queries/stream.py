@@ -57,16 +57,24 @@ def _run_bounded_metric(
 
 def _drain_to_parquet(df: DataFrame, name: str):
     """Start a bounded append-mode stream into a throwaway PARQUET
-    sink and return (query, read-back-path). Row-heavy streams must
+    sink and return (query, read-back thunk). Row-heavy streams must
     NOT use the memory sink: its rows live on the DRIVER heap for the
     JVM's lifetime (a full-table sink at 100 TB is absurd, and even
     locally the retained tables pressure every later query's GC —
     measured as a uniform ~15% slowdown across a 48-query bench run).
-    The parquet sink is what a production ingest writes anyway."""
-    import tempfile
+    The parquet sink is what a production ingest writes anyway.
 
-    out = tempfile.mkdtemp(prefix=f"{name}_out_")
-    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    Sink + checkpoint dirs live under the process scratch root
+    (tmpdirs.scratch_dir) — reclaimed at exit instead of leaking into
+    /tmp per invocation. The read-back pins the stream frame's OWN
+    schema rather than re-inferring it from footers: a bounded stream
+    that legitimately commits zero rows (e.g. a join with no matches
+    at a sparse SF) writes no data files, and schema inference would
+    throw where the correct answer is an empty frame."""
+    from ..tmpdirs import scratch_dir
+
+    out = scratch_dir(f"{name}_out_")
+    ckpt = scratch_dir(f"{name}_ckpt_")
     q = (
         df.writeStream.format("parquet")
         .option("path", out)
@@ -75,7 +83,12 @@ def _drain_to_parquet(df: DataFrame, name: str):
         .trigger(availableNow=True)
         .start()
     )
-    return q, out
+    spark, schema = df.sparkSession, df.schema
+
+    def read_back() -> DataFrame:
+        return spark.read.schema(schema).parquet(out)
+
+    return q, read_back
 
 
 def stream_bytes_antenna_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,9 +200,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir)
     )
     deduped = doubled.dropDuplicates(["event_id"])
-    q, out = _drain_to_parquet(deduped, "stream_dedup_events")
+    q, read_back = _drain_to_parquet(deduped, "stream_dedup_events")
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return read_back()
 
 
 def _curated_ingest_oracle() -> str:
@@ -235,9 +248,9 @@ def stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_documents_stream(spark, sf_dir)
     )
     curated = curate_stream(doubled)
-    q, out = _drain_to_parquet(curated.drop("ts"), "stream_curated_ingest")
+    q, read_back = _drain_to_parquet(curated.drop("ts"), "stream_curated_ingest")
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return read_back()
 
 
 # --- stream joins ----------------------------------------------------------
@@ -336,7 +349,7 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("event_id", "r_id")
-    q1, pairs_out = _drain_to_parquet(pairs, "stream_join_pairs")
+    q1, read_pairs = _drain_to_parquet(pairs, "stream_join_pairs")
     # stream-static: events enriched with the customer dim (broadcast
     # per micro-batch; the stream side never shuffles)
     cust = read_table(spark, sf_dir, "customer").select(
@@ -347,11 +360,11 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, "user_id")
         .select("event_id", F.col("c_name").alias("k"), F.col("value").alias("v"))
     )
-    q2, enrich_out = _drain_to_parquet(enriched, "stream_join_enrich")
+    q2, read_enrich = _drain_to_parquet(enriched, "stream_join_enrich")
     q1.awaitTermination()
     q2.awaitTermination()
     near = (
-        spark.read.parquet(pairs_out)
+        read_pairs()
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).cast("double").alias("v"))
         .select(
@@ -361,7 +374,7 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
         )
     )
-    enrich = spark.read.parquet(enrich_out).select(
+    enrich = read_enrich().select(
         F.lit("enrich").alias("variant"), "event_id", "k", "v"
     )
     return near.unionAll(enrich)
