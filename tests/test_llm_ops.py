@@ -347,15 +347,19 @@ def test_pq_recall_vs_brute_force(spark, sf, floor):
 def test_pq_persisted_index_matches_inline_query(spark, tmp_path):
     """The amortized path: build_pq_index writes the codebooks + code
     table to parquet, search_pq_index answers probes from them — and
-    must produce EXACTLY the inline pq_ann_cosine result for the same
-    probe set (same fixed-point arithmetic, same tie-breaks), proving
-    the persisted index is the same index, not a lookalike."""
+    must produce EXACTLY the from-scratch pq_ann_cosine_inline result
+    for the same probe set (same fixed-point arithmetic, same
+    tie-breaks), proving the persisted index is the same index, not a
+    lookalike. (r7: the registered query routes through the persisted
+    index, so this pin is what keeps its oracle equality meaningful —
+    it certifies index == inline, and the oracle certifies inline
+    semantics.)"""
     from pyspark.sql import functions as F
 
     from kcbdml9_big_data_processing_spark.queries.similarity import (
         _PROBE_MOD,
         build_pq_index,
-        pq_ann_cosine,
+        pq_ann_cosine_inline,
         search_pq_index,
     )
     from kcbdml9_big_data_processing_spark.sources.parquet import read_table
@@ -371,7 +375,7 @@ def test_pq_persisted_index_matches_inline_query(spark, tmp_path):
     }
     inline = {
         (r.probe_id, r.vec_id, r.rank, round(r.cosine, 12))
-        for r in pq_ann_cosine(spark, sf).collect()
+        for r in pq_ann_cosine_inline(spark, sf).collect()
     }
     assert from_index == inline and len(inline) > 0
 
@@ -379,15 +383,17 @@ def test_pq_persisted_index_matches_inline_query(spark, tmp_path):
 def test_ivf_persisted_index_matches_inline_query(spark, tmp_path):
     """The amortized IVF path: build_ivf_index writes centroids + cell
     assignments to parquet, search_ivf_index answers probes from them
-    — and must produce EXACTLY the inline ivf_ann_cosine result for
-    the same probe set (same fixed-point arithmetic, same tie-breaks),
-    proving the persisted index is the same index, not a lookalike."""
+    — and must produce EXACTLY the from-scratch ivf_ann_cosine_inline
+    result for the same probe set (same fixed-point arithmetic, same
+    tie-breaks), proving the persisted index is the same index, not a
+    lookalike. (r7: the registered query routes through the persisted
+    index; see the PQ twin's note.)"""
     from pyspark.sql import functions as F
 
     from kcbdml9_big_data_processing_spark.queries.similarity import (
         _PROBE_MOD,
         build_ivf_index,
-        ivf_ann_cosine,
+        ivf_ann_cosine_inline,
         search_ivf_index,
     )
     from kcbdml9_big_data_processing_spark.sources.parquet import read_table
@@ -403,7 +409,7 @@ def test_ivf_persisted_index_matches_inline_query(spark, tmp_path):
     }
     inline = {
         (r.probe_id, r.vec_id, r.rank, round(r.cosine, 12))
-        for r in ivf_ann_cosine(spark, sf).collect()
+        for r in ivf_ann_cosine_inline(spark, sf).collect()
     }
     assert from_index == inline and len(inline) > 0
 
