@@ -218,37 +218,66 @@ def _exact_jaccard_pairs(
     prepped: DataFrame,
     jaccard_min: float | None = None,
     cleanup: list[DataFrame] | None = None,
+    broadcast_stop: bool = True,
 ) -> DataFrame:
     """The COMPLETE exact word-3-gram Jaccard >= t pair set, without
     the all-pairs cross join and array-free: an inverted-index
     (postings) self-join counts ``|A∩B|`` per co-occurring pair —
     complete by construction, since a pair with Jaccard >= t shares at
     least one shingle and so meets in that shingle's posting list.
-    Only skinny (doc_id, fingerprint) rows ever shuffle, never the
-    shingle arrays (carrying both full arrays through the pair join is
-    what blows heap at scale — measured 10x slower at sf0.1). Doc
-    sizes then give the union, and Jaccard is one integer-over-integer
-    division — cross-engine exact. ``prepped`` MUST be persisted by
-    the caller: explode's inferred ``size(sh) > 0`` filter otherwise
-    re-inlines the whole shingling expression below the projection and
-    doubles the scan work (measured 8x at sf0.1).
+    Only skinny (doc_id, size, fingerprint) rows ever shuffle, never
+    the shingle arrays (carrying both full arrays through the pair
+    join is what blows heap at scale — measured 10x slower at sf0.1).
+    ``prepped`` MUST be persisted by the caller: explode's inferred
+    ``size(sh) > 0`` filter otherwise re-inlines the whole shingling
+    expression below the projection and doubles the scan work
+    (measured 8x at sf0.1).
 
     The postings self-join emits C(df,2) rows per shingle. That blowup
-    is BOUNDED here by the stop-shingle df cap: shingles whose posting
-    list exceeds ``_DF_CAP`` documents are dropped from the vocabulary
-    (one map-side-combined groupBy to find them — the stop set is tiny
-    by definition of heavy tails — then an anti-join AQE turns into a
-    broadcast), and doc sizes are recomputed over the SAME capped
-    vocabulary, so the result is the exact Jaccard over the
-    discriminative-shingle vocabulary — the standard stop-shingle
-    semantic. When the cap exceeds the corpus max df (always true for
-    the test corpus: max df ~50 vs cap 1024) nothing is dropped and
-    the answer is bit-identical to the uncapped all-pairs oracle —
-    which is exactly what the driver's hash equality proves. When the
-    cap binds (production heavy-tail regime), removing boilerplate
-    shingles only makes near-dup detection more precise, and the
-    worst-case join output per shingle is C(cap,2) regardless of
-    corpus size."""
+    is BOUNDED by the stop-shingle df cap: shingles whose posting list
+    exceeds ``_DF_CAP`` documents are dropped from the vocabulary, and
+    doc sizes are taken over the SAME capped vocabulary, so the result
+    is the exact Jaccard over the discriminative-shingle vocabulary —
+    the standard stop-shingle semantic. When the cap exceeds the
+    corpus max df (always true for the test corpus: max df ~50 vs cap
+    1024) nothing is dropped and the answer is bit-identical to the
+    uncapped all-pairs oracle — which is exactly what the driver's
+    hash equality proves. When the cap binds (production heavy-tail
+    regime), removing boilerplate shingles only makes near-dup
+    detection more precise, and the worst-case join output per shingle
+    is C(cap,2) regardless of corpus size.
+
+    r7 formulation (tools/exp_pairjoin.py, medians at sf0.1 with
+    ``prepped`` pre-persisted): 1.5-1.8 s, vs 3.6 s for the r6 shape
+    (separate postings cache + post-agg sizes joins), 2.9 s for a
+    join-free grouped-pair generation, 3.7 s for the anti-join twin of
+    this shape. Two choices carry the win:
+
+    - **Sizes ride the postings.** The stop set is folded into ONE
+      single-row array (``collect_list`` of the over-cap fingerprints)
+      broadcast against ``prepped``; ``array_except`` removes the stop
+      shingles so the capped per-doc size is just ``size(sh)`` on the
+      same row — no separate sizes relation, no cache, and no joins
+      after the count aggregation (the r6 shape joined the 4.4M-group
+      count output against sizes twice).
+    - **Size filter in the join.** J(A,B) >= t forces
+      t <= min(|A|,|B|)/max(|A|,|B|) (inter <= min, union >= max), so
+      size-incompatible pairs are pruned INSIDE the self-join, before
+      the count shuffle — dropped or kept consistently for all of a
+      pair's co-occurrence rows, so surviving counts stay complete.
+
+    Driver-safety trade (``broadcast_stop``): the stop array is
+    broadcast, which materializes it driver-side — bounded by
+    #postings/_DF_CAP entries x 8 bytes (every stop shingle has >
+    _DF_CAP postings), i.e. ~8 MB per billion postings; fine far past
+    100 TB under any Zipfian vocabulary. For an adversarial corpus
+    where that bound is the problem, ``broadcast_stop=False`` keeps
+    the r6 anti-join + recounted-sizes shape (nothing ever
+    driver-sized, ~2x slower at sf0.1).
+
+    ``cleanup`` is accepted for caller compatibility; the r7 shape
+    holds no internal cache, so nothing is appended."""
+    threshold = _JACCARD_MIN if jaccard_min is None else jaccard_min
     stop = (
         prepped.select(F.explode("sh").alias("k"))
         .groupBy("k")
@@ -256,56 +285,53 @@ def _exact_jaccard_pairs(
         .where(F.col("df") > _DF_CAP)
         .select("k")
     )
-    # the anti-join drops stop-shingles (tiny side by definition of
-    # heavy tails — AQE broadcasts it; never collected to the driver,
-    # so an adversarial stop-set size cannot kill the driver); one
-    # lazy job materializes the capped postings — explode + df-agg +
-    # anti-join fuse under AQE
-    postings = prepped.select(
-        "doc_id", F.explode("sh").alias("k")
-    ).join(stop, "k", "left_anti").persist()
-    postings.count()
-    # long-lived sessions (repeated TrainingDataCurator.run calls)
-    # must release this cache once downstream results materialize;
-    # callers that can do so pass a cleanup list to unpersist from
-    if cleanup is not None:
-        cleanup.append(postings)
-    # sizes over the capped vocabulary (sh is distinct, so the posting
-    # count per doc IS the capped set size); consistent numerator and
-    # denominator keep Jaccard exact w.r.t. the kept vocabulary
-    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pa, pb = postings.alias("pa"), postings.alias("pb")
+    if broadcast_stop:
+        stop_arr = stop.agg(F.collect_list("k").alias("stop"))
+        capped = prepped.crossJoin(F.broadcast(stop_arr)).select(
+            "doc_id", F.array_except("sh", "stop").alias("sh")
+        )
+        post = capped.select(
+            "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("k")
+        )
+    else:
+        postings = prepped.select(
+            "doc_id", F.explode("sh").alias("k")
+        ).join(stop, "k", "left_anti")
+        sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        post = postings.join(sizes, "doc_id")
+    pa, pb = post.alias("pa"), post.alias("pb")
     # pack the (doc_a, doc_b) pair into ONE long group key (ids are
-    # < 2^31 by construction: table ids + the 1e7/2e7 copy offsets),
-    # halving the width of the co-occurrence count's shuffle — the
-    # single most expensive exchange here (~5M rows at sf0.1)
+    # < 2^31 by construction: table ids + the 1e7/2e7 copy offsets);
+    # na/nb ride as first() aggregates (functionally determined by the
+    # key), map-side-combined like the count itself
     inter = (
         pa.join(
             pb,
             (F.col("pa.k") == F.col("pb.k"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pa.n").cast("double") * threshold <= F.col("pb.n"))
+            & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n")),
         )
         .select(
-            (F.shiftleft(F.col("pa.doc_id"), 32) + F.col("pb.doc_id")).alias("ab")
+            (F.shiftleft(F.col("pa.doc_id"), 32) + F.col("pb.doc_id")).alias("ab"),
+            F.col("pa.n").alias("na"),
+            F.col("pb.n").alias("nb"),
         )
         .groupBy("ab")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .select(
-            F.shiftright("ab", 32).alias("doc_a"),
-            F.col("ab").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
-            "inter",
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
     )
-    pairs = inter.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
-    ).join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
     jaccard = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
-    threshold = _JACCARD_MIN if jaccard_min is None else jaccard_min
-    return pairs.select("doc_a", "doc_b", jaccard.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
-    )
+    return inter.select(
+        F.shiftright("ab", 32).alias("doc_a"),
+        F.col("ab").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+        jaccard.alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 @register("dedup_ngram_jaccard", oracle=_ALL_PAIRS_ORACLE)
@@ -316,20 +342,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the naive unblocked all-pairs answer, so the driver's hash
     equality *proves* the formulation loses no pair.
 
-    Perf: the cost IS the postings self-join's 5.1M co-occurrence
-    rows -> 4.37M-group count; r6 made the cheapest measured
-    formulation the default (sizes-from-array when the df cap doesn't
-    bind + packed 1-long pair key with sizes riding the group key —
-    see _exact_jaccard_pairs; ~4.4-5.4 s -> ~3.7-4.2 s steady-state at
-    sf0.1). Alternatives built and measured in r5, all slower on THIS
+    Perf: the cost IS the postings self-join's co-occurrence rows ->
+    per-pair count; r7 promoted the cheapest measured formulation
+    (sizes riding the postings off a broadcast stop-array, size
+    filter inside the join — see _exact_jaccard_pairs; pair-join
+    medians 3.6 s -> 1.5-1.8 s at sf0.1, tools/exp_pairjoin.py).
+    Alternatives built and measured across r5-r7, all slower on THIS
     corpus: hash-order AllPairs/PPJoin prefix+positional+size
     filtering (815k candidates, ~10 s), df-ascending PPJoin (482k
     candidates, ~9 s — the synthetic corpus's shingle df is flat
     [1..50, mean 19], so "rare prefix" buys nothing and the per-doc
-    df-rank costs a window), post-agg min-inter pruning (noise). On a
-    Zipfian real corpus the prefix paths win and _prefix_filter_pairs
-    is the drop-in; at 100 TB the df cap bounds the join regardless of
-    distribution."""
+    df-rank costs a window), post-agg min-inter pruning (noise),
+    join-free grouped-pair generation via a nested higher-order
+    flatten (2.9 s). On a Zipfian real corpus the prefix paths win and
+    _prefix_filter_pairs is the drop-in; at 100 TB the df cap bounds
+    the join regardless of distribution."""
     prepped = _shingled_corpus(spark, sf_dir).persist()
     prepped.count()
     return _exact_jaccard_pairs(prepped)
@@ -666,13 +693,27 @@ def connected_components(
     # one eager materialization of the pair pipeline into the cache;
     # every loop round (two subtrees each) then reads cached blocks
     edges.count()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("canonical_id"))
+    # round 1, fused into initialization: under identity labels the
+    # neighbor message for dst is just src, so the first propagation
+    # needs no join and no distinct — ONE shuffle (the groupBy) builds
+    # the after-round-1 labels directly from the symmetrized edges
+    # (src covers every incident node, supplying the self-message).
+    # r7: the explicit identity-init + join round cost 1.6 s of pure
+    # tiny-stage overhead at sf0.1; fusing drops it to the groupBy.
+    labels = _truncate_lineage(
+        edges.select(F.col("dst").alias("doc_id"), F.col("src").alias("canonical_id"))
+        .unionAll(
+            edges.select(
+                F.col("src").alias("doc_id"), F.col("src").alias("canonical_id")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min("canonical_id").alias("canonical_id")),
+        reliable_checkpoint,
+        eager=False,
     )
-    prev_sum: int | None = None
-    for _ in range(max_rounds):
+    prev_sum = labels.agg(F.sum("canonical_id")).collect()[0][0]
+    for _ in range(max_rounds - 1):
         neighbor_msgs = labels.join(edges, labels.doc_id == edges.src).select(
             F.col("dst").alias("doc_id"), "canonical_id"
         )
