@@ -173,6 +173,10 @@ _REGRESSION_MIN_DELTA = 0.5
 #: 0.511->2.826 s when its real prior was 0.511+1.930).
 _CONSTITUENTS: dict[str, list[str]] = {
     "dedup_exact_suite": ["dedup_exact", "dedup_incremental"],
+    # r7: the full-corpus pair join gained an incremental-vs-index
+    # sibling; against pre-r7 baselines the fair prior is the full
+    # variant's time alone (the suite does strictly more work)
+    "dedup_ngram_suite": ["dedup_ngram_jaccard"],
     # r6 (late): doc_profile further absorbed redact_pii (freed the
     # slot for stream_curated_ingest); its fair prior against an r6
     # baseline is doc_profile + redact_pii, against pre-merge rounds

@@ -334,7 +334,6 @@ def _exact_jaccard_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
-@register("dedup_ngram_jaccard", oracle=_ALL_PAIRS_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs word-3-gram Jaccard near-dup join WITHOUT the
     all-pairs cross join: an inverted-index postings self-join, which
@@ -360,6 +359,298 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepped = _shingled_corpus(spark, sf_dir).persist()
     prepped.count()
     return _exact_jaccard_pairs(prepped)
+
+
+# --- persisted near-dup index (batch-vs-corpus incremental dedup) ---------
+
+_STOP_SCHEMA = "k long"
+_POSTINGS_SCHEMA = "doc_id long, n int, k long"
+
+
+def build_dedup_index(docs: DataFrame, path: str) -> None:
+    """Materialize the standing corpus's near-dup index as two parquet
+    tables under ``path``: ``stop`` (the over-df-cap shingle
+    fingerprints — the frozen vocabulary policy) and ``postings``
+    (doc_id, n, k: one row per kept shingle, with the doc's capped
+    shingle-set size riding every row, the shape
+    :func:`_exact_jaccard_pairs` showed cheapest for the pair join).
+
+    This is the near-dup sibling of similarity.build_ivf_index: a
+    daily-ingest pipeline shingles the standing corpus ONCE at build
+    time; every later batch is deduped against the stored postings
+    without re-shingling or re-pairing the corpus
+    (:func:`dedup_against_index`) and appended via
+    :func:`extend_dedup_index`. At 100 TB, lay ``postings`` out
+    bucketed by ``k`` (sinks/bucketed.py) so the per-batch pair join
+    co-locates without shuffling the stored side."""
+    spark = docs.sparkSession
+    prepped = shingle_docs(docs).persist()
+    prepped.count()
+    try:
+        (
+            prepped.select(F.explode("sh").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > _DF_CAP)
+            .select("k")
+            .write.mode("overwrite")
+            .parquet(f"{path}/stop")
+        )
+        # cap against the WRITTEN stop set (re-read, not the lineage):
+        # the stored index is the source of truth searches will read
+        stop_arr = (
+            spark.read.schema(_STOP_SCHEMA)
+            .parquet(f"{path}/stop")
+            .agg(F.collect_list("k").alias("stop"))
+        )
+        (
+            prepped.crossJoin(F.broadcast(stop_arr))
+            .select("doc_id", F.array_except("sh", "stop").alias("sh"))
+            .select(
+                "doc_id",
+                F.size("sh").cast("int").alias("n"),
+                F.explode("sh").alias("k"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+    finally:
+        prepped.unpersist()
+
+
+def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
+    """Append newly-accepted documents to a persisted near-dup index
+    WITHOUT rebuilding: shingle the batch, drop the STORED stop
+    shingles (frozen vocabulary — the same incremental-ingest trade as
+    similarity.extend_ivf_index's frozen centroids: document frequency
+    drifts as the corpus grows, a periodic build_dedup_index rebuild
+    re-freezes it), and append (doc_id, n, k) posting rows. One linear
+    pass over the batch; nothing existing is rewritten. Caller
+    contract: batch doc_ids are disjoint from every id already in the
+    index."""
+    spark = new_docs.sparkSession
+    stop_arr = (
+        spark.read.schema(_STOP_SCHEMA)
+        .parquet(f"{path}/stop")
+        .agg(F.collect_list("k").alias("stop"))
+    )
+    (
+        shingle_docs(new_docs)
+        .crossJoin(F.broadcast(stop_arr))
+        .select("doc_id", F.array_except("sh", "stop").alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").cast("int").alias("n"),
+            F.explode("sh").alias("k"),
+        )
+        .write.mode("append")
+        .parquet(f"{path}/postings")
+    )
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    path: str,
+    batch_docs: DataFrame,
+    jaccard_min: float | None = None,
+) -> DataFrame:
+    """Near-dedup an incoming batch against a persisted index: every
+    exact word-3-gram Jaccard >= t pair (doc_a, doc_b, jaccard) that
+    involves AT LEAST ONE batch document — batch-vs-corpus matches
+    (redeliveries and near-copies of archived docs) and batch-vs-batch
+    matches (duplicates within the day's ingest), in one pair join.
+    Corpus-vs-corpus pairs are excluded by construction: the join
+    keeps a pair only if either side is new, a pair-level predicate
+    (it depends only on the doc ids) applied inside the join, so
+    surviving co-occurrence counts stay complete.
+
+    THE capability gap this closes (r6 verdict #1): full-corpus
+    near-dedup re-runs the whole pair join per ingest —
+    O(corpus-pairs) daily. Here the corpus contributes only stored
+    posting rows whose shingle occurs in the batch (a semi-join on the
+    batch's distinct fingerprints prunes the stored side before the
+    pair join), so pair-join work is proportional to the BATCH and
+    its collision neighborhood, not the corpus — measured in
+    tools/scale_probe.py as the dedup_vs_index series (fixed batch,
+    growing indexed corpus). The stored side is read, never
+    re-shingled; with postings bucketed by ``k`` the stored side
+    doesn't even shuffle.
+
+    Completeness is the postings-join theorem restricted: a pair with
+    J >= t > 0 shares a kept shingle, and both sides of that shingle's
+    postings are present (batch side computed now under the frozen
+    stop set, corpus side stored with sizes over the same
+    vocabulary). The driver's oracle row (dedup_ngram_suite
+    'incremental') hash-proves this equals the full-corpus all-pairs
+    answer restricted to batch-touching pairs."""
+    threshold = _JACCARD_MIN if jaccard_min is None else jaccard_min
+    stop_arr = (
+        spark.read.schema(_STOP_SCHEMA)
+        .parquet(f"{path}/stop")
+        .agg(F.collect_list("k").alias("stop"))
+    )
+    batch_post = (
+        shingle_docs(batch_docs)
+        .crossJoin(F.broadcast(stop_arr))
+        .select("doc_id", F.array_except("sh", "stop").alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").cast("int").alias("n"),
+            F.explode("sh").alias("k"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    corpus_post = (
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .parquet(f"{path}/postings")
+        .join(batch_post.select("k").distinct(), "k", "left_semi")
+        .select("doc_id", "n", "k", F.lit(False).alias("is_new"))
+    )
+    post = batch_post.unionByName(corpus_post)
+    pa, pb = post.alias("pa"), post.alias("pb")
+    inter = (
+        pa.join(
+            pb,
+            (F.col("pa.k") == F.col("pb.k"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.col("pa.is_new") | F.col("pb.is_new"))
+            & (F.col("pa.n").cast("double") * threshold <= F.col("pb.n"))
+            & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n")),
+        )
+        .select(
+            (F.shiftleft(F.col("pa.doc_id"), 32) + F.col("pb.doc_id")).alias("ab"),
+            F.col("pa.n").alias("na"),
+            F.col("pb.n").alias("nb"),
+        )
+        .groupBy("ab")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return inter.select(
+        F.shiftright("ab", 32).alias("doc_a"),
+        F.col("ab").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+        jaccard.alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+# --- the registered ngram family: full + incremental-vs-index -------------
+
+#: the incremental scenario's third id layer (exact within-batch dup)
+_DUP_OFFSET2 = 2 * _DUP_OFFSET
+
+#: all-pairs oracle over the incremental scenario corpus, restricted
+#: to pairs touching the batch — the ground truth dedup_against_index
+#: must reproduce without ever pairing corpus-vs-corpus
+_INCREMENTAL_PAIRS_ORACLE = f"""
+    WITH inc_all AS (
+        SELECT doc_id, {_toks_sql()} AS toks, FALSE AS is_new
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, {_toks_sql()}, TRUE
+        FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + {_DUP_OFFSET},
+               list_slice({_toks_sql()}, 1,
+                          greatest(len({_toks_sql()}) - {_DROP}, 1)), TRUE
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + {_DUP_OFFSET2}, {_toks_sql()}, TRUE
+        FROM documents WHERE doc_id % 4 = 1
+    ),
+    inc_prepped AS (
+        SELECT doc_id, is_new, {_shingles_sql('toks')} AS sh FROM inc_all
+    ),
+    inc_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+               len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+        FROM inc_prepped a JOIN inc_prepped b
+          ON a.doc_id < b.doc_id AND (a.is_new OR b.is_new)
+    )
+    SELECT doc_a, doc_b,
+           (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS jaccard
+    FROM inc_pairs
+    WHERE (CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) >= {_JACCARD_MIN}
+"""
+
+#: per-process cache of built dedup-index locations per corpus dir —
+#: the build-once/search-many posture, same as similarity._INDEX_PATHS
+_DEDUP_INDEX_PATHS: dict[str, str] = {}
+
+
+def _incremental_scenario(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic archive/batch split for the incremental row:
+    even doc_ids play the standing (indexed) corpus; the batch is the
+    odd originals, a last-2-tokens-dropped near-dup of every
+    doc_id%4==0 archive doc (must match its archive original —
+    batch-vs-corpus), and an exact copy of every doc_id%4==1 batch doc
+    (must match within the batch — batch-vs-batch)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _toks()
+    archive = docs.where(F.col("doc_id") % 2 == 0)
+    near = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - _DROP, F.lit(1))), " "
+        ).alias("text"),
+    )
+    exact = docs.where(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + _DUP_OFFSET2).alias("doc_id"), "text"
+    )
+    batch = docs.where(F.col("doc_id") % 2 == 1).unionAll(near).unionAll(exact)
+    return archive, batch
+
+
+@register(
+    "dedup_ngram_suite",
+    oracle=f"""
+        SELECT 'full' AS variant, doc_a, doc_b, jaccard
+        FROM ({_ALL_PAIRS_ORACLE})
+        UNION ALL
+        SELECT 'incremental', doc_a, doc_b, jaccard
+        FROM ({_INCREMENTAL_PAIRS_ORACLE})
+    """,
+    headline=True,
+)
+def dedup_ngram_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard near-dup family, one registration (r7 fold —
+    registry stays at the driver's 50-row window):
+
+    - ``full``: :func:`dedup_ngram_jaccard` — the complete pair set
+      over the whole corpus, vs the unblocked all-pairs oracle.
+    - ``incremental``: the daily-ingest shape — build_dedup_index over
+      the archive half (cached per process: the production posture is
+      build-once/search-many, so repeated calls measure the search,
+      like the ANN index rows), then dedup_against_index for a batch
+      of new docs + near/exact redeliveries. The oracle is the FULL
+      all-pairs answer over archive∪batch restricted to batch-touching
+      pairs, so the hash equality proves index search == full dedup —
+      at batch cost, not corpus cost (scale probe series
+      dedup_vs_index)."""
+    full = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("full").alias("variant"), "doc_a", "doc_b", "jaccard"
+    )
+    archive, batch = _incremental_scenario(spark, sf_dir)
+    path = _DEDUP_INDEX_PATHS.get(sf_dir)
+    if path is None:
+        from ..tmpdirs import scratch_dir
+
+        path = scratch_dir("dedup_index_")
+        build_dedup_index(archive, path)
+        _DEDUP_INDEX_PATHS[sf_dir] = path
+    incr = dedup_against_index(spark, path, batch).select(
+        F.lit("incremental").alias("variant"), "doc_a", "doc_b", "jaccard"
+    )
+    return full.unionAll(incr)
 
 
 # --- MinHash-LSH near-dup (pyspark.ml, exact-verified) --------------------
@@ -405,16 +696,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined postings count (9 s). The skinny-postings count
     is the robust default; both shapes stay linear, never
     all-pairs."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
     prepped = _shingled_corpus(spark, sf_dir).persist()
     prepped.count()
+    cands = minhash_candidate_pairs(prepped).unionAll(_prefix_filter_pairs(prepped))
+    return _exact_jaccard_pairs(prepped).join(cands, ["doc_a", "doc_b"], "left_semi")
+
+
+def minhash_candidate_pairs(
+    prepped: DataFrame, cleanup: list[DataFrame] | None = None
+) -> DataFrame:
+    """The MinHash-LSH candidate generation on a persisted
+    (doc_id, sh) frame: HashingTF features -> MinHash signatures ->
+    banded bucket self-join -> distinct candidate (doc_a, doc_b)
+    pairs. Factored out of the registered query (r7) so the scale
+    probe can measure the LSH path on an inflated corpus directly;
+    pass ``cleanup`` to receive the internal features cache for
+    release once results materialize."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
     # materialize once: both sides of the similarity self-join (and the
     # fit) reuse the shingled/hashed frame instead of recomputing it
     feats = tf.transform(prepped).persist()
     feats.count()
+    if cleanup is not None:
+        cleanup.append(feats)
     lsh = MinHashLSH(
         inputCol="features",
         outputCol="hashes",
@@ -443,8 +749,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
     )
-    cands = lsh_pairs.unionAll(_prefix_filter_pairs(prepped))
-    return _exact_jaccard_pairs(prepped).join(cands, ["doc_a", "doc_b"], "left_semi")
+    return lsh_pairs
 
 
 # --- SimHash near-dup -----------------------------------------------------

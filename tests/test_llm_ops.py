@@ -475,3 +475,78 @@ def test_ivf_index_incremental_extend(spark, tmp_path):
         for r in cells.join(b.select("vec_id"), "vec_id", "left_semi").collect()
     }
     assert got_b == want_b
+
+
+def test_dedup_index_incremental_extend(spark, tmp_path):
+    """Persisted near-dup index properties (the sibling of the IVF
+    extension pins): (1) search equivalence — deduping a batch against
+    build(archive) answers exactly the full-corpus pair join over
+    archive∪batch restricted to batch-touching pairs; (2) extension —
+    after extend_dedup_index(batch1), a later batch2 search surfaces
+    its matches against batch1 docs, and build(A)+extend(B) equals
+    build(A∪B) for the same searches (the corpus's df cap never binds
+    here, so the frozen stop set is identical either way)."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        _exact_jaccard_pairs,
+        build_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+        shingle_docs,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    archive = docs.where(F.col("doc_id") % 2 == 0)
+    batch1 = docs.where(F.col("doc_id") % 4 == 1)
+    # batch2 includes a near-dup of an ARCHIVE doc and of a BATCH1 doc
+    near = lambda src, off: src.select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    batch2 = (
+        docs.where(F.col("doc_id") % 4 == 3)
+        .unionAll(near(archive.where(F.col("doc_id") % 8 == 0), 40_000_000))
+        .unionAll(near(batch1.where(F.col("doc_id") % 8 == 1), 50_000_000))
+    )
+
+    # (1) search == full dedup restricted to batch-touching pairs
+    one = str(tmp_path / "one")
+    build_dedup_index(archive, one)
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dedup_against_index(spark, one, batch1).collect()
+    }
+    prepped = shingle_docs(archive.unionAll(batch1)).persist()
+    prepped.count()
+    batch_ids = {r.doc_id for r in batch1.select("doc_id").collect()}
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in _exact_jaccard_pairs(prepped).collect()
+        if r.doc_a in batch_ids or r.doc_b in batch_ids
+    }
+    prepped.unpersist()
+    assert got == want
+
+    # (2) extend == rebuild, and batch2 sees batch1 through the index
+    extend_dedup_index(batch1, one)
+    two = str(tmp_path / "two")
+    build_dedup_index(archive.unionAll(batch1), two)
+    got_ext = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dedup_against_index(spark, one, batch2).collect()
+    }
+    got_rebuilt = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dedup_against_index(spark, two, batch2).collect()
+    }
+    assert got_ext == got_rebuilt and len(got_ext) > 0
+    b1_ids = {r.doc_id for r in batch1.select("doc_id").collect()}
+    assert any(a in b1_ids or b in b1_ids for a, b, _ in got_ext), (
+        "extension must make batch1 docs visible to later searches"
+    )

@@ -440,6 +440,118 @@ def test_windowed_agg_on_rocksdb_state_store(tmp_path):
     assert (_t(0, 0), "a", 10.0, "rocks_test") in seen
 
 
+def test_interval_join_production_profile_evicts_state(tmp_path):
+    """The PRODUCTION profile of the stream-stream interval join
+    (queries/stream.py's near_errors shape): a TIGHT watermark and the
+    RocksDB state store provider, with state EVICTION pinned — buffered
+    join rows must drop once the watermark passes the range bound, the
+    way test_watermark_drops_late_rows pins it for aggregations. The
+    registered suite runs the same join with a generous watermark
+    because a bounded replay must not drop out-of-order rows; this test
+    is the executable answer to 'what do those lines look like with
+    real unbounded state', r6 verdict #5. Own session: the state
+    provider is a session-level conf."""
+    from kcbdml9_big_data_processing_spark.session import get_spark
+
+    spark2 = get_spark(
+        app_name="interval_join_prod", shuffle_partitions=4, rocksdb_state=True
+    )
+    assert "RocksDB" in spark2.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    side = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("user", T.StringType(), True),
+            T.StructField("id", T.LongType(), True),
+        ]
+    )
+
+    def write(path, rows):
+        spark2.createDataFrame(rows, side).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    # batch 1: a matching pair within the +/-60s bound
+    write(left_dir, [(_t(0, 10), "u1", 1)])
+    write(right_dir, [(_t(0, 20), "u1", 101)])
+
+    left = read_file_stream(spark2, left_dir, side, fmt="parquet").withWatermark(
+        "ts", "30 seconds"
+    )
+    right = (
+        read_file_stream(spark2, right_dir, side, fmt="parquet")
+        .select(
+            F.col("ts").alias("r_ts"),
+            F.col("user").alias("r_user"),
+            F.col("id").alias("r_id"),
+        )
+        .withWatermark("r_ts", "30 seconds")
+    )
+    joined = left.join(
+        right,
+        (left.user == F.col("r_user"))
+        & (F.col("r_ts") >= left.ts - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("r_ts") <= left.ts + F.expr("INTERVAL 60 SECONDS")),
+        "inner",
+    ).select("id", "r_id")
+
+    got: list[tuple] = []
+    state_totals: list[int] = []
+
+    def sink(batch_df, batch_id):
+        got.extend((r["id"], r["r_id"]) for r in batch_df.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .queryName("interval_join_prod")
+        .start()
+    )
+
+    def drain():
+        q.processAllAvailable()
+        prog = q.lastProgress
+        if prog and prog["stateOperators"]:
+            state_totals.append(prog["stateOperators"][0]["numRowsTotal"])
+
+    try:
+        drain()
+        assert got == [(1, 101)]
+        # batch 2: far-future rows on BOTH sides push both watermarks
+        # ~30 min ahead — every batch-1 row is now past watermark -
+        # 60s range bound, i.e. eligible for eviction
+        write(left_dir, [(_t(30, 0), "u9", 2)])
+        write(right_dir, [(_t(30, 0), "u8", 102)])
+        drain()
+        # batch 3: another advancing batch makes the eviction
+        # observable in numRowsTotal (eviction applies when the
+        # updated watermark takes effect in the following batch)
+        write(left_dir, [(_t(31, 0), "u9", 3)])
+        write(right_dir, [(_t(31, 0), "u8", 103)])
+        drain()
+        # a LATE left row matching batch 1's right side: its partner
+        # was evicted, and the row itself is behind the watermark —
+        # no resurrected match may appear
+        write(left_dir, [(_t(0, 30), "u1", 4)])
+        drain()
+    finally:
+        q.stop()
+
+    assert got == [(1, 101)], f"late row must not match evicted state: {got}"
+    # Eviction observed, not assumed: 6 rows entered the join across
+    # batches 1-3 (the late batch-4 row is dropped before state), yet
+    # state holds fewer — batch 1's pair is gone once both watermarks
+    # passed its range bound. Measured trace: [2, 2, 4, 4] — drain 2
+    # would read 4 without eviction, the final drains 6.
+    assert len(state_totals) >= 3
+    assert state_totals[0] == 2, f"batch 1 must buffer both sides: {state_totals}"
+    assert state_totals[1] < 4, f"batch-1 state not evicted: {state_totals}"
+    assert state_totals[-1] < 6, f"join state never shrank: {state_totals}"
+
+
 # --- Kafka wire-schema contract (S1 depth) --------------------------------
 
 #: the exact column set + types the spark-sql-kafka source yields

@@ -91,11 +91,15 @@ def main() -> None:
     )
     from kcbdml9_big_data_processing_spark.queries.dedup import (
         _exact_jaccard_pairs,
+        build_dedup_index,
         connected_components,
+        dedup_against_index,
+        minhash_candidate_pairs,
         shingle_docs,
     )
     from kcbdml9_big_data_processing_spark.session import get_spark
     from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+    from kcbdml9_big_data_processing_spark.tmpdirs import scratch_dir
 
     spark = get_spark(app_name="scale_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -136,29 +140,160 @@ def main() -> None:
         _, decisions = TrainingDataCurator().run(corpus, cleanup=cleanup)
         return decisions, cleanup
 
-    OPS = {
-        "exact_dedup": lambda c: (exact_dedup(c), []),
-        "ngram_jaccard_pairs": ngram_pairs,
-        "dedup_clusters": clusters,
-        "curation_run": curator,
-    }
+    def minhash(corpus):
+        prepped = shingle_docs(corpus).persist()
+        prepped.count()
+        cleanup = [prepped]
+        return minhash_candidate_pairs(prepped, cleanup=cleanup), cleanup
 
     base = read_table(spark, args.sf, "documents").select("doc_id", "text")
-    results: dict[str, list[dict]] = {}
-    for name, make in OPS.items():
-        series = []
-        for mult in MULTS:
+    emb_base = read_table(spark, args.sf, "embeddings").select("vec_id", "embedding")
+
+    # --- runner plumbing: each op yields, per mult, an (input-rows,
+    # timed-run, teardown) triple; index builds / sink writes happen
+    # in the UNTIMED prepare so the series measures the recurring cost
+    # (the search / the stream), matching how the operator amortizes
+    # in production ---------------------------------------------------
+
+    def docs_op(make):
+        def runner(mult):
             corpus = _inflate(base, mult).persist()
             n = corpus.count()
+
+            def one():
+                out, cleanup = make(corpus)
+                out.write.mode("overwrite").format("noop").save()
+                for f in cleanup:
+                    f.unpersist()
+
+            return n, one, corpus.unpersist
+
+        return runner
+
+    def vs_index_runner(mult):
+        """Fixed batch vs a growing INDEXED corpus — the incremental
+        ingest shape: cost must track the batch, not the corpus."""
+        corpus = _inflate(base, mult).persist()
+        n = corpus.count()
+        path = scratch_dir(f"probe_dedup_idx_{mult}_")
+        build_dedup_index(corpus, path)
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        batch = base.where(F.col("doc_id") % 16 == 1).select(
+            (F.col("doc_id") + 90_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+            ).alias("text"),
+        )
+
+        def one():
+            dedup_against_index(spark, path, batch).write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        return n, one, corpus.unpersist
+
+    def _inflate_emb(emb, mult):
+        layers = [emb]
+        for k in range(1, mult):
+            layers.append(
+                emb.select(
+                    (F.col("vec_id") + 100_000_000 * k).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x: (x + F.lit(0.001 * k)).cast("float"),
+                    ).alias("embedding"),
+                )
+            )
+        out = layers[0]
+        for layer in layers[1:]:
+            out = out.unionAll(layer)
+        return out
+
+    def ivf_search_runner(mult):
+        """Fixed probe set vs a growing persisted IVF index. With K
+        fixed, search touches ~nprobe/K of the corpus, so the honest
+        expectation is ~linear (exponent ~1) with a K-sized constant —
+        the sub-linear knob is growing K with the corpus; what the
+        series guards against is anything super-linear."""
+        from kcbdml9_big_data_processing_spark.queries.similarity import (
+            build_ivf_index,
+            search_ivf_index,
+        )
+
+        corpus = _inflate_emb(emb_base, mult).persist()
+        n = corpus.count()
+        path = scratch_dir(f"probe_ivf_{mult}_")
+        build_ivf_index(corpus, path)
+        probes = emb_base.where(F.col("vec_id") % 100 == 0)
+
+        def one():
+            search_ivf_index(spark, path, probes, corpus).write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        return n, one, corpus.unpersist
+
+    def stream_runner(mult):
+        """The A1 windowed metric as a real bounded StreamExecution
+        over an inflated events table (replay + state + complete-mode
+        drain) — streaming cost must stay linear in the replayed
+        input."""
+        import glob as _glob
+        import shutil
+
+        from kcbdml9_big_data_processing_spark.queries.stream import (
+            stream_bytes_antenna_90s,
+        )
+
+        ev = read_table(spark, args.sf, "events")
+        layers = [ev]
+        for k in range(1, mult):
+            layers.append(
+                ev.withColumn(
+                    "event_id", F.col("event_id") + 1_000_000_000 * k
+                )
+            )
+        inflated = layers[0]
+        for layer in layers[1:]:
+            inflated = inflated.unionAll(layer)
+        sdir = scratch_dir(f"probe_stream_{mult}_")
+        tmp_out = f"{sdir}/_ev_out"
+        inflated.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        # the stream source globs for a single file named
+        # events.parquet (the driver testdata layout)
+        part = _glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        shutil.move(part, f"{sdir}/events.parquet")
+        n = mult * ev.count()
+
+        def one():
+            stream_bytes_antenna_90s(spark, sdir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        return n, one, lambda: None
+
+    OPS = {
+        "exact_dedup": docs_op(lambda c: (exact_dedup(c), [])),
+        "ngram_jaccard_pairs": docs_op(ngram_pairs),
+        "minhash_lsh_candidates": docs_op(minhash),
+        "dedup_clusters": docs_op(clusters),
+        "curation_run": docs_op(curator),
+        "dedup_vs_index": vs_index_runner,
+        "ivf_index_search": ivf_search_runner,
+        "stream_bytes_90s": stream_runner,
+    }
+
+    results: dict[str, list[dict]] = {}
+    for name, runner in OPS.items():
+        series = []
+        for mult in MULTS:
+            n, one, teardown = runner(mult)
             samples = []
             for _ in range(args.runs):
                 t0 = time.time()
-                out, cleanup = make(corpus)
-                out.write.mode("overwrite").format("noop").save()
+                one()
                 samples.append(round(time.time() - t0, 3))
-                for f in cleanup:
-                    f.unpersist()
-            corpus.unpersist()
+            teardown()
             spark.catalog.clearCache()
             med = sorted(samples)[len(samples) // 2]
             series.append({"mult": mult, "rows": n, "sec": med, "samples": samples})
