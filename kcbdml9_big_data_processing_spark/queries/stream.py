@@ -16,6 +16,8 @@ controlled.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,6 +27,38 @@ from ..sources.parquet import read_table
 from ..streaming.sources import read_documents_stream, read_events_stream
 from .parity import NINETY_SECONDS, _metric_oracle
 from .registry import register
+
+
+#: state partition count for the BOUNDED replays in this module.
+#: Stateful operators fix their state partitioning from
+#: spark.sql.shuffle.partitions when the query first starts (it is
+#: recorded in the checkpoint), and every micro-batch then pays a
+#: state-store open/maintain/commit per partition — a fixed cost that
+#: dwarfs the actual state at replay scale. Measured at sf0.1
+#: (tools/exp_stream_parts.py, median of 3): stream_join_suite
+#: 11.4 s @ 32 partitions -> 4.6 @ 16 -> 2.8 @ 8 -> 2.3 @ 4;
+#: stream_bytes_90s_suite 3.6 -> 2.2 -> 1.8 -> 1.7. Partitioning is
+#: by key hash either way, so results are identical (the oracle rows
+#: prove it). 8 keeps headroom for parallelism at these sizes; a
+#: PRODUCTION stream sizes this to state volume / executor count at
+#: its own start — it is a per-query knob, not an engine constant.
+_BOUNDED_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _bounded_state_partitions(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions to _BOUNDED_STATE_PARTITIONS
+    while the bounded stream(s) start AND drain — the conf is read
+    when the first micro-batch is constructed (async after start()),
+    so it must hold until awaitTermination returns; the prior value is
+    restored for the batch post-processing and whatever runs next."""
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, str(_BOUNDED_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
 
 
 def _start_bounded_metric(spark: SparkSession, sf_dir: str, key, tag: str, name: str):
@@ -51,7 +85,8 @@ def _run_bounded_metric(
 ) -> DataFrame:
     """Run one windowed metric as a bounded stream into a complete-mode
     memory sink; return the sink table."""
-    _start_bounded_metric(spark, sf_dir, key, tag, name).awaitTermination()
+    with _bounded_state_partitions(spark):
+        _start_bounded_metric(spark, sf_dir, key, tag, name).awaitTermination()
     return spark.table(name)
 
 
@@ -130,7 +165,8 @@ def _start_app_metric(spark: SparkSession, sf_dir: str):
 def stream_bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 as true streaming: the key comes out of the JSON payload
     (P3) on the stream before windowing."""
-    _start_app_metric(spark, sf_dir).awaitTermination()
+    with _bounded_state_partitions(spark):
+        _start_app_metric(spark, sf_dir).awaitTermination()
     return spark.table("stream_app_90s")
 
 
@@ -158,17 +194,18 @@ def stream_bytes_90s_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (their fixed startup + replay cost overlaps; measured ~5.8 s
     serialized -> ~3 s concurrent at sf0.1) — same pattern a real
     multi-query streaming job uses (streaming/job.py)."""
-    queries = [
-        _start_bounded_metric(
-            spark, sf_dir, "event_type", "antenna_bytes_total", "stream_antenna_90s"
-        ),
-        _start_bounded_metric(
-            spark, sf_dir, "user_id", "user_bytes_total", "stream_user_90s"
-        ),
-        _start_app_metric(spark, sf_dir),
-    ]
-    for q in queries:
-        q.awaitTermination()
+    with _bounded_state_partitions(spark):
+        queries = [
+            _start_bounded_metric(
+                spark, sf_dir, "event_type", "antenna_bytes_total", "stream_antenna_90s"
+            ),
+            _start_bounded_metric(
+                spark, sf_dir, "user_id", "user_bytes_total", "stream_user_90s"
+            ),
+            _start_app_metric(spark, sf_dir),
+        ]
+        for q in queries:
+            q.awaitTermination()
     return (
         spark.table("stream_antenna_90s")
         .unionAll(spark.table("stream_user_90s"))
@@ -200,8 +237,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir)
     )
     deduped = doubled.dropDuplicates(["event_id"])
-    q, read_back = _drain_to_parquet(deduped, "stream_dedup_events")
-    q.awaitTermination()
+    with _bounded_state_partitions(spark):
+        q, read_back = _drain_to_parquet(deduped, "stream_dedup_events")
+        q.awaitTermination()
     return read_back()
 
 
@@ -248,8 +286,9 @@ def stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_documents_stream(spark, sf_dir)
     )
     curated = curate_stream(doubled)
-    q, read_back = _drain_to_parquet(curated.drop("ts"), "stream_curated_ingest")
-    q.awaitTermination()
+    with _bounded_state_partitions(spark):
+        q, read_back = _drain_to_parquet(curated.drop("ts"), "stream_curated_ingest")
+        q.awaitTermination()
     return read_back()
 
 
@@ -349,7 +388,6 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("event_id", "r_id")
-    q1, read_pairs = _drain_to_parquet(pairs, "stream_join_pairs")
     # stream-static: events enriched with the customer dim (broadcast
     # per micro-batch; the stream side never shuffles)
     cust = read_table(spark, sf_dir, "customer").select(
@@ -360,9 +398,11 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, "user_id")
         .select("event_id", F.col("c_name").alias("k"), F.col("value").alias("v"))
     )
-    q2, read_enrich = _drain_to_parquet(enriched, "stream_join_enrich")
-    q1.awaitTermination()
-    q2.awaitTermination()
+    with _bounded_state_partitions(spark):
+        q1, read_pairs = _drain_to_parquet(pairs, "stream_join_pairs")
+        q2, read_enrich = _drain_to_parquet(enriched, "stream_join_enrich")
+        q1.awaitTermination()
+        q2.awaitTermination()
     near = (
         read_pairs()
         .groupBy("event_id")
