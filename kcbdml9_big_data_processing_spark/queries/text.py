@@ -439,23 +439,47 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     char-biGRAM profile intersection size (language_id_ngram) — ten
     score columns per document, argmax/ensembling left to the caller.
     All per-row array expressions, shuffle-free at any corpus size;
-    one projection instead of two passes."""
+    one projection instead of two passes.
+
+    r7: the token and bigram arrays are BOUND once per row and the ten
+    score columns come out of one ``inline(array(struct))`` generator —
+    ten independent columns would each re-inline their source array
+    expression (interpreted higher-order exprs get no CSE — see
+    repetition_signals). Honest measurement: 2.4 -> 2.1 s at sf0.1 —
+    the dominant cost here is the score arithmetic itself (tokens x
+    profile-size membership scans), not the array construction, so
+    the binding is a correctness-of-shape fix more than a speedup;
+    the generator (``inline``) is the one construct that expands a
+    struct to columns while evaluating its input once."""
     docs = read_table(spark, sf_dir, "documents")
     toks = _tokens()
     grams = F.expr(
         "array_distinct(transform(sequence(1, greatest(length(text) - 1, 1)),"
         " i -> substring(text, i, 2)))"
     )
-    cols = [F.col("doc_id"), F.col("lang")]
-    for lang in sorted(_LANG_PROFILES):
-        profile = F.array([F.lit(w) for w in _LANG_PROFILES[lang]])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
-        cols.append(score.cast("long").alias(f"word_{lang}"))
-    for lang in sorted(_BIGRAM_PROFILES):
-        profile = F.array([F.lit(b) for b in _BIGRAM_PROFILES[lang]])
-        score = F.size(F.array_intersect(grams, profile))
-        cols.append(score.cast("long").alias(f"ngram_{lang}"))
-    return docs.select(*cols)
+
+    def scores(b):
+        fields = []
+        for lang in sorted(_LANG_PROFILES):
+            profile = F.array([F.lit(w) for w in _LANG_PROFILES[lang]])
+            fields.append(
+                F.size(F.filter(b["t"], lambda t: F.array_contains(profile, t)))
+                .cast("long")
+                .alias(f"word_{lang}")
+            )
+        for lang in sorted(_BIGRAM_PROFILES):
+            profile = F.array([F.lit(g) for g in _BIGRAM_PROFILES[lang]])
+            fields.append(
+                F.size(F.array_intersect(b["g"], profile))
+                .cast("long")
+                .alias(f"ngram_{lang}")
+            )
+        return F.struct(*fields)
+
+    bound = F.transform(
+        F.array(F.struct(toks.alias("t"), grams.alias("g"))), scores
+    )[0]
+    return docs.select("doc_id", "lang", F.inline(F.array(bound)))
 
 
 # --- PII redaction --------------------------------------------------------
