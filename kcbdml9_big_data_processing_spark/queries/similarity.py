@@ -658,6 +658,206 @@ def embedding_near_dup_pairs(
     )
 
 
+# --- persisted semantic-dedup index (batch-vs-corpus incremental) ---------
+
+_SEM_BANDS_SCHEMA = "vec_id long, label string, band int, bucket long"
+
+
+def build_semantic_index(corpus: DataFrame, path: str) -> None:
+    """Materialize the standing corpus's semantic-dedup blocking index
+    as two parquet tables under ``path``: ``bands`` (vec_id, label,
+    band, bucket — the label x hyperplane-LSH blocking keys
+    embedding_near_dup_pairs joins on) and ``vecs`` (vec_id, label,
+    emb, nf — what the exact-cosine verification reads back).
+
+    Completes the incremental-ingest triple: exact
+    (queries/dedup.dedup_incremental), n-gram (build_dedup_index),
+    and semantic (this) — a daily batch is deduped against the
+    standing corpus in each modality without re-pairing the corpus.
+    The hyperplanes are deterministic module constants (_planes), so
+    signatures computed at build time and at search time agree by
+    construction — the 'frozen quantizer' concern of the IVF/postings
+    indexes doesn't arise."""
+    planes = _planes()
+    band_w = _N_PLANES // _N_BANDS
+    prepped = corpus.select(
+        "vec_id",
+        "label",
+        "emb",
+        F.expr(_dot_fixed_expr("emb", "emb")).alias("nf"),
+        F.expr(_sig_expr("emb", planes, "spark")).alias("sig"),
+    ).persist()
+    prepped.count()
+    try:
+        prepped.select("vec_id", "label", "emb", "nf").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/vecs")
+        (
+            prepped.select(
+                "vec_id",
+                "label",
+                F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias(
+                    "band"
+                ),
+                "sig",
+            )
+            .select(
+                "vec_id",
+                "label",
+                F.col("band").cast("int").alias("band"),
+                F.expr(
+                    f"(sig >> (band * {band_w})) & {(1 << band_w) - 1}"
+                ).alias("bucket"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/bands")
+        )
+    finally:
+        prepped.unpersist()
+
+
+def extend_semantic_index(new_corpus: DataFrame, path: str) -> None:
+    """Append newly-accepted vectors to a persisted semantic index:
+    same deterministic planes, append-only, nothing rewritten. Caller
+    contract: batch vec_ids are disjoint from ids already stored."""
+    planes = _planes()
+    band_w = _N_PLANES // _N_BANDS
+    prepped = new_corpus.select(
+        "vec_id",
+        "label",
+        "emb",
+        F.expr(_dot_fixed_expr("emb", "emb")).alias("nf"),
+        F.expr(_sig_expr("emb", planes, "spark")).alias("sig"),
+    ).persist()
+    prepped.count()
+    try:
+        prepped.select("vec_id", "label", "emb", "nf").write.mode(
+            "append"
+        ).parquet(f"{path}/vecs")
+        (
+            prepped.select(
+                "vec_id",
+                "label",
+                F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias(
+                    "band"
+                ),
+                "sig",
+            )
+            .select(
+                "vec_id",
+                "label",
+                F.col("band").cast("int").alias("band"),
+                F.expr(
+                    f"(sig >> (band * {band_w})) & {(1 << band_w) - 1}"
+                ).alias("bucket"),
+            )
+            .write.mode("append")
+            .parquet(f"{path}/bands")
+        )
+    finally:
+        prepped.unpersist()
+
+
+def semantic_dedup_against_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    cos_min: float = _NEAR_DUP_COS,
+    cleanup: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Semantic-dedup an incoming batch against a persisted index:
+    every (vec_a, vec_b, cosine >= cos_min) pair touching at least one
+    batch vector — batch-vs-corpus and batch-vs-batch in one blocked
+    join, corpus-vs-corpus excluded by the same pair-level is-new
+    predicate as dedup_against_index. Candidates come from the stored
+    label x band x bucket table semi-join-pruned to the batch's own
+    blocking keys, so pair work tracks the batch; the exact
+    fixed-point cosine verification reads embeddings from the stored
+    ``vecs`` table for the corpus side and the batch frame for the
+    new side. Search == embedding_near_dup_pairs over archive∪batch
+    restricted to batch-touching pairs (identical planes, identical
+    arithmetic) — pinned in tests/test_llm_ops.py.
+
+    The prepped batch frame feeds three consumers (banding, the
+    semi-join key set, the verification union); it is persisted only
+    when a ``cleanup`` list is passed (the module convention — see
+    repeated_spans), staying fully lazy otherwise."""
+    planes = _planes()
+    band_w = _N_PLANES // _N_BANDS
+    b_prepped = batch.select(
+        "vec_id",
+        "label",
+        "emb",
+        F.expr(_dot_fixed_expr("emb", "emb")).alias("nf"),
+        F.expr(_sig_expr("emb", planes, "spark")).alias("sig"),
+    )
+    if cleanup is not None:
+        b_prepped = b_prepped.persist()
+        b_prepped.count()
+        cleanup.append(b_prepped)
+    b_banded = (
+        b_prepped.select(
+            "vec_id",
+            "label",
+            F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
+            "sig",
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("band").cast("int").alias("band"),
+            F.expr(f"(sig >> (band * {band_w})) & {(1 << band_w) - 1}").alias(
+                "bucket"
+            ),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    stored_banded = (
+        spark.read.schema(_SEM_BANDS_SCHEMA)
+        .parquet(f"{path}/bands")
+        .join(
+            b_banded.select("label", "band", "bucket").distinct(),
+            ["label", "band", "bucket"],
+            "left_semi",
+        )
+        .select("vec_id", "label", "band", "bucket", F.lit(False).alias("is_new"))
+    )
+    banded = b_banded.unionByName(stored_banded)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.is_new") | F.col("b.is_new")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vecs = spark.read.parquet(f"{path}/vecs").unionByName(
+        b_prepped.select("vec_id", "label", "emb", "nf")
+    )
+    pa = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nf").alias("nf_a"),
+    )
+    pb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nf").alias("nf_b"),
+    )
+    cosine = F.expr(_cos_expr(_dot_fixed_expr("emb_a", "emb_b"), "nf_a", "nf_b"))
+    return (
+        cand.join(pa, "vec_a")
+        .join(pb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= cos_min)
+    )
+
+
 @register("embedding_near_dup", oracle=_near_dup_oracle())
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over the embeddings table + a

@@ -623,3 +623,127 @@ def test_ivfpq_composed_search(spark, tmp_path):
         len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_ngram_stop_cap_binding_and_fallback_equivalence(spark, monkeypatch):
+    """When the stop-shingle df cap BINDS (a boilerplate disclaimer
+    shared corpus-wide), both pair-join formulations — the default
+    broadcast-stop-array shape and the driver-safe anti-join fallback
+    (broadcast_stop=False) — must produce the identical pair set, and
+    that set must reflect capped-vocabulary Jaccard: two docs sharing
+    ONLY boilerplate are not near-dups; docs near-identical in their
+    discriminative text still are. (The registry row only exercises
+    the non-binding regime, where the oracle proves equality with the
+    uncapped answer; this pins the binding regime.)"""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries import dedup
+
+    boiler = "all rights reserved contact legal department for terms"
+    rows = []
+    # 12 docs sharing ONLY the boilerplate + distinct bodies
+    for i in range(12):
+        body = " ".join(f"body{i}w{j}" for j in range(10))
+        rows.append((i, f"{body} {boiler}"))
+    # a true near-dup pair: same body, one word changed, + boilerplate
+    base_body = " ".join(f"dup{j}" for j in range(12))
+    rows.append((100, f"{base_body} {boiler}"))
+    rows.append((101, f"{base_body} tail {boiler}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prepped = dedup.shingle_docs(docs).persist()
+    prepped.count()
+
+    # cap = 8: the boilerplate shingles (df = 14) are stopped, the
+    # body shingles (df <= 2) survive
+    monkeypatch.setattr(dedup, "_DF_CAP", 8)
+    got_bcast = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._exact_jaccard_pairs(prepped).collect()
+    }
+    got_anti = {
+        (r.doc_a, r.doc_b)
+        for r in dedup._exact_jaccard_pairs(
+            prepped, broadcast_stop=False
+        ).collect()
+    }
+    prepped.unpersist()
+    assert got_bcast == got_anti
+    assert (100, 101) in got_bcast, "discriminative near-dup must survive"
+    assert not any(
+        a < 100 and b < 100 for a, b in got_bcast
+    ), "boilerplate-only overlap must not create pairs once capped"
+
+
+def test_semantic_index_incremental_dedup(spark, tmp_path):
+    """Persisted semantic-dedup index (the embedding sibling of the
+    postings index pins): (1) search equivalence — deduping a batch
+    against build(archive) equals embedding_near_dup_pairs over
+    archive∪batch restricted to batch-touching pairs (identical
+    deterministic planes and fixed-point arithmetic); (2) extension —
+    build(A)+extend(B) answers a later batch identically to
+    build(A∪B), and batch1 vectors are visible to batch2 searches."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        build_semantic_index,
+        embedding_near_dup_pairs,
+        extend_semantic_index,
+        semantic_dedup_against_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.lit("corpus").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    archive = emb.where(F.col("vec_id") % 2 == 0)
+    # batch1: odd vectors + a perturbed copy of every 8th archive
+    # vector (guaranteed batch-vs-corpus near-dups, same construction
+    # as the registry's embedding_near_dup scenario)
+    perturb = F.transform(
+        "emb", lambda x, i: x + ((i % 3).cast("double") - 1.0) * 0.02
+    )
+    copies1 = archive.where(F.col("vec_id") % 8 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        "label",
+        perturb.alias("emb"),
+    )
+    batch1 = emb.where(F.col("vec_id") % 4 == 1).unionAll(copies1)
+
+    one = str(tmp_path / "one")
+    build_semantic_index(archive, one)
+    got = {
+        (r.vec_a, r.vec_b, round(r.cosine, 12))
+        for r in semantic_dedup_against_index(spark, one, batch1).collect()
+    }
+    batch_ids = {r.vec_id for r in batch1.select("vec_id").collect()}
+    want = {
+        (r.vec_a, r.vec_b, round(r.cosine, 12))
+        for r in embedding_near_dup_pairs(archive.unionAll(batch1)).collect()
+        if r.vec_a in batch_ids or r.vec_b in batch_ids
+    }
+    assert got == want and len(got) > 0
+
+    # (2) extend == rebuild; batch2 sees batch1 through the index
+    copies2 = batch1.where(F.col("vec_id") % 4 == 1).limit(5).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"), "label", perturb.alias("emb")
+    )
+    batch2 = emb.where(F.col("vec_id") % 4 == 3).unionAll(copies2)
+    extend_semantic_index(batch1, one)
+    two = str(tmp_path / "two")
+    build_semantic_index(archive.unionAll(batch1), two)
+    got_ext = {
+        (r.vec_a, r.vec_b, round(r.cosine, 12))
+        for r in semantic_dedup_against_index(spark, one, batch2).collect()
+    }
+    got_rebuilt = {
+        (r.vec_a, r.vec_b, round(r.cosine, 12))
+        for r in semantic_dedup_against_index(spark, two, batch2).collect()
+    }
+    assert got_ext == got_rebuilt and len(got_ext) > 0
+    b1_ids = {r.vec_id for r in batch1.select("vec_id").collect()}
+    assert any(a in b1_ids or b in b1_ids for a, b, _ in got_ext), (
+        "extension must make batch1 vectors visible to later searches"
+    )
