@@ -448,6 +448,109 @@ def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
     )
 
 
+def compact_dedup_index(spark: SparkSession, path: str, n_buckets: int = 32) -> None:
+    """Maintenance pass for a persisted near-dup index: rewrite the
+    postings BUCKETED (and per-file sorted) by shingle fingerprint, so
+    every later :func:`dedup_against_index` search reads the stored
+    side pre-partitioned on the join key — the corpus postings never
+    shuffle again; only the (small) batch side exchanges into the
+    bucket partitioning. This is the 100 TB layout the index
+    docstrings point at, as a run-once compaction (daily extends
+    append unbucketed; re-compact on the same cadence you'd re-freeze
+    the stop vocabulary). Bucket metadata lives in the catalog;
+    searches from a NEW session re-register the table from the stored
+    layout + the ``bucket_meta`` sidecar (see _bucketed_postings), so
+    the compacted index survives process restarts like the rest of
+    the index. Size ``n_buckets`` so one bucket of postings fits an
+    executor's working memory (sinks/bucketed.py sizing note)."""
+    post = spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings")
+    meta = _bucket_meta(spark, path)
+    old_dir = None
+    version = 1
+    if meta is not None:
+        # re-compaction folds the previous base + the append tail.
+        # The base is read by PATH (not via the catalog table): the
+        # table must be dropped before its name can be re-created, and
+        # DROP TABLE uncaches every dependent plan — a lineage through
+        # the table would recompute from files the rewrite deletes.
+        old_dir, version = meta["dir"], meta["version"] + 1
+        post = spark.read.parquet(old_dir).unionByName(post)
+    new_dir = f"{path}/postings_bucketed_v{version}"
+    tbl = _bucketed_table_name(path)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        post.write.bucketBy(n_buckets, "k")
+        .sortBy("k")
+        .option("path", new_dir)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    # the plain postings dir becomes the (empty) append TAIL:
+    # extend_dedup_index keeps appending there, searches read
+    # base ∪ tail, and the next compaction folds the tail in —
+    # the standard base+delta maintenance cycle. Each compaction
+    # writes a NEW versioned base dir and deletes the old one after
+    # the switch, so no reader or lineage ever sees a half-rewritten
+    # directory.
+    spark.createDataFrame([], _POSTINGS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
+    spark.createDataFrame(
+        [(n_buckets, new_dir, version)], "n_buckets int, dir string, version int"
+    ).write.mode("overwrite").parquet(f"{path}/bucket_meta")
+    spark.catalog.refreshByPath(f"{path}/postings")
+    if old_dir is not None:
+        fs_path = spark._jvm.org.apache.hadoop.fs.Path(old_dir)
+        fs_path.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+            fs_path, True
+        )
+
+
+def _bucketed_table_name(path: str) -> str:
+    import hashlib
+
+    return "kcbdml9_dedup_idx_" + hashlib.sha256(path.encode()).hexdigest()[:12]
+
+
+def _bucket_meta(spark: SparkSession, path: str) -> dict | None:
+    try:
+        row = spark.read.parquet(f"{path}/bucket_meta").first()
+    except Exception:
+        return None
+    return None if row is None else row.asDict()
+
+
+def _bucketed_postings(spark: SparkSession, path: str) -> DataFrame | None:
+    """The compacted (bucketed) postings frame if this index has been
+    compacted, else None. A session that didn't run the compaction
+    re-registers the catalog table from the stored files via CREATE
+    TABLE ... CLUSTERED BY ... LOCATION — bucket metadata must live in
+    the catalog for the planner to elide the stored-side Exchange. The
+    sidecar meta carries the current versioned base dir, so a stale
+    catalog entry (pointing at a dir a later compaction deleted) is
+    re-created to the current location."""
+    meta = _bucket_meta(spark, path)
+    if meta is None:
+        return None
+    tbl = _bucketed_table_name(path)
+    if spark.catalog.tableExists(tbl):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+            .where(F.col("col_name") == "Location")
+            .first()
+        )
+        if loc is not None and meta["dir"] not in loc["data_type"]:
+            spark.sql(f"DROP TABLE {tbl}")
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} (doc_id BIGINT, n INT, k BIGINT)"
+            f" USING PARQUET CLUSTERED BY (k) SORTED BY (k)"
+            f" INTO {meta['n_buckets']} BUCKETS LOCATION '{meta['dir']}'"
+        )
+    return spark.table(tbl)
+
+
 def dedup_against_index(
     spark: SparkSession,
     path: str,
@@ -482,7 +585,17 @@ def dedup_against_index(
     stop set, corpus side stored with sizes over the same
     vocabulary). The driver's oracle row (dedup_ngram_suite
     'incremental') hash-proves this equals the full-corpus all-pairs
-    answer restricted to batch-touching pairs."""
+    answer restricted to batch-touching pairs.
+
+    Join structure (r7): batch-vs-stored and batch-vs-batch run as
+    SEPARATE joins whose (packed-pair, na, nb) co-occurrence rows
+    union before the count aggregation — corpus-vs-corpus probing
+    never happens at all, and when the index is COMPACTED
+    (compact_dedup_index) the stored base arrives bucketed on ``k``
+    so only the batch side exchanges into the join; any post-compaction
+    append tail joins as a (small) third branch. Counts stay complete
+    per branch: a corpus doc's postings live entirely in the base or
+    entirely in the tail (extends append whole documents)."""
     threshold = _JACCARD_MIN if jaccard_min is None else jaccard_min
     stop_arr = (
         spark.read.schema(_STOP_SCHEMA)
@@ -497,37 +610,76 @@ def dedup_against_index(
             "doc_id",
             F.size("sh").cast("int").alias("n"),
             F.explode("sh").alias("k"),
-            F.lit(True).alias("is_new"),
         )
     )
-    corpus_post = (
-        spark.read.schema(_POSTINGS_SCHEMA)
-        .parquet(f"{path}/postings")
-        .join(batch_post.select("k").distinct(), "k", "left_semi")
-        .select("doc_id", "n", "k", F.lit(False).alias("is_new"))
+    batch_keys = batch_post.select("k").distinct()
+    tail = spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings")
+    base = _bucketed_postings(spark, path)
+    branches = [_copair_rows_self(batch_post, threshold)]
+    if base is not None:
+        branches.append(
+            _copair_rows_vs(
+                batch_post, base.join(batch_keys, "k", "left_semi"), threshold
+            )
+        )
+    branches.append(
+        _copair_rows_vs(
+            batch_post, tail.join(batch_keys, "k", "left_semi"), threshold
+        )
     )
-    post = batch_post.unionByName(corpus_post)
+    rows = branches[0]
+    for b in branches[1:]:
+        rows = rows.unionByName(b)
+    return _pairs_from_copair_rows(rows, threshold)
+
+
+def _copair_rows_self(post: DataFrame, threshold: float) -> DataFrame:
+    """(ab, na, nb) co-occurrence rows for the within-batch self-join
+    (pa.doc_id < pb.doc_id ordering, size filter inside the join)."""
     pa, pb = post.alias("pa"), post.alias("pb")
-    inter = (
-        pa.join(
-            pb,
-            (F.col("pa.k") == F.col("pb.k"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            & (F.col("pa.is_new") | F.col("pb.is_new"))
-            & (F.col("pa.n").cast("double") * threshold <= F.col("pb.n"))
-            & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n")),
-        )
-        .select(
-            (F.shiftleft(F.col("pa.doc_id"), 32) + F.col("pb.doc_id")).alias("ab"),
-            F.col("pa.n").alias("na"),
-            F.col("pb.n").alias("nb"),
-        )
-        .groupBy("ab")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
+    return pa.join(
+        pb,
+        (F.col("pa.k") == F.col("pb.k"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+        & (F.col("pa.n").cast("double") * threshold <= F.col("pb.n"))
+        & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n")),
+    ).select(
+        (F.shiftleft(F.col("pa.doc_id"), 32) + F.col("pb.doc_id")).alias("ab"),
+        F.col("pa.n").alias("na"),
+        F.col("pb.n").alias("nb"),
+    )
+
+
+def _copair_rows_vs(
+    batch_post: DataFrame, corpus_post: DataFrame, threshold: float
+) -> DataFrame:
+    """(ab, na, nb) co-occurrence rows for batch x corpus: relative id
+    order is arbitrary, so the pair packs as (least, greatest) and
+    na/nb follow the packed order."""
+    ba, ca = batch_post.alias("ba"), corpus_post.alias("ca")
+    lt = F.col("ba.doc_id") < F.col("ca.doc_id")
+    return ba.join(
+        ca,
+        (F.col("ba.k") == F.col("ca.k"))
+        & (F.col("ba.doc_id") != F.col("ca.doc_id"))
+        & (F.col("ba.n").cast("double") * threshold <= F.col("ca.n"))
+        & (F.col("ca.n").cast("double") * threshold <= F.col("ba.n")),
+    ).select(
+        (
+            F.shiftleft(F.least(F.col("ba.doc_id"), F.col("ca.doc_id")), 32)
+            + F.greatest(F.col("ba.doc_id"), F.col("ca.doc_id"))
+        ).alias("ab"),
+        F.when(lt, F.col("ba.n")).otherwise(F.col("ca.n")).alias("na"),
+        F.when(lt, F.col("ca.n")).otherwise(F.col("ba.n")).alias("nb"),
+    )
+
+
+def _pairs_from_copair_rows(rows: DataFrame, threshold: float) -> DataFrame:
+    """count per packed pair -> exact Jaccard -> threshold filter."""
+    inter = rows.groupBy("ab").agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
     )
     jaccard = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")

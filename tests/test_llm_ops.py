@@ -747,3 +747,122 @@ def test_semantic_index_incremental_dedup(spark, tmp_path):
     assert any(a in b1_ids or b in b1_ids for a, b, _ in got_ext), (
         "extension must make batch1 vectors visible to later searches"
     )
+
+
+def test_dedup_index_compaction_bucketed_base(spark, tmp_path):
+    """compact_dedup_index properties: (1) search results are
+    identical before compaction, after compaction, and after a
+    post-compaction extend (base + tail) and re-compaction; (2) the
+    compacted base actually plans as a BUCKETED scan with NO Exchange
+    on the stored side of the batch-vs-base join — the batch side is
+    the only thing that shuffles, which is the whole point of the
+    layout at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.plans.inspect import physical_plan
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        _bucketed_postings,
+        _copair_rows_vs,
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    near = lambda src, off: src.select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    archive = docs.where(F.col("doc_id") % 2 == 0)
+    batch1 = docs.where(F.col("doc_id") % 4 == 1)
+    batch2 = docs.where(F.col("doc_id") % 4 == 3).unionAll(
+        near(archive.where(F.col("doc_id") % 8 == 0), 40_000_000)
+    ).unionAll(near(batch1.where(F.col("doc_id") % 8 == 1), 50_000_000))
+
+    path = str(tmp_path / "idx")
+    build_dedup_index(archive, path)
+
+    def results(batch):
+        return {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in dedup_against_index(spark, path, batch).collect()
+        }
+
+    plain = results(batch1)
+    compact_dedup_index(spark, path, n_buckets=4)
+    try:
+        assert results(batch1) == plain and len(plain) > 0
+
+        # (2) the stored side of the batch-vs-base join never shuffles
+        base = _bucketed_postings(spark, path)
+        assert base is not None
+        from kcbdml9_big_data_processing_spark.queries.dedup import (
+            _STOP_SCHEMA,
+            shingle_docs,
+        )
+
+        stop_arr = (
+            spark.read.schema(_STOP_SCHEMA)
+            .parquet(f"{path}/stop")
+            .agg(F.collect_list("k").alias("stop"))
+        )
+        batch_post = (
+            shingle_docs(batch1)
+            .crossJoin(F.broadcast(stop_arr))
+            .select("doc_id", F.array_except("sh", "stop").alias("sh"))
+            .select(
+                "doc_id", F.size("sh").cast("int").alias("n"),
+                F.explode("sh").alias("k"),
+            )
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            frag = _copair_rows_vs(
+                batch_post,
+                base.join(batch_post.select("k").distinct(), "k", "left_semi"),
+                0.5,
+            )
+            plan = physical_plan(frag, "simple")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SelectedBucketsCount" in plan, plan
+        assert "SortMergeJoin" in plan
+        # every Exchange in the fragment partitions the BATCH lineage
+        # (documents scan -> shingles); none sits above the bucketed
+        # base scan. The base subtree is the segment between its scan
+        # and the join — assert no Exchange appears there by checking
+        # each Exchange line's subtree does not contain the bucketed
+        # location marker below it.
+        lines = plan.splitlines()
+        bucketed_scan_lines = [
+            i for i, ln in enumerate(lines) if "SelectedBucketsCount" in ln
+        ]
+        assert bucketed_scan_lines, plan
+        for i, ln in enumerate(lines):
+            if "Exchange" in ln:
+                # an Exchange directly over the bucketed scan would sit
+                # within 3 plan lines above it (Sort+Exchange+Scan)
+                assert not any(
+                    0 < j - i <= 3 for j in bucketed_scan_lines
+                ), f"Exchange above bucketed base scan:\n{plan}"
+
+        # (1b) extend after compaction -> tail branch; re-compaction
+        # folds it; results identical throughout
+        extend_dedup_index(batch1, path)
+        after_extend = results(batch2)
+        assert len(after_extend) > 0
+        compact_dedup_index(spark, path, n_buckets=4)
+        assert results(batch2) == after_extend
+    finally:
+        from kcbdml9_big_data_processing_spark.queries.dedup import (
+            _bucketed_table_name,
+        )
+
+        spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(path)}")
