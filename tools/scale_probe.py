@@ -233,6 +233,49 @@ def main() -> None:
 
         return n, one, corpus.unpersist
 
+    def semantic_vs_index_runner(mult):
+        """Fixed embedding batch vs a growing SEMANTIC index — the
+        embedding sibling of dedup_vs_index: batch-proportional cost
+        as the indexed corpus grows."""
+        from pyspark.sql import functions as _F
+
+        from kcbdml9_big_data_processing_spark.queries.similarity import (
+            build_semantic_index,
+            semantic_dedup_against_index,
+        )
+
+        corpus = (
+            _inflate_emb(emb_base, mult)
+            .select(
+                "vec_id",
+                F.lit("corpus").alias("label"),
+                F.transform("embedding", lambda x: x.cast("double")).alias(
+                    "emb"
+                ),
+            )
+            .persist()
+        )
+        n = corpus.count()
+        path = scratch_dir(f"probe_sem_idx_{mult}_")
+        build_semantic_index(corpus, path)
+        perturb = _F.transform(
+            "emb", lambda x, i: x + ((i % 3).cast("double") - 1.0) * 0.02
+        )
+        batch = corpus.where(
+            (F.col("vec_id") % 16 == 1) & (F.col("vec_id") < 100_000_000)
+        ).select(
+            (F.col("vec_id") + 90_000_000).alias("vec_id"),
+            "label",
+            perturb.alias("emb"),
+        )
+
+        def one():
+            semantic_dedup_against_index(spark, path, batch).write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        return n, one, corpus.unpersist
+
     def stream_runner(mult):
         """The A1 windowed metric as a real bounded StreamExecution
         over an inflated events table (replay + state + complete-mode
@@ -279,6 +322,7 @@ def main() -> None:
         "dedup_clusters": docs_op(clusters),
         "curation_run": docs_op(curator),
         "dedup_vs_index": vs_index_runner,
+        "semantic_vs_index": semantic_vs_index_runner,
         "ivf_index_search": ivf_search_runner,
         "stream_bytes_90s": stream_runner,
     }
