@@ -98,3 +98,98 @@ def test_tokenizer_parity_on_arbitrary_text(spark, texts):
             "SELECT len(string_split_regex(trim(?), '\\s+'))", [t]
         ).fetchone()[0]
         assert got[i] == want, f"text={t!r}"
+
+
+_token = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+_doc = st.lists(_token, min_size=1, max_size=12).map(" ".join)
+
+
+def _py_shingles(text: str) -> set[str]:
+    """Pure-Python twin of queries/dedup.shingle_docs' word-3-gram
+    shingling (sequence floor 1: a short doc has one partial gram)."""
+    toks = text.strip().split()
+    n = len(toks)
+    return {" ".join(toks[j : j + 3]) for j in range(max(n - 2, 1))}
+
+
+@given(texts=st.lists(_doc, min_size=2, max_size=10))
+@_settings
+def test_exact_jaccard_pairs_match_python_brute_force(spark, texts):
+    """_exact_jaccard_pairs on ARBITRARY small corpora equals a pure
+    Python all-pairs Jaccard over the same shingle definition — the
+    blocked formulation is exact on inputs the fixed oracle corpus
+    never shaped (heavy repeats, shared vocabulary, 1-2-token docs)."""
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        _JACCARD_MIN,
+        _exact_jaccard_pairs,
+        shingle_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    prepped = shingle_docs(docs).persist()
+    prepped.count()
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in _exact_jaccard_pairs(prepped).collect()
+    }
+    prepped.unpersist()
+
+    sh = [_py_shingles(t) for t in texts]
+    want = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sh[a] & sh[b])
+            uni = len(sh[a] | sh[b])
+            j = inter / uni
+            if j >= _JACCARD_MIN:
+                want.add((a, b, round(j, 12)))
+    assert got == want
+
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)
+).filter(lambda e: e[0] != e[1])
+
+
+@given(edges=st.lists(_edge, min_size=0, max_size=20))
+@_settings
+def test_connected_components_match_union_find(spark, edges):
+    """connected_components on ARBITRARY small graphs equals a pure
+    Python union-find min-label answer — chains, cycles, multi-edges,
+    self-symmetric duplicates, and isolated nodes all land on the
+    smallest reachable id."""
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        connected_components,
+    )
+
+    n_nodes = 15
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "doc_a long, doc_b long",
+    )
+    if not edges:
+        pairs = pairs.where("doc_a <> doc_a")  # empty frame, same schema
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in connected_components(nodes, pairs).collect()
+    }
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(i, find(i)) for i in range(n_nodes)}
+    assert got == want
