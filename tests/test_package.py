@@ -59,3 +59,24 @@ def test_entry_runs_and_returns_rows(spark):
     entry_mod = importlib.import_module("__spark_entry__")
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_cli_list_and_unknown_query():
+    """The __main__ CLI lists every registered query without touching
+    Spark, and an unknown name exits 2 with a hint."""
+    import contextlib
+    import io
+
+    from kcbdml9_big_data_processing_spark.__main__ import main
+    from kcbdml9_big_data_processing_spark.queries import QUERIES
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--list"])
+    assert rc == 0
+    listed = {ln.split()[0] for ln in buf.getvalue().splitlines() if ln}
+    assert listed == set(QUERIES)
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        assert main(["no_such_query"]) == 2
+    assert "unknown query" in err.getvalue()
