@@ -853,6 +853,16 @@ def test_dedup_index_compaction_bucketed_base(spark, tmp_path):
                     0 < j - i <= 3 for j in bucketed_scan_lines
                 ), f"Exchange above bucketed base scan:\n{plan}"
 
+        # (1a) fresh-session simulation: drop the catalog entry (a new
+        # session has never seen it) — the search must re-register the
+        # bucketed table from the bucket_meta sidecar and still match
+        from kcbdml9_big_data_processing_spark.queries.dedup import (
+            _bucketed_table_name as _tbl_name,
+        )
+
+        spark.sql(f"DROP TABLE IF EXISTS {_tbl_name(path)}")
+        assert results(batch1) == plain
+
         # (1b) extend after compaction -> tail branch; re-compaction
         # folds it; results identical throughout
         extend_dedup_index(batch1, path)
