@@ -226,6 +226,54 @@ def contamination_flags(
     )
 
 
+#: fixed-point scale for the inverse-unigram-frequency rarity score
+_RARITY_SCALE = 1_000_000
+
+
+def rarity_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-statistics rarity score per document — the
+    language-model-quality signal class (CCNet buckets crawl text by
+    LM perplexity; this is its exact-arithmetic stand-in): documents
+    made of corpus-rare tokens score high, boilerplate made of the
+    corpus's most common tokens scores low. Unlike the per-row
+    repetition heuristics or the benchmark-relative contamination
+    check, the statistic here comes from the CORPUS ITSELF — the one
+    signal class the quality suite otherwise lacks.
+
+    score(doc) = mean over token OCCURRENCES of
+    ``(_RARITY_SCALE * N_total) div count(token)`` — integer
+    arithmetic end to end (Spark ``div`` == DuckDB ``//``), one final
+    IEEE division for the mean, so the driver's value-hash oracle
+    applies exactly (a log-probability formulation would differ in
+    the last ulp across libms).
+
+    Shape at 100 TB: one token-count aggregation (map-side combined),
+    then occurrences join counts — the count table is
+    vocabulary-sized, so broadcast it (or bucket both sides by token)
+    and the corpus never shuffles; the per-doc mean map-side-combines
+    to one row per document."""
+    toks = _toks(text_col)
+    occ = docs.select(F.col(id_col), F.explode(toks).alias("t"))
+    counts = occ.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    return (
+        occ.join(counts, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.expr(f"({_RARITY_SCALE}L * n_total) div c").alias("r"),
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.sum("r").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "rarity"
+            )
+        )
+    )
+
+
 def repeated_spans(
     docs: DataFrame,
     span_tokens: int = 16,

@@ -46,6 +46,7 @@ from ..operators.sampling import (
 from ..operators.text_quality import (
     contamination_flags,
     quantile_prune,
+    rarity_scores,
     repeated_spans,
     repetition_signals,
 )
@@ -163,6 +164,15 @@ _SPAN_COPY_OFFSET = 30_000_000
         span_shared AS (
             SELECT sp FROM span_spans
             GROUP BY sp HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        occ AS (
+            SELECT doc_id, unnest(t) AS tok FROM toks
+        ),
+        tok_counts AS (
+            SELECT tok, COUNT(*) AS c FROM occ GROUP BY tok
+        ),
+        tok_total AS (
+            SELECT SUM(c) AS n_total FROM tok_counts
         )
         SELECT 'sample' AS variant, doc_id,
                CAST({bucket_sql('doc_id')} AS DOUBLE) AS value
@@ -234,6 +244,12 @@ _SPAN_COPY_OFFSET = 30_000_000
         FROM span_spans JOIN span_shared USING (sp)
         WHERE doc_id < {_SPAN_COPY_OFFSET}
         GROUP BY doc_id
+        UNION ALL
+        SELECT 'rarity', doc_id,
+               CAST(SUM((1000000 * n_total) // c) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
+        FROM occ JOIN tok_counts USING (tok) CROSS JOIN tok_total
+        GROUP BY doc_id
     """,
     headline=True,
 )
@@ -265,7 +281,11 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       copy layer (value = the doc's count of distinct spans repeated
       verbatim elsewhere) — Spark counts xxhash64 fingerprints, the
       oracle raw span strings; equal unless the hash collides
-      (the contamination variant's standard argument).
+      (the contamination variant's standard argument);
+    - ``rarity``: :func:`rarity_scores` mean fixed-point inverse
+      unigram frequency — the corpus-statistics quality signal (the
+      CCNet perplexity-bucket stand-in), integer arithmetic end to
+      end so the value hash applies exactly.
 
     Shapes: sample/mix/rep_*/split are pure scans; prune and cap are
     one window shuffle each (lang / source) planning partial top-n
@@ -352,6 +372,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_repeated_spans").cast("double").alias("value"),
         )
     )
+    rar = rarity_scores(docs).select(
+        F.lit("rarity").alias("variant"), "doc_id", F.col("rarity").alias("value")
+    )
     chunk = chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
     ).select(
@@ -376,6 +399,7 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cap)
         .unionAll(chunk)
         .unionAll(span)
+        .unionAll(rar)
     )
     # eager truncation materializes the (small, long-format) result
     # off the caches, which are then safe to release immediately

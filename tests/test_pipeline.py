@@ -638,3 +638,24 @@ def test_curator_span_dedup_stage(spark):
         CurationConfig(min_words=1, min_lexical_diversity=0.0)
     ).run(docs)
     assert {r["doc_id"] for r in kept2.collect()} == {1, 2, 3}
+
+
+def test_rarity_scores_known_answer(spark):
+    """rarity_scores on a hand-computable corpus: N_total = 6
+    occurrences; counts: common=4, rare=1, solo=1. Per-token rarity
+    r = (1e6 * 6) div c -> common 1500000, rare/solo 6000000; doc
+    means follow exactly."""
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        rarity_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common rare"),   # (1.5e6*3 + 6e6)/4
+            (2, "common solo"),                 # (1.5e6 + 6e6)/2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.rarity for r in rarity_scores(df).collect()}
+    assert got[1] == (1_500_000 * 3 + 6_000_000) / 4
+    assert got[2] == (1_500_000 + 6_000_000) / 2
