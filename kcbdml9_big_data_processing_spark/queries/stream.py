@@ -51,7 +51,12 @@ def _bounded_state_partitions(spark: SparkSession):
     while the bounded stream(s) start AND drain — the conf is read
     when the first micro-batch is constructed (async after start()),
     so it must hold until awaitTermination returns; the prior value is
-    restored for the batch post-processing and whatever runs next."""
+    restored for the batch post-processing and whatever runs next.
+    Session-conf scoping is NOT reentrant-safe against concurrent
+    batch work on the same session: anything planned inside the scope
+    plans at the bounded partition count (harmless for the registry's
+    sequential execution; a concurrent caller should run these
+    bounded replays on their own session)."""
     key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(key)
     spark.conf.set(key, str(_BOUNDED_STATE_PARTITIONS))
