@@ -37,7 +37,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.text_quality import contamination_flags, repeated_spans
+from ..operators.text_quality import (
+    contamination_flags,
+    rarity_scores,
+    repeated_spans,
+)
 from ..queries.dedup import (
     _exact_jaccard_pairs,
     connected_components,
@@ -48,6 +52,7 @@ from ..queries.text import _STOPWORDS, _tokens
 #: decision-record reasons, in stage order
 REASON_CONTAMINATED = "contaminated"
 REASON_QUALITY = "quality"
+REASON_RARITY = "rarity"
 REASON_EXACT_DUP = "exact_dup"
 REASON_SPAN_DUP = "span_dup"
 REASON_NEAR_DUP = "near_dup"
@@ -73,6 +78,14 @@ class CurationConfig:
     #: of operators/text_quality.repeated_spans' detection)
     max_repeated_spans: int | None = None
     span_tokens: int = 16
+    #: opt-in rarity-band policy: drop docs whose corpus-statistics
+    #: rarity score (operators/text_quality.rarity_scores — mean
+    #: fixed-point inverse unigram frequency) falls outside
+    #: [min_rarity, max_rarity]. Low scores are boilerplate built from
+    #: the corpus's most common tokens; extreme highs are typically
+    #: garbage/binary soup. None bounds = stage off.
+    min_rarity: float | None = None
+    max_rarity: float | None = None
     #: reliable CC checkpointing (None = auto-detect setCheckpointDir)
     reliable_checkpoint: bool | None = None
 
@@ -82,9 +95,10 @@ class TrainingDataCurator:
 
     ``docs`` must carry (doc_id, text); extra columns ride along into
     ``kept``. ``decisions`` is (doc_id, reason, canonical_id) with one
-    row per INPUT doc: reason in {quality, exact_dup, span_dup [when
-    max_repeated_spans is set], near_dup, kept}, canonical_id = the
-    retained duplicate for dropped dup docs, null otherwise.
+    row per INPUT doc: reason in {quality, rarity [when a rarity
+    bound is set], exact_dup, span_dup [when max_repeated_spans is
+    set], near_dup, kept}, canonical_id = the retained duplicate for
+    dropped dup docs, null otherwise.
     """
 
     def __init__(self, config: CurationConfig | None = None):
@@ -288,6 +302,23 @@ class TrainingDataCurator:
             c_fail = flags.where(F.col("contaminated")).select("doc_id")
             docs = docs.join(c_fail, "doc_id", "left_anti")
         q_pass, q_fail = self.quality_gate(docs, cleanup=cleanup)
+        r_fail = None
+        if (
+            self.config.min_rarity is not None
+            or self.config.max_rarity is not None
+        ):
+            # rarity-band policy (opt-in): corpus-statistics scores
+            # computed over the QUALITY SURVIVORS (the statistics a
+            # gate should reflect — dropped garbage must not skew the
+            # unigram distribution the band is judged against)
+            scores = rarity_scores(q_pass)
+            cond = F.lit(False)
+            if self.config.min_rarity is not None:
+                cond = cond | (F.col("rarity") < self.config.min_rarity)
+            if self.config.max_rarity is not None:
+                cond = cond | (F.col("rarity") > self.config.max_rarity)
+            r_fail = scores.where(cond).select("doc_id")
+            q_pass = q_pass.join(r_fail, "doc_id", "left_anti")
         e_kept, e_dropped = self.exact_dedup(q_pass, cleanup=cleanup)
         s_fail = None
         if self.config.max_repeated_spans is not None:
@@ -333,6 +364,12 @@ class TrainingDataCurator:
             decisions = s_fail.select(
                 "doc_id",
                 F.lit(REASON_SPAN_DUP).alias("reason"),
+                null_canon.alias("canonical_id"),
+            ).unionAll(decisions)
+        if r_fail is not None:
+            decisions = r_fail.select(
+                "doc_id",
+                F.lit(REASON_RARITY).alias("reason"),
                 null_canon.alias("canonical_id"),
             ).unionAll(decisions)
         if c_fail is not None:

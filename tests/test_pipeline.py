@@ -659,3 +659,50 @@ def test_rarity_scores_known_answer(spark):
     got = {r.doc_id: r.rarity for r in rarity_scores(df).collect()}
     assert got[1] == (1_500_000 * 3 + 6_000_000) / 4
     assert got[2] == (1_500_000 + 6_000_000) / 2
+
+
+def test_curator_rarity_band_stage(spark):
+    """Opt-in rarity-band policy: a boilerplate doc made entirely of
+    the corpus's most common tokens scores low and drops with reason
+    rarity; distinctive docs pass; the stage is off by default and the
+    decision record still partitions the input."""
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        REASON_RARITY,
+        CurationConfig,
+        TrainingDataCurator,
+    )
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        rarity_scores,
+    )
+
+    common = "the quick brown fox jumps over lazy dogs"
+    # 8 distinct tail tokens per doc keep pairwise Jaccard at
+    # 6/(14+14-6) ≈ 0.27 < 0.5 — no near-dup interference
+    rows = [
+        (i, common + " " + " ".join(f"t{i}w{j}" for j in range(8)))
+        for i in range(1, 7)
+    ]
+    rows.append((7, common))  # pure boilerplate: only common tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # pick the band from the measured scores so the test pins the
+    # POLICY (band membership -> reason), not a magic constant
+    scores = {r.doc_id: r.rarity for r in rarity_scores(docs).collect()}
+    assert scores[7] == min(scores.values())
+    cut = (scores[7] + min(scores[d] for d in scores if d != 7)) / 2
+
+    cfg = CurationConfig(
+        min_words=1, min_lexical_diversity=0.0, min_rarity=cut
+    )
+    kept, decisions = TrainingDataCurator(cfg).run(docs)
+    by_reason = {r["doc_id"]: r["reason"] for r in decisions.collect()}
+    assert by_reason[7] == REASON_RARITY
+    assert all(by_reason[d] == "kept" for d in range(1, 7))
+    assert len(by_reason) == 7
+    assert 7 not in {r["doc_id"] for r in kept.collect()}
+
+    # off by default
+    kept2, _ = TrainingDataCurator(
+        CurationConfig(min_words=1, min_lexical_diversity=0.0)
+    ).run(docs)
+    assert {r["doc_id"] for r in kept2.collect()} == set(range(1, 8))
