@@ -613,7 +613,6 @@ def dedup_against_index(
         )
     )
     batch_keys = batch_post.select("k").distinct()
-    tail = spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings")
     base = _bucketed_postings(spark, path)
     branches = [_copair_rows_self(batch_post, threshold)]
     if base is not None:
@@ -622,15 +621,36 @@ def dedup_against_index(
                 batch_post, base.join(batch_keys, "k", "left_semi"), threshold
             )
         )
-    branches.append(
-        _copair_rows_vs(
-            batch_post, tail.join(batch_keys, "k", "left_semi"), threshold
+    # the tail branch exists only when the tail has data: right after
+    # a compaction it is empty, and planning a join against an empty
+    # dir is pure plan breadth (a driver-side file listing is cheaper
+    # than an empty scan+join in every later stage)
+    if base is None or _dir_has_parquet(spark, f"{path}/postings"):
+        tail = spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings")
+        branches.append(
+            _copair_rows_vs(
+                batch_post, tail.join(batch_keys, "k", "left_semi"), threshold
+            )
         )
-    )
     rows = branches[0]
     for b in branches[1:]:
         rows = rows.unionByName(b)
     return _pairs_from_copair_rows(rows, threshold)
+
+
+def _dir_has_parquet(spark: SparkSession, directory: str) -> bool:
+    """Driver-side check for any parquet data file in ``directory``
+    (Hadoop FS API, so it works on whatever filesystem the index
+    lives on)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    for status in fs.listStatus(p):
+        if status.getPath().getName().endswith(".parquet"):
+            return True
+    return False
 
 
 def _copair_rows_self(post: DataFrame, threshold: float) -> DataFrame:
