@@ -293,7 +293,7 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination broadcasts only the benchmark shingles — the corpus
     never shuffles anywhere.
 
-    The ten variants compose off ONE persisted ``documents`` scan (r7:
+    The eleven variants compose off ONE persisted ``documents`` scan (r7:
     previously each union branch re-scanned the table — fine for
     independence, wasteful for the suite as benched); the modest
     long-format result is eagerly lineage-truncated so every cache
