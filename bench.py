@@ -283,9 +283,13 @@ def _prior_for(
         own = prior_times.get(name) if name in parts else None
         if own is not None:
             vals.append(own)
-        if vals and all(v is not None and v > 0 for v in vals) and (
-            name not in parts or len(parts) > 1
-        ):
+        # when the merged query's own name IS a constituent but the
+        # baseline has no row for it, a sum of the remaining parts
+        # would understate the fair baseline (r7 ADVICE) — fall
+        # through to the non-constituent path instead.
+        if (name not in parts or own is not None) and vals and all(
+            v is not None and v > 0 for v in vals
+        ) and (name not in parts or len(parts) > 1):
             others = [p for p in parts if p != name]
             if not others or any(
                 p in prior_times or p in _CONSTITUENTS for p in others

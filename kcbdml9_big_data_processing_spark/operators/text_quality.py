@@ -210,7 +210,15 @@ def contamination_flags(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    exploded = docs.select("doc_id", F.explode(shingles(text_col)).alias("k"))
+    # explode_outer, not explode: a null-text doc shingles to a NULL
+    # array, and plain explode would emit no rows for it — the doc
+    # would vanish from the output, breaking the one-row-per-input-doc
+    # contract (r7 ADVICE). The outer variant emits one NULL-key row,
+    # which matches nothing in the left join and aggregates to
+    # (doc_id, 0, false) like any other clean doc.
+    exploded = docs.select(
+        "doc_id", F.explode_outer(shingles(text_col)).alias("k")
+    )
     n_hits = F.sum("__hit")
     return (
         exploded.join(F.broadcast(bench_sh), "k", "left")

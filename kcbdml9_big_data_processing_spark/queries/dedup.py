@@ -265,6 +265,11 @@ def _exact_jaccard_pairs(
       size-incompatible pairs are pruned INSIDE the self-join, before
       the count shuffle — dropped or kept consistently for all of a
       pair's co-occurrence rows, so surviving counts stay complete.
+      The comparison carries a 1e-9 slack on the integer side: FP
+      multiply can round ``n * t`` UP past an exactly-boundary
+      integer (e.g. 0.1 * 30 -> 3.0000000000000004 > 3) and silently
+      drop a pair the exact Jaccard filter would keep; since ``n`` is
+      integer-valued, any sub-1 slack is conservative-only.
 
     Driver-safety trade (``broadcast_stop``): the stop array is
     broadcast, which materializes it driver-side — bounded by
@@ -309,8 +314,8 @@ def _exact_jaccard_pairs(
             pb,
             (F.col("pa.k") == F.col("pb.k"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            & (F.col("pa.n").cast("double") * threshold <= F.col("pb.n"))
-            & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n")),
+            & (F.col("pa.n").cast("double") * threshold <= F.col("pb.n") + 1e-9)
+            & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n") + 1e-9),
         )
         .select(
             (F.shiftleft(F.col("pa.doc_id"), 32) + F.col("pb.doc_id")).alias("ab"),
@@ -444,11 +449,13 @@ def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
             F.explode("sh").alias("k"),
         )
         .write.mode("append")
-        .parquet(f"{path}/postings")
+        .parquet(_tail_dir(_bucket_meta(spark, path), path))
     )
 
 
-def compact_dedup_index(spark: SparkSession, path: str, n_buckets: int = 32) -> None:
+def compact_dedup_index(
+    spark: SparkSession, path: str, n_buckets: int = 32, retain: int = 2
+) -> None:
     """Maintenance pass for a persisted near-dup index: rewrite the
     postings BUCKETED (and per-file sorted) by shingle fingerprint, so
     every later :func:`dedup_against_index` search reads the stored
@@ -462,20 +469,36 @@ def compact_dedup_index(spark: SparkSession, path: str, n_buckets: int = 32) -> 
     layout + the ``bucket_meta`` sidecar (see _bucketed_postings), so
     the compacted index survives process restarts like the rest of
     the index. Size ``n_buckets`` so one bucket of postings fits an
-    executor's working memory (sinks/bucketed.py sizing note)."""
-    post = spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings")
+    executor's working memory (sinks/bucketed.py sizing note).
+
+    Crash safety (r7 ADVICE): BOTH the base and the append tail are
+    versioned directories, and the SINGLE commit point is the
+    append-only ``bucket_meta`` row (readers take the max-version
+    row; a parquet append lands via the committer's rename, so a
+    half-written row is never visible). The old r6 shape truncated
+    the shared tail BEFORE flipping the meta — a crash between the
+    two silently dropped every posting appended since the last
+    compaction. Now a crash anywhere before the meta append leaves
+    the previous (base_vN, tail_vN) pair fully intact and current;
+    a crash after it leaves the new pair current with the old one
+    lingering until the next vacuum. Superseded versions are
+    garbage-collected by :func:`vacuum_dedup_index` with ``retain``
+    generations kept, so an in-flight reader of the previous version
+    finishes safely (delete happens >= one full compaction cycle
+    later)."""
     meta = _bucket_meta(spark, path)
-    old_dir = None
+    post = spark.read.schema(_POSTINGS_SCHEMA).parquet(_tail_dir(meta, path))
     version = 1
     if meta is not None:
         # re-compaction folds the previous base + the append tail.
         # The base is read by PATH (not via the catalog table): the
         # table must be dropped before its name can be re-created, and
         # DROP TABLE uncaches every dependent plan — a lineage through
-        # the table would recompute from files the rewrite deletes.
-        old_dir, version = meta["dir"], meta["version"] + 1
-        post = spark.read.parquet(old_dir).unionByName(post)
+        # the table would recompute from files a later vacuum deletes.
+        version = meta["version"] + 1
+        post = spark.read.parquet(meta["dir"]).unionByName(post)
     new_dir = f"{path}/postings_bucketed_v{version}"
+    new_tail = f"{path}/postings_tail_v{version}"
     tbl = _bucketed_table_name(path)
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (
@@ -486,25 +509,51 @@ def compact_dedup_index(spark: SparkSession, path: str, n_buckets: int = 32) -> 
         .format("parquet")
         .saveAsTable(tbl)
     )
-    # the plain postings dir becomes the (empty) append TAIL:
-    # extend_dedup_index keeps appending there, searches read
-    # base ∪ tail, and the next compaction folds the tail in —
-    # the standard base+delta maintenance cycle. Each compaction
-    # writes a NEW versioned base dir and deletes the old one after
-    # the switch, so no reader or lineage ever sees a half-rewritten
-    # directory.
+    # fresh empty append TAIL for this generation: extend_dedup_index
+    # appends there, searches read base ∪ tail, the next compaction
+    # folds the tail in — the standard base+delta maintenance cycle.
     spark.createDataFrame([], _POSTINGS_SCHEMA).write.mode(
         "overwrite"
-    ).parquet(f"{path}/postings")
+    ).parquet(new_tail)
+    # COMMIT: one appended meta row flips readers to (new_dir, new_tail)
     spark.createDataFrame(
-        [(n_buckets, new_dir, version)], "n_buckets int, dir string, version int"
-    ).write.mode("overwrite").parquet(f"{path}/bucket_meta")
-    spark.catalog.refreshByPath(f"{path}/postings")
-    if old_dir is not None:
-        fs_path = spark._jvm.org.apache.hadoop.fs.Path(old_dir)
-        fs_path.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
-            fs_path, True
-        )
+        [(n_buckets, new_dir, version, new_tail)], _META_SCHEMA
+    ).write.mode("append").parquet(f"{path}/bucket_meta")
+    spark.catalog.refreshByPath(new_tail)
+    vacuum_dedup_index(spark, path, retain=retain)
+
+
+def vacuum_dedup_index(spark: SparkSession, path: str, retain: int = 2) -> None:
+    """Delete superseded index generations, keeping the ``retain``
+    most recent (current included). The un-versioned ``postings`` dir
+    a pre-compaction index appends to counts as tail generation 0.
+    Safe against concurrent readers by retention, not locking: a
+    reader planned against generation N survives the compaction that
+    creates N+1 (with the default ``retain=2``, N's dirs are deleted
+    only when N+2 is committed — a full maintenance cycle later).
+    Meta rows are never pruned: they are one skinny row per
+    compaction and the max-version read ignores stale ones."""
+    meta = _bucket_meta(spark, path)
+    if meta is None:
+        return
+    cutoff = meta["version"] - retain + 1
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    import re
+
+    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        name = status.getPath().getName()
+        if name == "postings":
+            gen = 0
+        else:
+            m = re.fullmatch(r"postings_(?:bucketed|tail)_v(\d+)", name)
+            if m is None:
+                continue
+            gen = int(m.group(1))
+        if gen < cutoff:
+            fs.delete(status.getPath(), True)
 
 
 def _bucketed_table_name(path: str) -> str:
@@ -513,15 +562,37 @@ def _bucketed_table_name(path: str) -> str:
     return "kcbdml9_dedup_idx_" + hashlib.sha256(path.encode()).hexdigest()[:12]
 
 
+_META_SCHEMA = "n_buckets int, dir string, version int, tail string"
+
+
 def _bucket_meta(spark: SparkSession, path: str) -> dict | None:
+    """Current (max-version) bucket_meta row, or None if the index was
+    never compacted. Explicit read schema so rows written before the
+    ``tail`` column existed surface it as NULL (resolved to the
+    un-versioned dir by :func:`_tail_dir`)."""
     try:
-        row = spark.read.parquet(f"{path}/bucket_meta").first()
+        row = (
+            spark.read.schema(_META_SCHEMA)
+            .parquet(f"{path}/bucket_meta")
+            .orderBy(F.col("version").desc())
+            .first()
+        )
     except Exception:
         return None
     return None if row is None else row.asDict()
 
 
-def _bucketed_postings(spark: SparkSession, path: str) -> DataFrame | None:
+def _tail_dir(meta: dict | None, path: str) -> str:
+    """The current append-tail directory: versioned when compacted,
+    else the plain ``postings`` dir a fresh build writes."""
+    if meta is None or meta.get("tail") is None:
+        return f"{path}/postings"
+    return meta["tail"]
+
+
+def _bucketed_postings(
+    spark: SparkSession, path: str, meta: dict | None = None
+) -> DataFrame | None:
     """The compacted (bucketed) postings frame if this index has been
     compacted, else None. A session that didn't run the compaction
     re-registers the catalog table from the stored files via CREATE
@@ -530,7 +601,8 @@ def _bucketed_postings(spark: SparkSession, path: str) -> DataFrame | None:
     sidecar meta carries the current versioned base dir, so a stale
     catalog entry (pointing at a dir a later compaction deleted) is
     re-created to the current location."""
-    meta = _bucket_meta(spark, path)
+    if meta is None:
+        meta = _bucket_meta(spark, path)
     if meta is None:
         return None
     tbl = _bucketed_table_name(path)
@@ -613,7 +685,8 @@ def dedup_against_index(
         )
     )
     batch_keys = batch_post.select("k").distinct()
-    base = _bucketed_postings(spark, path)
+    meta = _bucket_meta(spark, path)
+    base = _bucketed_postings(spark, path, meta)
     branches = [_copair_rows_self(batch_post, threshold)]
     if base is not None:
         branches.append(
@@ -625,8 +698,9 @@ def dedup_against_index(
     # a compaction it is empty, and planning a join against an empty
     # dir is pure plan breadth (a driver-side file listing is cheaper
     # than an empty scan+join in every later stage)
-    if base is None or _dir_has_parquet(spark, f"{path}/postings"):
-        tail = spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings")
+    tail_dir = _tail_dir(meta, path)
+    if base is None or _dir_has_parquet(spark, tail_dir):
+        tail = spark.read.schema(_POSTINGS_SCHEMA).parquet(tail_dir)
         branches.append(
             _copair_rows_vs(
                 batch_post, tail.join(batch_keys, "k", "left_semi"), threshold
@@ -661,8 +735,8 @@ def _copair_rows_self(post: DataFrame, threshold: float) -> DataFrame:
         pb,
         (F.col("pa.k") == F.col("pb.k"))
         & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-        & (F.col("pa.n").cast("double") * threshold <= F.col("pb.n"))
-        & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n")),
+        & (F.col("pa.n").cast("double") * threshold <= F.col("pb.n") + 1e-9)
+        & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n") + 1e-9),
     ).select(
         (F.shiftleft(F.col("pa.doc_id"), 32) + F.col("pb.doc_id")).alias("ab"),
         F.col("pa.n").alias("na"),
@@ -682,8 +756,8 @@ def _copair_rows_vs(
         ca,
         (F.col("ba.k") == F.col("ca.k"))
         & (F.col("ba.doc_id") != F.col("ca.doc_id"))
-        & (F.col("ba.n").cast("double") * threshold <= F.col("ca.n"))
-        & (F.col("ca.n").cast("double") * threshold <= F.col("ba.n")),
+        & (F.col("ba.n").cast("double") * threshold <= F.col("ca.n") + 1e-9)
+        & (F.col("ca.n").cast("double") * threshold <= F.col("ba.n") + 1e-9),
     ).select(
         (
             F.shiftleft(F.least(F.col("ba.doc_id"), F.col("ca.doc_id")), 32)

@@ -34,6 +34,20 @@ def test_prior_for_falls_back_to_own_time():
     assert bench._prior_for("unknown_query", {"dedup_exact": 1.4}) is None
 
 
+def test_prior_for_no_partial_sum_when_own_constituent_row_missing(monkeypatch):
+    # r7 ADVICE: a merged query whose own name is a constituent but has
+    # no prior row must NOT sum just the remaining parts (that
+    # understates the fair baseline); with no sibling path either, the
+    # prior is simply unknown.
+    monkeypatch.setitem(bench._CONSTITUENTS, "_merged_q", ["_merged_q", "_other"])
+    try:
+        assert bench._prior_for("_merged_q", {"_other": 1.0}) is None
+        # both present -> the full sum is still preferred
+        assert bench._prior_for("_merged_q", {"_merged_q": 0.5, "_other": 1.0}) == 1.5
+    finally:
+        del bench._CONSTITUENTS["_merged_q"]
+
+
 def test_regressions_require_ratio_and_absolute_delta(monkeypatch):
     monkeypatch.setattr(
         bench,

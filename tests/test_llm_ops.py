@@ -876,3 +876,110 @@ def test_dedup_index_compaction_bucketed_base(spark, tmp_path):
         )
 
         spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(path)}")
+
+
+def test_dedup_index_crash_recovery_and_vacuum(spark, tmp_path):
+    """The r7 ADVICE crash-ordering fix + retention GC, end to end:
+
+    (a) the compaction COMMIT is the single appended bucket_meta row —
+        deleting the newest row's file (simulating a crash after the
+        new base/tail were written but before the meta append landed)
+        rolls readers back to the previous generation with NOTHING
+        lost, including postings appended via extend_dedup_index after
+        the previous compaction (the r6 shape truncated the shared
+        tail pre-commit and lost exactly those);
+    (b) vacuum retention: with retain=2 a generation's dirs survive
+        the compaction that supersedes them (so an in-flight reader
+        finishes) and are deleted one cycle later.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        _bucket_meta,
+        _bucketed_table_name,
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    archive = docs.where(F.col("doc_id") % 2 == 0)
+    batch1 = docs.where(F.col("doc_id") % 4 == 1)
+    # probe batch: near-copies of batch1 docs so matches REQUIRE the
+    # extend's postings to be visible
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    probe = batch1.where(F.col("doc_id") % 8 == 1).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+
+    path = str(tmp_path / "idx")
+
+    def results():
+        return {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in dedup_against_index(spark, path, probe).collect()
+        }
+
+    try:
+        build_dedup_index(archive, path)
+        compact_dedup_index(spark, path, n_buckets=4)  # v1
+        extend_dedup_index(batch1, path)  # lands in tail_v1
+        pre_v2 = results()
+        assert len(pre_v2) > 0
+        assert any(a >= 50_000_000 or b >= 50_000_000 for a, b, _ in pre_v2)
+
+        compact_dedup_index(spark, path, n_buckets=4)  # v2
+        assert _bucket_meta(spark, path)["version"] == 2
+        assert results() == pre_v2
+
+        # (b) retention: v1 dirs survived the v2 compaction, v0
+        # (un-versioned postings) did not; a reader planned against the
+        # v1 base still collects
+        assert os.path.isdir(f"{path}/postings_bucketed_v1")
+        assert os.path.isdir(f"{path}/postings_tail_v1")
+        assert not os.path.isdir(f"{path}/postings")
+        v1_reader = spark.read.parquet(f"{path}/postings_bucketed_v1")
+        assert v1_reader.count() > 0
+
+        # (a) crash simulation: remove the v2 meta row's file -> the
+        # max-version read falls back to v1 base + v1 tail, and the
+        # extend's postings are still there (they were folded into v2,
+        # not truncated from v1's tail)
+        removed = []
+        for f in _glob.glob(f"{path}/bucket_meta/*.parquet"):
+            if 2 in pq.read_table(f, columns=["version"])["version"].to_pylist():
+                removed.append((f, open(f, "rb").read()))
+                os.remove(f)
+        assert removed, "expected a meta file carrying version=2"
+        spark.catalog.refreshByPath(f"{path}/bucket_meta")
+        meta = _bucket_meta(spark, path)
+        assert meta["version"] == 1 and meta["tail"].endswith("_tail_v1")
+        # the catalog table still points at v2's base; the search path
+        # must re-register it from the (rolled-back) meta
+        spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(path)}")
+        assert results() == pre_v2
+
+        # restore the meta row ("the crash didn't happen after all")
+        # and compact to v3: v1's dirs are now two generations old and
+        # vacuumed; v2 survives
+        for f, blob in removed:
+            open(f, "wb").write(blob)
+        spark.catalog.refreshByPath(f"{path}/bucket_meta")
+        spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(path)}")
+        compact_dedup_index(spark, path, n_buckets=4)  # v3
+        assert not os.path.isdir(f"{path}/postings_bucketed_v1")
+        assert not os.path.isdir(f"{path}/postings_tail_v1")
+        assert os.path.isdir(f"{path}/postings_bucketed_v2")
+        assert results() == pre_v2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(path)}")

@@ -202,6 +202,30 @@ def test_contamination_flags_known_answer(spark):
     assert got[3] == (False, 0)
 
 
+def test_contamination_flags_keeps_null_text_docs(spark):
+    # r7 ADVICE: a doc whose text is NULL must still get its
+    # (doc_id, 0, false) row — one row per input doc, always.
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        contamination_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox runs"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("q1", "the quick brown fox")], "qid string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["contaminated"], r["n_contaminated_ngrams"])
+        for r in contamination_flags(docs, bench).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] is True
+    assert got[2] == (False, 0)
+    assert got[3] == (False, 0)
+
+
 def test_pipeline_decontaminates_first(spark, tiny_corpus):
     from kcbdml9_big_data_processing_spark.jobs.training_data import (
         REASON_CONTAMINATED,
