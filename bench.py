@@ -186,6 +186,11 @@ _CONSTITUENTS: dict[str, list[str]] = {
     "user_summary": ["user_value_pivot", "latest_event_per_user"],
     # r6 (late): freed the slot for pq_ann_cosine
     "knn_centroid_suite": ["knn_topk_cosine", "nearest_centroid"],
+    # r8: the ANN family folded into one row (freed 2 slots); the
+    # ivfpq variant is NEW work with no prior, so the sum slightly
+    # understates the fair baseline — acceptable, the gate only
+    # flags slowdowns
+    "ann_index_suite": ["ann_lsh_cosine", "ivf_ann_cosine", "pq_ann_cosine"],
     "stream_bytes_90s_suite": [
         "stream_bytes_antenna_90s",
         "stream_bytes_user_app_90s",

@@ -203,7 +203,6 @@ def _ann_oracle() -> str:
     """
 
 
-@register("ann_lsh_cosine", oracle=_ann_oracle())
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: 16-bit random-hyperplane signature, banded
     into 4x4 bits; candidates are vectors sharing any band bucket with
@@ -384,11 +383,11 @@ def _ivf_explode(emb: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_train(emb: DataFrame, ex: DataFrame) -> DataFrame:
-    """Deterministic coarse quantizer: seeds = the _IVF_K lowest
+def _ivf_train(emb: DataFrame, ex: DataFrame, k: int = _IVF_K) -> DataFrame:
+    """Deterministic coarse quantizer: seeds = the ``k`` lowest
     vec_ids, one Lloyd refinement with fixed-point means. Returns the
     (cell, i, c) centroid relation."""
-    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_IVF_K)
+    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(k)
     seeds = ex.join(
         F.broadcast(seed_ids.select(F.col("vec_id").alias("cell"))),
         ex.vec_id == F.col("cell"),
@@ -430,7 +429,6 @@ def _ensure_index(kind: str, emb: DataFrame, sf_dir: str, build_fn) -> str:
     return path
 
 
-@register("ivf_ann_cosine", oracle=_ivf_oracle())
 def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN routed through the PERSISTED index (r7, per the r6
     verdict): build_ivf_index materializes the quantizer centroids and
@@ -609,14 +607,19 @@ def embedding_near_dup_pairs(
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
     # materialize: candidate generation and cosine verification both
-    # re-read this frame
-    prepped = corpus.select(
-        "vec_id",
-        "label",
-        "emb",
-        F.expr(_dot_fixed_expr("emb", "emb")).alias("nf"),
-        F.expr(_sig_expr("emb", planes, "spark")).alias("sig"),
-    ).persist()
+    # re-read this frame. A corpus already carrying nf/sig is
+    # pre-prepped (the suite shares one prep across variants) — reuse
+    # it instead of recomputing the 16 plane dots per row
+    if {"nf", "sig"}.issubset(corpus.columns):
+        prepped = corpus.select("vec_id", "label", "emb", "nf", "sig").persist()
+    else:
+        prepped = corpus.select(
+            "vec_id",
+            "label",
+            "emb",
+            F.expr(_dot_fixed_expr("emb", "emb")).alias("nf"),
+            F.expr(_sig_expr("emb", planes, "spark")).alias("sig"),
+        ).persist()
     prepped.count()
     # callers with a bounded-session lifecycle (the curator) pass a
     # cleanup list so this cache is released once results materialize
@@ -661,14 +664,165 @@ def embedding_near_dup_pairs(
 # --- persisted semantic-dedup index (batch-vs-corpus incremental) ---------
 
 _SEM_BANDS_SCHEMA = "vec_id long, label string, band int, bucket long"
+_SEM_META_SCHEMA = "blocking string, n_cells int"
+#: default bound on blocking-cell population under ``label_ivf``:
+#: cell count scales as corpus/target, so candidate work per batch
+#: vector stays ~constant as the corpus grows
+_SEM_TARGET_CELL_POP = 1024
 
 
-def build_semantic_index(corpus: DataFrame, path: str) -> None:
+def _sem_explode(df: DataFrame) -> DataFrame:
+    """(vec_id, i [1-based], x) long form of the (already-double)
+    ``emb`` column — the semantic twin of :func:`_ivf_explode`."""
+    return df.select("vec_id", F.posexplode("emb").alias("i0", "x")).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), "x"
+    )
+
+
+def _sem_meta(spark: SparkSession, path: str) -> dict:
+    """Stored blocking policy of a semantic index; indexes written
+    before the policy existed read as plain label blocking."""
+    try:
+        row = (
+            spark.read.schema(_SEM_META_SCHEMA)
+            .parquet(f"{path}/meta")
+            .first()
+        )
+    except Exception:
+        row = None
+    if row is None:
+        return {"blocking": "label", "n_cells": None}
+    return row.asDict()
+
+
+def _sem_cents(spark: SparkSession, path: str, meta: dict) -> DataFrame | None:
+    return (
+        spark.read.parquet(f"{path}/cents")
+        if meta["blocking"] == "label_ivf"
+        else None
+    )
+
+
+#: above this cell count, assignment falls back from the inlined
+#: centroid-literal expression to the exploded join (expression text
+#: grows as K x dim literals; 256 x 64 ~ 350 KB is the comfort bound)
+_SEM_EXPR_CELL_MAX = 256
+
+
+def _cell_expr(cent_rows: list) -> str:
+    """Map-side nearest-cell expression from driver-collected
+    centroids: per cell, the fixed-point squared L2 as an
+    aggregate-over-zip_with against the centroid literal array; argmin
+    with ties to the smallest cell via struct ordering of
+    array_min((dist, cell)). Bit-identical to :func:`_argmin_cell`
+    (same floor/scale per dimension, same tie-break), with ZERO
+    shuffles — the production assignment shape: the codebook rides the
+    plan, each vector is labeled where it already sits."""
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_cell.setdefault(r["cell"], {})[r["i"]] = r["c"]
+    parts = []
+    for cell in sorted(by_cell):
+        dims = by_cell[cell]
+        arr = "array(" + ",".join(
+            f"{dims[i]!r}D" for i in range(1, _DIM + 1)
+        ) + ")"
+        dist = (
+            f"aggregate(zip_with(emb, {arr}, (x, c) ->"
+            f" cast(floor((x - c) * (x - c) * {_SCALE}.0) as bigint)),"
+            f" 0L, (a, b) -> a + b)"
+        )
+        parts.append(f"named_struct('d', {dist}, 'cell', {cell})")
+    return f"array_min(array({', '.join(parts)})).cell"
+
+
+def _with_block_label(df: DataFrame, cents: DataFrame | None) -> DataFrame:
+    """Replace ``label`` with the composite blocking label
+    ``label:cell`` — the vector's nearest (frozen) coarse-quantizer
+    centroid under the same deterministic fixed-point arithmetic the
+    IVF index uses, so build/extend/search and the full-dedup oracle
+    all assign identically. With ``cents is None`` (plain label
+    blocking) the frame passes through untouched.
+
+    Assignment is a pure per-row expression against driver-collected
+    centroid literals up to _SEM_EXPR_CELL_MAX cells (no explode, no
+    join, no shuffle — measured ~3 shuffles saved per call vs the
+    exploded argmin); past that bound it falls back to the exploded
+    :func:`_argmin_cell` join, which never materializes the codebook
+    driver-side."""
+    if cents is None:
+        return df
+    cent_rows = None
+    if cents.select("cell").distinct().count() <= _SEM_EXPR_CELL_MAX:
+        cent_rows = cents.collect()
+    if cent_rows is not None:
+        return df.withColumn(
+            "label",
+            F.concat_ws(
+                ":",
+                F.col("label"),
+                F.expr(_cell_expr(cent_rows)).cast("string"),
+            ),
+        )
+    asg = _argmin_cell(_sem_explode(df), cents).select("vec_id", "cell")
+    return (
+        df.join(asg, "vec_id")
+        .withColumn(
+            "label",
+            F.concat_ws(":", F.col("label"), F.col("cell").cast("string")),
+        )
+        .drop("cell")
+    )
+
+
+def _sem_train(corpus: DataFrame, k: int) -> DataFrame:
+    """Coarse-quantizer training for the semantic index, arithmetic-
+    identical to :func:`_ivf_train` (seeds = the ``k`` lowest vec_ids,
+    one Lloyd refinement with fixed-point means) but with the seed
+    assignment as a map-side expression against driver-collected seed
+    literals instead of the exploded join — at adaptive K the join
+    shape generates rows x K x dim intermediates (2.5G rows at 200k
+    corpus / K=196), where this shape is one linear pass. Falls back
+    to _ivf_train past _SEM_EXPR_CELL_MAX cells."""
+    if k > _SEM_EXPR_CELL_MAX:
+        return _ivf_train(corpus, _sem_explode(corpus), k=k)
+    seed_rows = (
+        corpus.select("vec_id", "emb").orderBy("vec_id").limit(k).collect()
+    )
+    cent_rows = [
+        {"cell": r["vec_id"], "i": i + 1, "c": r["emb"][i]}
+        for r in seed_rows
+        for i in range(_DIM)
+    ]
+    a0 = corpus.withColumn("cell", F.expr(_cell_expr(cent_rows)))
+    ex = a0.select("cell", F.posexplode("emb").alias("i0", "x")).select(
+        "cell", (F.col("i0") + 1).alias("i"), "x"
+    )
+    return ex.groupBy("cell", "i").agg(
+        (
+            (
+                F.sum(F.floor(F.col("x") * _SCALE).cast("long")).cast("double")
+                / F.lit(float(_SCALE))
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("c")
+    )
+
+
+def build_semantic_index(
+    corpus: DataFrame,
+    path: str,
+    blocking: str = "label",
+    n_cells: int | None = None,
+    target_cell_pop: int = _SEM_TARGET_CELL_POP,
+) -> None:
     """Materialize the standing corpus's semantic-dedup blocking index
-    as two parquet tables under ``path``: ``bands`` (vec_id, label,
-    band, bucket — the label x hyperplane-LSH blocking keys
-    embedding_near_dup_pairs joins on) and ``vecs`` (vec_id, label,
-    emb, nf — what the exact-cosine verification reads back).
+    as parquet tables under ``path``: ``bands`` (vec_id, label, band,
+    bucket — the blocking keys embedding_near_dup_pairs joins on),
+    ``vecs`` (vec_id, label, emb, nf — what the exact-cosine
+    verification reads back), ``meta`` (the blocking policy), and —
+    under ``label_ivf`` blocking — ``cents`` (the frozen coarse
+    quantizer).
 
     Completes the incremental-ingest triple: exact
     (queries/dedup.dedup_incremental), n-gram (build_dedup_index),
@@ -677,7 +831,52 @@ def build_semantic_index(corpus: DataFrame, path: str) -> None:
     The hyperplanes are deterministic module constants (_planes), so
     signatures computed at build time and at search time agree by
     construction — the 'frozen quantizer' concern of the IVF/postings
-    indexes doesn't arise."""
+    indexes doesn't arise for the bands.
+
+    ``blocking`` (r7 verdict #1 — production granularity):
+
+    - ``"label"``: block on the corpus's own label column. Fine when
+      labels partition the corpus finely; degenerate when one label
+      dominates — bucket population then grows with the corpus and
+      per-batch search cost follows it (the measured 0.53 exponent).
+    - ``"label_ivf"``: the SemDeDup deployment shape (Abbas et al.
+      2023 cluster with k-means and dedup within clusters): compose
+      the label with the vector's IVF cell from a deterministic
+      coarse quantizer TRAINED AT BUILD TIME and frozen into the
+      index (``cents``), exactly like build_ivf_index's. Cell count
+      defaults to corpus_size / ``target_cell_pop`` (>= _IVF_K), so
+      blocking-cell population — and with it per-batch candidate
+      work — stays bounded as the corpus grows; pass ``n_cells`` to
+      pin it (e.g. for an oracle with a literal K). The trade is the
+      same as SemDeDup's: pairs straddling a cell boundary are not
+      candidates, by definition of the blocked pair set — search
+      equality against the full dedup holds with the full side
+      blocked by the SAME composite labels (pinned in
+      tests/test_llm_ops.py and the semantic_dedup_suite
+      'incremental' driver row).
+
+    At 100 TB the quantizer-training cost is the standard IVF one
+    (sample-train if needed; assignment is a linear broadcast-join
+    pass), and blocking granularity no longer depends on how a
+    corpus happens to be labeled."""
+    spark = corpus.sparkSession
+    if blocking not in ("label", "label_ivf"):
+        raise ValueError(f"unknown blocking: {blocking!r}")
+    if blocking == "label_ivf":
+        if n_cells is None:
+            import math
+
+            n_cells = max(_IVF_K, math.ceil(corpus.count() / target_cell_pop))
+        cents = _sem_train(corpus, n_cells)
+        cents.write.mode("overwrite").parquet(f"{path}/cents")
+        # relabel against the WRITTEN centroids (re-read, not the
+        # lineage): the stored index is the truth searches will read
+        corpus = _with_block_label(
+            corpus, spark.read.parquet(f"{path}/cents")
+        )
+    spark.createDataFrame(
+        [(blocking, n_cells)], _SEM_META_SCHEMA
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
     prepped = corpus.select(
@@ -718,8 +917,14 @@ def build_semantic_index(corpus: DataFrame, path: str) -> None:
 
 def extend_semantic_index(new_corpus: DataFrame, path: str) -> None:
     """Append newly-accepted vectors to a persisted semantic index:
-    same deterministic planes, append-only, nothing rewritten. Caller
+    same deterministic planes, and — under ``label_ivf`` blocking —
+    the STORED frozen quantizer (the same incremental trade as
+    extend_ivf_index); append-only, nothing rewritten. Caller
     contract: batch vec_ids are disjoint from ids already stored."""
+    spark = new_corpus.sparkSession
+    new_corpus = _with_block_label(
+        new_corpus, _sem_cents(spark, path, _sem_meta(spark, path))
+    )
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
     prepped = new_corpus.select(
@@ -782,15 +987,21 @@ def semantic_dedup_against_index(
     semi-join key set, the verification union); it is persisted only
     when a ``cleanup`` list is passed (the module convention — see
     repeated_spans), staying fully lazy otherwise."""
+    batch = _with_block_label(
+        batch, _sem_cents(spark, path, _sem_meta(spark, path))
+    )
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
-    b_prepped = batch.select(
-        "vec_id",
-        "label",
-        "emb",
-        F.expr(_dot_fixed_expr("emb", "emb")).alias("nf"),
-        F.expr(_sig_expr("emb", planes, "spark")).alias("sig"),
-    )
+    if {"nf", "sig"}.issubset(batch.columns):
+        b_prepped = batch.select("vec_id", "label", "emb", "nf", "sig")
+    else:
+        b_prepped = batch.select(
+            "vec_id",
+            "label",
+            "emb",
+            F.expr(_dot_fixed_expr("emb", "emb")).alias("nf"),
+            F.expr(_sig_expr("emb", planes, "spark")).alias("sig"),
+        )
     if cleanup is not None:
         b_prepped = b_prepped.persist()
         b_prepped.count()
@@ -820,22 +1031,36 @@ def semantic_dedup_against_index(
             ["label", "band", "bucket"],
             "left_semi",
         )
-        .select("vec_id", "label", "band", "bucket", F.lit(False).alias("is_new"))
+        .select("vec_id", "label", "band", "bucket")
     )
-    banded = b_banded.unionByName(stored_banded)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (F.col("a.is_new") | F.col("b.is_new")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    # asymmetric candidate branches (r8, the dedup_against_index
+    # structure): batch x batch and batch x stored, unioned — the old
+    # symmetric self-join over batch ∪ stored generated every
+    # stored x stored bucket match only to discard it through an
+    # is-new predicate, which dominated search cost as the corpus
+    # outgrew the batch (measured 1.95 s -> ~0.6 s candidate stage at
+    # sf0.1); corpus-vs-corpus probing now never happens at all
+    a, b = b_banded.alias("a"), b_banded.alias("b")
+    key = ["label", "band", "bucket"]
+    cand_bb = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    st = stored_banded.alias("s")
+    cand_bs = a.join(
+        st,
+        (F.col("a.label") == F.col("s.label"))
+        & (F.col("a.band") == F.col("s.band"))
+        & (F.col("a.bucket") == F.col("s.bucket"))
+        & (F.col("a.vec_id") != F.col("s.vec_id")),
+    ).select(
+        F.least(F.col("a.vec_id"), F.col("s.vec_id")).alias("vec_a"),
+        F.greatest(F.col("a.vec_id"), F.col("s.vec_id")).alias("vec_b"),
     )
+    cand = cand_bb.unionByName(cand_bs).distinct()
     vecs = spark.read.parquet(f"{path}/vecs").unionByName(
         b_prepped.select("vec_id", "label", "emb", "nf")
     )
@@ -1165,7 +1390,6 @@ def _pq_oracle() -> str:
     """
 
 
-@register("pq_ann_cosine", oracle=_pq_oracle(), headline=True)
 def pq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN routed through the PERSISTED index (r7, per the r6
     verdict): build_pq_index materializes the per-subspace codebooks
@@ -1607,3 +1831,391 @@ def extend_ivf_index(new_emb: DataFrame, path: str) -> None:
         .write.mode("append")
         .parquet(f"{path}/cells")
     )
+
+
+# --- driver-gated suites over the persisted indexes (r8) ------------------
+
+
+def _ivfpq_oracle_ctes() -> str:
+    """CTE chain for the composed IVF-PQ search: the _ivf_oracle
+    centroid/cell chain (prefix ``ivf_``) + the _pq_oracle
+    codebook/code chain (prefix ``pq_``) + ADC restricted to the
+    IVF-candidate set + exact re-rank — the same composition
+    search_ivfpq_index runs over the two stored indexes."""
+    sub = _PQ_SUBDIM
+    return f"""
+        ivf_ex AS (
+            SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, {_DIM}) g(i)
+        ),
+        ivf_seeds AS (
+            SELECT vec_id AS cell, i, x AS c FROM ivf_ex
+            WHERE vec_id IN (
+                SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_K})
+        ),
+        ivf_d0 AS (
+            SELECT ivf_ex.vec_id, s.cell,
+                   SUM(CAST(floor((ivf_ex.x - s.c) * (ivf_ex.x - s.c) * {_SCALE}.0)
+                       AS BIGINT)) AS dist_f
+            FROM ivf_ex JOIN ivf_seeds s ON ivf_ex.i = s.i
+            GROUP BY ivf_ex.vec_id, s.cell
+        ),
+        ivf_a0 AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist_f, cell) AS rn
+                FROM ivf_d0) WHERE rn = 1
+        ),
+        ivf_cents AS (
+            SELECT ivf_a0.cell, ivf_ex.i,
+                   (CAST(SUM(CAST(floor(ivf_ex.x * {_SCALE}.0) AS BIGINT)) AS DOUBLE)
+                    / {_SCALE}.0) / CAST(COUNT(*) AS DOUBLE) AS c
+            FROM ivf_ex JOIN ivf_a0 ON ivf_ex.vec_id = ivf_a0.vec_id
+            GROUP BY ivf_a0.cell, ivf_ex.i
+        ),
+        ivf_d1 AS (
+            SELECT ivf_ex.vec_id, s.cell,
+                   SUM(CAST(floor((ivf_ex.x - s.c) * (ivf_ex.x - s.c) * {_SCALE}.0)
+                       AS BIGINT)) AS dist_f
+            FROM ivf_ex JOIN ivf_cents s ON ivf_ex.i = s.i
+            GROUP BY ivf_ex.vec_id, s.cell
+        ),
+        ivf_cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist_f, cell) AS rn
+                FROM ivf_d1) WHERE rn = 1
+        ),
+        ivf_probe_cells AS (
+            SELECT vec_id AS probe_id, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist_f, cell) AS rn
+                FROM ivf_d1 WHERE vec_id % {_PROBE_MOD} = 0)
+            WHERE rn <= {_IVF_NPROBE}
+        ),
+        pq_ex AS (
+            SELECT vec_id, (g.i - 1) // {sub} AS m,
+                   (g.i - 1) % {sub} + 1 AS j,
+                   CAST(embedding[g.i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, {_DIM}) g(i)
+        ),
+        pq_book0 AS (
+            SELECT vec_id AS code, m, j, x AS c FROM pq_ex
+            WHERE vec_id IN (
+                SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_CODES})
+        ),
+        pq_d0 AS (
+            SELECT pq_ex.vec_id, pq_ex.m, b.code,
+                   SUM(CAST(floor((pq_ex.x - b.c) * (pq_ex.x - b.c) * {_SCALE}.0)
+                       AS BIGINT)) AS dist_f
+            FROM pq_ex JOIN pq_book0 b ON pq_ex.m = b.m AND pq_ex.j = b.j
+            GROUP BY pq_ex.vec_id, pq_ex.m, b.code
+        ),
+        pq_a0 AS (
+            SELECT vec_id, m, code FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, m ORDER BY dist_f, code) AS rn
+                FROM pq_d0) WHERE rn = 1
+        ),
+        pq_book AS (
+            SELECT pq_a0.m, pq_a0.code, pq_ex.j,
+                   (CAST(SUM(CAST(floor(pq_ex.x * {_SCALE}.0) AS BIGINT)) AS DOUBLE)
+                    / {_SCALE}.0) / CAST(COUNT(*) AS DOUBLE) AS c
+            FROM pq_ex JOIN pq_a0
+              ON pq_ex.vec_id = pq_a0.vec_id AND pq_ex.m = pq_a0.m
+            GROUP BY pq_a0.m, pq_a0.code, pq_ex.j
+        ),
+        pq_d1 AS (
+            SELECT pq_ex.vec_id, pq_ex.m, b.code,
+                   SUM(CAST(floor((pq_ex.x - b.c) * (pq_ex.x - b.c) * {_SCALE}.0)
+                       AS BIGINT)) AS dist_f
+            FROM pq_ex JOIN pq_book b ON pq_ex.m = b.m AND pq_ex.j = b.j
+            GROUP BY pq_ex.vec_id, pq_ex.m, b.code
+        ),
+        pq_codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, m ORDER BY dist_f, code) AS rn
+                FROM pq_d1) WHERE rn = 1
+        ),
+        pq_lut AS (
+            SELECT vec_id AS probe_id, m, code, dist_f
+            FROM pq_d1 WHERE vec_id % {_PROBE_MOD} = 0
+        ),
+        ivfpq_cand AS (
+            SELECT pc.probe_id, ivf_cells.vec_id
+            FROM ivf_probe_cells pc
+            JOIN ivf_cells ON ivf_cells.cell = pc.cell
+                          AND ivf_cells.vec_id <> pc.probe_id
+        ),
+        ivfpq_adc AS (
+            SELECT cand.probe_id, cand.vec_id, SUM(l.dist_f) AS adc_dist_f
+            FROM ivfpq_cand cand
+            JOIN pq_codes c ON c.vec_id = cand.vec_id
+            JOIN pq_lut l ON l.probe_id = cand.probe_id
+                         AND c.m = l.m AND c.code = l.code
+            GROUP BY cand.probe_id, cand.vec_id
+            HAVING COUNT(*) = {_PQ_SUB}
+        ),
+        ivfpq_shortlist AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY probe_id ORDER BY adc_dist_f, vec_id) AS rn
+                FROM ivfpq_adc
+            ) WHERE rn <= {_K * _PQ_SHORTLIST}
+        ),
+        ivfpq_corpus AS (
+            SELECT vec_id, embedding,
+                   {_dot_fixed_sql('embedding', 'embedding')} AS nf
+            FROM embeddings
+        ),
+        ivfpq_rescored AS (
+            SELECT s.probe_id, s.vec_id,
+                   {_cos_expr(_dot_fixed_sql('p.embedding', 'c.embedding'), 'p.nf', 'c.nf')}
+                       AS cosine
+            FROM ivfpq_shortlist s
+            JOIN ivfpq_corpus p ON p.vec_id = s.probe_id
+            JOIN ivfpq_corpus c ON c.vec_id = s.vec_id
+        )"""
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+        WITH {_ivfpq_oracle_ctes()}
+        SELECT probe_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM ivfpq_rescored
+        )
+        WHERE rank <= {_K}
+    """
+
+
+def ivfpq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN over the two persisted indexes (both
+    cached per process like the single-index rows): the actual 100 TB
+    deployment shape — IVF restricts WHICH vectors are ADC-scored,
+    PQ restricts WHAT is read per scored vector."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ivf_path = _ensure_index("ivf", emb, sf_dir, build_ivf_index)
+    pq_path = _ensure_index("pq", emb, sf_dir, build_pq_index)
+    probes = emb.where(F.col("vec_id") % _PROBE_MOD == 0)
+    return search_ivfpq_index(spark, ivf_path, pq_path, probes, emb)
+
+
+@register(
+    "ann_index_suite",
+    oracle=f"""
+        SELECT 'lsh' AS variant, probe_id, vec_id, cosine, rank
+        FROM ({_ann_oracle()})
+        UNION ALL
+        SELECT 'ivf', probe_id, vec_id, cosine, rank FROM ({_ivf_oracle()})
+        UNION ALL
+        SELECT 'pq', probe_id, vec_id, cosine, rank FROM ({_pq_oracle()})
+        UNION ALL
+        SELECT 'ivfpq', probe_id, vec_id, cosine, rank FROM ({_ivfpq_oracle()})
+    """,
+    headline=True,
+)
+def ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN family, one registration (r8 fold — the r7 verdict
+    asked for the composed-index searches to be driver-gated, and the
+    registry stays inside the driver's 50-row window by merging):
+
+    - ``lsh``: :func:`ann_lsh_cosine` — deterministic hyperplane-LSH
+      banding, exact cosine re-rank inside the candidate set.
+    - ``ivf``: :func:`ivf_ann_cosine` — search of the PERSISTED IVF
+      index (build cached per process; the graded plan is the
+      production search plan).
+    - ``pq``: :func:`pq_ann_cosine` — ADC over the persisted 8-byte
+      codes + exact re-rank.
+    - ``ivfpq``: :func:`ivfpq_ann_cosine` — the COMPOSED search over
+      both stored indexes (cell-restricted ADC), previously pinned
+      only by pytest, now hash-checked against a full DuckDB
+      recomputation of quantizers, codes, cell-restricted ADC, and
+      re-rank.
+
+    Every variant is exact-arithmetic deterministic (fixed-point dots,
+    pinned tie-breaks), so the whole approximate-search surface is
+    value-hash-gated, not just row-counted."""
+    parts = [
+        ann_lsh_cosine(spark, sf_dir).select(
+            F.lit("lsh").alias("variant"), "probe_id", "vec_id", "cosine", "rank"
+        ),
+        ivf_ann_cosine(spark, sf_dir).select(
+            F.lit("ivf").alias("variant"), "probe_id", "vec_id", "cosine", "rank"
+        ),
+        pq_ann_cosine(spark, sf_dir).select(
+            F.lit("pq").alias("variant"), "probe_id", "vec_id", "cosine", "rank"
+        ),
+        ivfpq_ann_cosine(spark, sf_dir).select(
+            F.lit("ivfpq").alias("variant"), "probe_id", "vec_id", "cosine", "rank"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _sem_incr_oracle() -> str:
+    """DuckDB twin of the semantic_dedup_suite 'incremental' variant:
+    recompute the frozen coarse quantizer (trained on the archive =
+    the embeddings table, K = _IVF_K seeds + one Lloyd refinement,
+    identical fixed-point arithmetic to _ivf_oracle), assign archive
+    AND batch (the perturbed copy) to cells, block on the composite
+    label:cell x LSH band, and keep cosine >= threshold pairs
+    touching at least one batch vector."""
+    planes = _planes()
+    sig = _sig_expr("c.emb", planes, "duckdb")
+    band_w = _N_PLANES // _N_BANDS
+    return f"""
+        WITH arch_ex AS (
+            SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS x
+            FROM embeddings, generate_series(1, {_DIM}) g(i)
+        ),
+        sem_seeds AS (
+            SELECT vec_id AS cell, i, x AS c FROM arch_ex
+            WHERE vec_id IN (
+                SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_IVF_K})
+        ),
+        sem_d0 AS (
+            SELECT arch_ex.vec_id, s.cell,
+                   SUM(CAST(floor((arch_ex.x - s.c) * (arch_ex.x - s.c) * {_SCALE}.0)
+                       AS BIGINT)) AS dist_f
+            FROM arch_ex JOIN sem_seeds s ON arch_ex.i = s.i
+            GROUP BY arch_ex.vec_id, s.cell
+        ),
+        sem_a0 AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist_f, cell) AS rn
+                FROM sem_d0) WHERE rn = 1
+        ),
+        sem_cents AS (
+            SELECT sem_a0.cell, arch_ex.i,
+                   (CAST(SUM(CAST(floor(arch_ex.x * {_SCALE}.0) AS BIGINT)) AS DOUBLE)
+                    / {_SCALE}.0) / CAST(COUNT(*) AS DOUBLE) AS c
+            FROM arch_ex JOIN sem_a0 ON arch_ex.vec_id = sem_a0.vec_id
+            GROUP BY sem_a0.cell, arch_ex.i
+        ),
+        sem_corpus AS (
+            SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS emb
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_DUP_OFFSET}, label,
+                   list_transform(generate_series(1, {_DIM}),
+                       i -> CAST(embedding[i] AS DOUBLE) + {_PERTURB_SQL})
+            FROM embeddings WHERE vec_id % 2 = 0
+        ),
+        sem_corpus_ex AS (
+            SELECT vec_id, g.i AS i, emb[g.i] AS x
+            FROM sem_corpus, generate_series(1, {_DIM}) g(i)
+        ),
+        sem_d1 AS (
+            SELECT sem_corpus_ex.vec_id, s.cell,
+                   SUM(CAST(floor((sem_corpus_ex.x - s.c)
+                       * (sem_corpus_ex.x - s.c) * {_SCALE}.0)
+                       AS BIGINT)) AS dist_f
+            FROM sem_corpus_ex JOIN sem_cents s ON sem_corpus_ex.i = s.i
+            GROUP BY sem_corpus_ex.vec_id, s.cell
+        ),
+        sem_cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist_f, cell) AS rn
+                FROM sem_d1) WHERE rn = 1
+        ),
+        sem_prepped AS (
+            SELECT c.vec_id,
+                   c.label || ':' || CAST(sc.cell AS VARCHAR) AS label,
+                   c.emb,
+                   list_sum(list_transform(generate_series(1, {_DIM}), i ->
+                       CAST(floor(c.emb[i] * c.emb[i] * {_SCALE}.0) AS BIGINT))) AS nf,
+                   {sig} AS sig
+            FROM sem_corpus c JOIN sem_cells sc ON c.vec_id = sc.vec_id
+        ),
+        sem_banded AS (
+            SELECT vec_id, label, emb, nf, b.band,
+                   (sig >> (b.band * {band_w})) & {(1 << band_w) - 1} AS bucket
+            FROM sem_prepped,
+                 (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS band) b
+        ),
+        sem_cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sem_banded a JOIN sem_banded b
+              ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+             AND (a.vec_id >= {_DUP_OFFSET} OR b.vec_id >= {_DUP_OFFSET})
+        ),
+        sem_pairs AS (
+            SELECT sem_cand.vec_a, sem_cand.vec_b,
+                   {_cos_expr(
+                       f"list_sum(list_transform(generate_series(1, {_DIM}), i ->"
+                       f" CAST(floor(a.emb[i] * b.emb[i] * {_SCALE}.0) AS BIGINT)))",
+                       'a.nf', 'b.nf')} AS cosine
+            FROM sem_cand
+            JOIN sem_prepped a ON a.vec_id = sem_cand.vec_a
+            JOIN sem_prepped b ON b.vec_id = sem_cand.vec_b
+        )
+        SELECT vec_a, vec_b, cosine FROM sem_pairs
+        WHERE cosine >= {_NEAR_DUP_COS}
+    """
+
+
+def _sem_scenario(spark: SparkSession, sf_dir: str):
+    """(archive, batch) frames for the incremental semantic scenario:
+    archive = the embeddings table as doubles, batch = the
+    deterministically-perturbed copy of its EVEN vec_ids (so
+    batch-vs-archive near-dup pairs are non-vacuous at every SF, and
+    the batch is genuinely smaller than the standing corpus — the
+    daily-ingest proportion the incremental path exists for)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    archive = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    batch = emb.where(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"),
+        "label",
+        F.expr(
+            f"transform(sequence(1, {_DIM}), i ->"
+            f" cast(element_at(embedding, i) as double)"
+            f" + ((cast(i % 3 as double) - 1.0) * 0.02))"
+        ).alias("emb"),
+    )
+    return archive, batch
+
+
+@register(
+    "semantic_dedup_incremental",
+    oracle=_sem_incr_oracle(),
+    headline=True,
+)
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest semantic-dedup shape the r7 verdict asked to
+    driver-gate: build_semantic_index over the archive under
+    ``label_ivf`` blocking (frozen coarse quantizer, K pinned to
+    _IVF_K so the oracle can recompute it as a literal; build cached
+    per process like the other index rows), then
+    semantic_dedup_against_index for the perturbed-evens batch. The
+    oracle recomputes quantizer, assignment, composite blocking, and
+    exact cosines in DuckDB, restricted to batch-touching pairs —
+    hash-proving index search == full semantic dedup under the same
+    blocking, at batch cost (scale probe series semantic_vs_index).
+    Registered as its own row (not merged into embedding_near_dup):
+    the work is NEW, and a merged row would trip the bench regression
+    gate against a prior that never contained it."""
+    archive, batch = _sem_scenario(spark, sf_dir)
+    path = _ensure_index(
+        "sem",
+        archive,
+        sf_dir,
+        lambda c, p: build_semantic_index(
+            c, p, blocking="label_ivf", n_cells=_IVF_K
+        ),
+    )
+    return semantic_dedup_against_index(spark, path, batch)

@@ -983,3 +983,86 @@ def test_dedup_index_crash_recovery_and_vacuum(spark, tmp_path):
         assert results() == pre_v2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(path)}")
+
+
+def test_semantic_index_label_ivf_blocking(spark, tmp_path):
+    """r7 verdict #1 — production-granularity blocking: a semantic
+    index built with ``label_ivf`` composite blocking (frozen coarse
+    quantizer, adaptive cell count) must (1) store the policy so a
+    later extend and search assign with the SAME frozen centroids,
+    and (2) satisfy search == full-dedup-restricted-to-batch where
+    the full side is blocked by the SAME composite labels — the
+    SemDeDup deployment shape, exactly."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _DIM,
+        _sem_cents,
+        _sem_meta,
+        _with_block_label,
+        build_semantic_index,
+        embedding_near_dup_pairs,
+        extend_semantic_index,
+        semantic_dedup_against_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    # WORST-CASE corpus for plain label blocking: one label everywhere
+    base = emb.select(
+        "vec_id",
+        F.lit("all").alias("label"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 30_000_000).alias("vec_id"),
+        F.lit("all").alias("label"),
+        F.expr(
+            f"transform(sequence(1, {_DIM}), i ->"
+            " cast(element_at(embedding, i) as double)"
+            " + ((cast(i % 3 as double) - 1.0) * 0.02))"
+        ).alias("emb"),
+    )
+    archive = base.where(F.col("vec_id") % 2 == 0)
+    batch1 = base.where(F.col("vec_id") % 2 == 1)
+    batch2 = pert
+
+    path = str(tmp_path / "semidx")
+    # adaptive K: small target so the cell count actually exceeds the
+    # 16-cell floor on this corpus
+    build_semantic_index(
+        archive, path, blocking="label_ivf", target_cell_pop=8
+    )
+    meta = _sem_meta(spark, path)
+    assert meta["blocking"] == "label_ivf" and meta["n_cells"] > 16
+    cents = _sem_cents(spark, path, meta)
+    assert cents.select("cell").distinct().count() == meta["n_cells"]
+
+    def results(batch):
+        return {
+            (r.vec_a, r.vec_b, round(r.cosine, 12))
+            for r in semantic_dedup_against_index(spark, path, batch).collect()
+        }
+
+    def full_restricted(corpus, batch):
+        batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+        return {
+            (r.vec_a, r.vec_b, round(r.cosine, 12))
+            for r in embedding_near_dup_pairs(
+                _with_block_label(corpus, cents)
+            ).collect()
+            if r.vec_a in batch_ids or r.vec_b in batch_ids
+        }
+
+    got1 = results(batch1)
+    assert got1 == full_restricted(archive.unionAll(batch1), batch1)
+
+    # extend with batch1 (frozen centroids), then search batch2: the
+    # perturbed copies must match their archived/extended twins
+    extend_semantic_index(batch1, path)
+    got2 = results(batch2)
+    assert len(got2) > 0
+    assert got2 == full_restricted(
+        archive.unionAll(batch1).unionAll(batch2), batch2
+    )

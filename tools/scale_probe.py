@@ -257,7 +257,11 @@ def main() -> None:
         )
         n = corpus.count()
         path = scratch_dir(f"probe_sem_idx_{mult}_")
-        build_semantic_index(corpus, path)
+        # WORST-CASE labeling (one label) + the production blocking
+        # default: label_ivf with adaptive cell count — cell
+        # population, and with it per-batch candidate work, stays
+        # bounded as the corpus grows (r7 verdict #1)
+        build_semantic_index(corpus, path, blocking="label_ivf")
         perturb = _F.transform(
             "emb", lambda x, i: x + ((i % 3).cast("double") - 1.0) * 0.02
         )
