@@ -16,8 +16,6 @@ controlled.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,25 +43,39 @@ from .registry import register
 _BOUNDED_STATE_PARTITIONS = 8
 
 
-@contextmanager
-def _bounded_state_partitions(spark: SparkSession):
-    """Scope spark.sql.shuffle.partitions to _BOUNDED_STATE_PARTITIONS
-    while the bounded stream(s) start AND drain — the conf is read
-    when the first micro-batch is constructed (async after start()),
-    so it must hold until awaitTermination returns; the prior value is
-    restored for the batch post-processing and whatever runs next.
-    Session-conf scoping is NOT reentrant-safe against concurrent
-    batch work on the same session: anything planned inside the scope
-    plans at the bounded partition count (harmless for the registry's
-    sequential execution; a concurrent caller should run these
-    bounded replays on their own session)."""
-    key = "spark.sql.shuffle.partitions"
-    prior = spark.conf.get(key)
-    spark.conf.set(key, str(_BOUNDED_STATE_PARTITIONS))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prior)
+def _bounded_session(spark: SparkSession) -> SparkSession:
+    """Dedicated child session (shared SparkContext, own conf/catalog)
+    for the bounded replays, with shuffle partitions pinned to
+    _BOUNDED_STATE_PARTITIONS (r7 ADVICE-adjacent verdict #5: the old
+    shape flipped spark.sql.shuffle.partitions on the CALLER's session
+    around start+drain, so concurrent batch work on that session could
+    plan at the bounded count). Each registered stream query rebinds
+    to this session, so its streams, memory-sink tables, and skinny
+    post-processing all live here while the caller's session — and
+    anything running on it concurrently — keeps its own partitioning
+    end to end (pinned in tests/test_streaming.py).
+
+    The child is cached on the parent session object (one per parent,
+    created lazily): memory-sink tables re-register per call exactly
+    as they previously did on the parent, so driver-heap behavior is
+    unchanged. Explicitly-set spark.sql.* confs are copied from the
+    parent at creation (session time zone, legacy parquet nanos, ...)
+    because newSession() starts from the static SparkConf, not the
+    parent's runtime conf."""
+    bs = getattr(spark, "_kcbdml9_bounded_session", None)
+    if bs is None:
+        bs = spark.newSession()
+        for r in spark.sql("SET").collect():
+            if r["key"].startswith("spark.sql."):
+                try:
+                    bs.conf.set(r["key"], r["value"])
+                except Exception:
+                    pass
+        bs.conf.set(
+            "spark.sql.shuffle.partitions", str(_BOUNDED_STATE_PARTITIONS)
+        )
+        spark._kcbdml9_bounded_session = bs
+    return bs
 
 
 def _start_bounded_metric(spark: SparkSession, sf_dir: str, key, tag: str, name: str):
@@ -90,8 +102,8 @@ def _run_bounded_metric(
 ) -> DataFrame:
     """Run one windowed metric as a bounded stream into a complete-mode
     memory sink; return the sink table."""
-    with _bounded_state_partitions(spark):
-        _start_bounded_metric(spark, sf_dir, key, tag, name).awaitTermination()
+    spark = _bounded_session(spark)
+    _start_bounded_metric(spark, sf_dir, key, tag, name).awaitTermination()
     return spark.table(name)
 
 
@@ -170,8 +182,8 @@ def _start_app_metric(spark: SparkSession, sf_dir: str):
 def stream_bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 as true streaming: the key comes out of the JSON payload
     (P3) on the stream before windowing."""
-    with _bounded_state_partitions(spark):
-        _start_app_metric(spark, sf_dir).awaitTermination()
+    spark = _bounded_session(spark)
+    _start_app_metric(spark, sf_dir).awaitTermination()
     return spark.table("stream_app_90s")
 
 
@@ -199,18 +211,18 @@ def stream_bytes_90s_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (their fixed startup + replay cost overlaps; measured ~5.8 s
     serialized -> ~3 s concurrent at sf0.1) — same pattern a real
     multi-query streaming job uses (streaming/job.py)."""
-    with _bounded_state_partitions(spark):
-        queries = [
-            _start_bounded_metric(
-                spark, sf_dir, "event_type", "antenna_bytes_total", "stream_antenna_90s"
-            ),
-            _start_bounded_metric(
-                spark, sf_dir, "user_id", "user_bytes_total", "stream_user_90s"
-            ),
-            _start_app_metric(spark, sf_dir),
-        ]
-        for q in queries:
-            q.awaitTermination()
+    spark = _bounded_session(spark)
+    queries = [
+        _start_bounded_metric(
+            spark, sf_dir, "event_type", "antenna_bytes_total", "stream_antenna_90s"
+        ),
+        _start_bounded_metric(
+            spark, sf_dir, "user_id", "user_bytes_total", "stream_user_90s"
+        ),
+        _start_app_metric(spark, sf_dir),
+    ]
+    for q in queries:
+        q.awaitTermination()
     return (
         spark.table("stream_antenna_90s")
         .unionAll(spark.table("stream_user_90s"))
@@ -238,13 +250,13 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     event key can no longer be redelivered — that production variant's
     eviction semantics are pinned in tests/test_streaming.py, where
     micro-batch boundaries are controlled."""
+    spark = _bounded_session(spark)
     doubled = read_events_stream(spark, sf_dir).unionAll(
         read_events_stream(spark, sf_dir)
     )
     deduped = doubled.dropDuplicates(["event_id"])
-    with _bounded_state_partitions(spark):
-        q, read_back = _drain_to_parquet(deduped, "stream_dedup_events")
-        q.awaitTermination()
+    q, read_back = _drain_to_parquet(deduped, "stream_dedup_events")
+    q.awaitTermination()
     return read_back()
 
 
@@ -287,13 +299,13 @@ def stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch boundaries are controlled."""
     from ..streaming.curation import curate_stream
 
+    spark = _bounded_session(spark)
     doubled = read_documents_stream(spark, sf_dir).unionAll(
         read_documents_stream(spark, sf_dir)
     )
     curated = curate_stream(doubled)
-    with _bounded_state_partitions(spark):
-        q, read_back = _drain_to_parquet(curated.drop("ts"), "stream_curated_ingest")
-        q.awaitTermination()
+    q, read_back = _drain_to_parquet(curated.drop("ts"), "stream_curated_ingest")
+    q.awaitTermination()
     return read_back()
 
 
@@ -353,6 +365,7 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the real out-of-orderness bound; the state-eviction semantics under
     a tight watermark are pinned in tests/test_streaming.py.
     """
+    spark = _bounded_session(spark)
     # stream-stream: events x errors within +/- 5 min per user.
     # Watermarks demand TIMESTAMP (not the table's TIMESTAMP_NTZ), so
     # the join axis is a session-tz cast (the session factory and the
@@ -403,11 +416,10 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, "user_id")
         .select("event_id", F.col("c_name").alias("k"), F.col("value").alias("v"))
     )
-    with _bounded_state_partitions(spark):
-        q1, read_pairs = _drain_to_parquet(pairs, "stream_join_pairs")
-        q2, read_enrich = _drain_to_parquet(enriched, "stream_join_enrich")
-        q1.awaitTermination()
-        q2.awaitTermination()
+    q1, read_pairs = _drain_to_parquet(pairs, "stream_join_pairs")
+    q2, read_enrich = _drain_to_parquet(enriched, "stream_join_enrich")
+    q1.awaitTermination()
+    q2.awaitTermination()
     near = (
         read_pairs()
         .groupBy("event_id")

@@ -82,6 +82,14 @@ def main() -> None:
     ap.add_argument(
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="probe only these series (writes SCALE_PROBE.json ONLY "
+        "when running the full set, so partial runs can't clobber "
+        "the recorded curves)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -280,6 +288,99 @@ def main() -> None:
 
         return n, one, corpus.unpersist
 
+    def pq_search_runner(mult):
+        """Fixed probe set vs a growing persisted PQ index. The ADC
+        pass scans every stored 8-byte code row by design (that is
+        PQ's compression trade, not a defect), so the honest
+        expectation is ~linear with a tiny constant; the series guards
+        against anything super-linear in the shortlist/re-rank."""
+        from kcbdml9_big_data_processing_spark.queries.similarity import (
+            build_pq_index,
+            search_pq_index,
+        )
+
+        corpus = _inflate_emb(emb_base, mult).persist()
+        n = corpus.count()
+        path = scratch_dir(f"probe_pq_{mult}_")
+        build_pq_index(corpus, path)
+        probes = emb_base.where(F.col("vec_id") % 100 == 0)
+
+        def one():
+            search_pq_index(spark, path, probes, corpus).write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        return n, one, corpus.unpersist
+
+    def ivfpq_search_runner(mult):
+        """The composed IVF-PQ search over both persisted indexes:
+        ADC restricted to the probes' cells, so the scanned code
+        fraction is ~nprobe/K — the series should sit flatter AND
+        lower than the plain PQ ADC series at every multiple."""
+        from kcbdml9_big_data_processing_spark.queries.similarity import (
+            build_ivf_index,
+            build_pq_index,
+            search_ivfpq_index,
+        )
+
+        corpus = _inflate_emb(emb_base, mult).persist()
+        n = corpus.count()
+        ivf_path = scratch_dir(f"probe_ivfpq_i_{mult}_")
+        pq_path = scratch_dir(f"probe_ivfpq_p_{mult}_")
+        build_ivf_index(corpus, ivf_path)
+        build_pq_index(corpus, pq_path)
+        probes = emb_base.where(F.col("vec_id") % 100 == 0)
+
+        def one():
+            search_ivfpq_index(
+                spark, ivf_path, pq_path, probes, corpus
+            ).write.mode("overwrite").format("noop").save()
+
+        return n, one, corpus.unpersist
+
+    def stream_join_runner(mult):
+        """The stream-stream interval join + stream-static enrich
+        suite over an inflated events table: join-state rows grow with
+        the replayed input (every left row buffers until the right
+        watermark passes the range bound), so the guard is linearity
+        of the whole drain — super-linear here would mean state
+        pressure compounding."""
+        import glob as _glob
+        import shutil
+
+        from kcbdml9_big_data_processing_spark.queries.stream import (
+            stream_join_suite,
+        )
+
+        ev = read_table(spark, args.sf, "events")
+        layers = [ev]
+        for k in range(1, mult):
+            layers.append(
+                ev.withColumn(
+                    "event_id", F.col("event_id") + 1_000_000_000 * k
+                )
+            )
+        inflated = layers[0]
+        for layer in layers[1:]:
+            inflated = inflated.unionAll(layer)
+        sdir = scratch_dir(f"probe_sjoin_{mult}_")
+        tmp_out = f"{sdir}/_ev_out"
+        inflated.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = _glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        shutil.move(part, f"{sdir}/events.parquet")
+        shutil.copy(
+            os.path.join(args.sf, "customer.parquet"),
+            os.path.join(sdir, "customer.parquet"),
+        )
+        n = mult * ev.count()
+
+        def one():
+            stream_join_suite(spark, sdir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        return n, one, lambda: None
+
     def stream_runner(mult):
         """The A1 windowed metric as a real bounded StreamExecution
         over an inflated events table (replay + state + complete-mode
@@ -328,9 +429,14 @@ def main() -> None:
         "dedup_vs_index": vs_index_runner,
         "semantic_vs_index": semantic_vs_index_runner,
         "ivf_index_search": ivf_search_runner,
+        "pq_adc_search": pq_search_runner,
+        "ivfpq_search": ivfpq_search_runner,
         "stream_bytes_90s": stream_runner,
+        "stream_join": stream_join_runner,
     }
 
+    if args.only:
+        OPS = {k: v for k, v in OPS.items() if k in args.only}
     results: dict[str, list[dict]] = {}
     for name, runner in OPS.items():
         series = []
@@ -351,9 +457,10 @@ def main() -> None:
         results[name] = {"series": series, "growth_exponent": exponent}
 
     payload = {"sf": args.sf, "runs_per_point": args.runs, "operators": results}
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SCALE_PROBE.json"), "w") as f:
-        json.dump(payload, f, indent=1)
+    if not args.only:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "SCALE_PROBE.json"), "w") as f:
+            json.dump(payload, f, indent=1)
     print(json.dumps(payload))
     spark.stop()
 
