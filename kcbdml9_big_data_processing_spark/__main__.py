@@ -8,6 +8,20 @@ run-a-job-from-the-shell ergonomics, parameterized over every query
 in the registry: results print as a table (first ``--limit`` rows) or
 land in parquet with ``--out``; ``--explain`` prints the formatted
 physical plan instead of executing.
+
+The persisted-index lifecycle (r7 verdict #8) is driveable from the
+shell too:
+
+    python -m kcbdml9_big_data_processing_spark index ACTION
+        --family {ngram,ivf,pq,semantic} --index-dir DIR
+        [--sf DIR] [--where SQL] [--blocking label|label_ivf]
+        [--n-cells K] [--out PATH] [--limit N]
+
+ACTION is build / extend / search / compact / vacuum (compact and
+vacuum apply to the ngram family's bucketed base+delta layout).
+``--where`` filters the input table (documents for ngram, embeddings
+otherwise) — e.g. build over ``doc_id % 2 = 0`` then search the
+odd half against it.
 """
 
 from __future__ import annotations
@@ -16,7 +30,139 @@ import argparse
 import sys
 
 
+def _index_main(argv: list[str], spark=None) -> int:
+    ap = argparse.ArgumentParser(prog="kcbdml9-spark index")
+    ap.add_argument(
+        "action", choices=["build", "extend", "search", "compact", "vacuum"]
+    )
+    ap.add_argument(
+        "--family",
+        required=True,
+        choices=["ngram", "ivf", "pq", "semantic"],
+    )
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01", help="testdata dir")
+    ap.add_argument(
+        "--where", default=None, help="SQL filter over the input table"
+    )
+    ap.add_argument(
+        "--blocking",
+        default="label",
+        choices=["label", "label_ivf"],
+        help="semantic-family blocking policy (build only)",
+    )
+    ap.add_argument(
+        "--n-cells", type=int, default=None, help="semantic label_ivf cell count"
+    )
+    ap.add_argument("--out", help="write search result as parquet to this path")
+    ap.add_argument("--limit", type=int, default=20, help="rows to print")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from .queries import dedup as D
+    from .queries import similarity as S
+    from .sources.parquet import read_table
+
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name=f"kcbdml9-index-{args.family}")
+    try:
+        path = args.index_dir
+
+        def docs():
+            d = read_table(spark, args.sf, "documents").select("doc_id", "text")
+            return d.where(args.where) if args.where else d
+
+        def emb():
+            e = read_table(spark, args.sf, "embeddings")
+            return e.where(args.where) if args.where else e
+
+        def sem_corpus():
+            return emb().select(
+                "vec_id",
+                "label",
+                F.expr("transform(embedding, x -> cast(x as double))").alias(
+                    "emb"
+                ),
+            )
+
+        result = None
+        if args.family == "ngram":
+            if args.action == "build":
+                D.build_dedup_index(docs(), path)
+            elif args.action == "extend":
+                D.extend_dedup_index(docs(), path)
+            elif args.action == "compact":
+                D.compact_dedup_index(spark, path)
+            elif args.action == "vacuum":
+                D.vacuum_dedup_index(spark, path)
+            else:
+                result = D.dedup_against_index(spark, path, docs())
+        elif args.family == "semantic":
+            if args.action == "build":
+                S.build_semantic_index(
+                    sem_corpus(),
+                    path,
+                    blocking=args.blocking,
+                    n_cells=args.n_cells,
+                )
+            elif args.action == "extend":
+                S.extend_semantic_index(sem_corpus(), path)
+            elif args.action == "search":
+                result = S.semantic_dedup_against_index(
+                    spark, path, sem_corpus()
+                )
+            else:
+                print(
+                    f"{args.action} not supported for semantic", file=sys.stderr
+                )
+                return 2
+        else:  # ivf / pq — probes filtered by --where, corpus is full
+            corpus = read_table(spark, args.sf, "embeddings")
+            if args.family == "ivf":
+                if args.action == "build":
+                    S.build_ivf_index(emb(), path)
+                elif args.action == "extend":
+                    S.extend_ivf_index(emb(), path)
+                elif args.action == "search":
+                    result = S.search_ivf_index(spark, path, emb(), corpus)
+                else:
+                    print(
+                        f"{args.action} not supported for ivf", file=sys.stderr
+                    )
+                    return 2
+            else:
+                if args.action == "build":
+                    S.build_pq_index(emb(), path)
+                elif args.action == "search":
+                    result = S.search_pq_index(spark, path, emb(), corpus)
+                else:
+                    print(
+                        f"{args.action} not supported for pq", file=sys.stderr
+                    )
+                    return 2
+        if result is not None:
+            if args.out:
+                result.write.mode("overwrite").parquet(args.out)
+                print(f"wrote {args.out}")
+            else:
+                result.show(args.limit, truncate=False)
+        else:
+            print(f"{args.action} {args.family} index at {path}: done")
+    finally:
+        if own_session:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "index":
+        return _index_main(argv[1:])
     ap = argparse.ArgumentParser(prog="kcbdml9-spark")
     ap.add_argument("query", nargs="?", help="registered query name")
     ap.add_argument("--sf", default="/root/testdata/sf0.01", help="testdata dir")

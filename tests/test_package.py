@@ -80,3 +80,67 @@ def test_cli_list_and_unknown_query():
     with contextlib.redirect_stderr(err):
         assert main(["no_such_query"]) == 2
     assert "unknown query" in err.getvalue()
+
+
+def test_cli_index_lifecycle(spark, tmp_path):
+    """The index subcommand drives the persisted-index lifecycle from
+    the shell (r7 verdict #8): ngram build/extend/compact/search and
+    semantic label_ivf build/search, search results landing in
+    parquet. The shared pytest session is injected so the CLI doesn't
+    stop it."""
+    from kcbdml9_big_data_processing_spark.__main__ import _index_main
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ngram_idx")
+    out = str(tmp_path / "pairs")
+    base = ["--sf", sf, "--index-dir", idx]
+    assert _index_main(
+        ["build", "--family", "ngram", *base, "--where", "doc_id % 2 = 0"],
+        spark=spark,
+    ) == 0
+    assert _index_main(
+        ["extend", "--family", "ngram", *base, "--where", "doc_id % 4 = 1"],
+        spark=spark,
+    ) == 0
+    assert _index_main(["compact", "--family", "ngram", *base], spark=spark) == 0
+    try:
+        assert _index_main(
+            [
+                "search", "--family", "ngram", *base,
+                "--where", "doc_id % 4 = 3", "--out", out,
+            ],
+            spark=spark,
+        ) == 0
+        got = spark.read.parquet(out)
+        assert set(got.columns) == {"doc_a", "doc_b", "jaccard"}
+    finally:
+        from kcbdml9_big_data_processing_spark.queries.dedup import (
+            _bucketed_table_name,
+        )
+
+        spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(idx)}")
+
+    sem = str(tmp_path / "sem_idx")
+    sem_out = str(tmp_path / "sem_pairs")
+    assert _index_main(
+        [
+            "build", "--family", "semantic", "--sf", sf, "--index-dir", sem,
+            "--blocking", "label_ivf", "--n-cells", "16",
+            "--where", "vec_id % 2 = 0",
+        ],
+        spark=spark,
+    ) == 0
+    assert _index_main(
+        [
+            "search", "--family", "semantic", "--sf", sf, "--index-dir", sem,
+            "--where", "vec_id % 2 = 1", "--out", sem_out,
+        ],
+        spark=spark,
+    ) == 0
+    sgot = spark.read.parquet(sem_out)
+    assert set(sgot.columns) == {"vec_a", "vec_b", "cosine"}
+    # vacuum is ngram-only
+    assert _index_main(
+        ["vacuum", "--family", "semantic", "--sf", sf, "--index-dir", sem],
+        spark=spark,
+    ) == 2
