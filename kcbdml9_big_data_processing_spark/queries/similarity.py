@@ -679,9 +679,21 @@ def _sem_explode(df: DataFrame) -> DataFrame:
     )
 
 
+#: per-process caches of a semantic index's (immutable-per-build)
+#: blocking meta and collected centroid rows, keyed by index path —
+#: a search against a built index shouldn't pay two tiny driver jobs
+#: per call to re-read what build_semantic_index wrote once.
+#: build_semantic_index invalidates both on rebuild.
+_SEM_META_CACHE: dict[str, dict] = {}
+_SEM_CENT_ROWS_CACHE: dict[str, list | None] = {}
+
+
 def _sem_meta(spark: SparkSession, path: str) -> dict:
     """Stored blocking policy of a semantic index; indexes written
     before the policy existed read as plain label blocking."""
+    cached = _SEM_META_CACHE.get(path)
+    if cached is not None:
+        return cached
     try:
         row = (
             spark.read.schema(_SEM_META_SCHEMA)
@@ -690,9 +702,30 @@ def _sem_meta(spark: SparkSession, path: str) -> dict:
         )
     except Exception:
         row = None
-    if row is None:
-        return {"blocking": "label", "n_cells": None}
-    return row.asDict()
+    meta = (
+        {"blocking": "label", "n_cells": None} if row is None else row.asDict()
+    )
+    _SEM_META_CACHE[path] = meta
+    return meta
+
+
+def _sem_cent_rows(spark: SparkSession, path: str, meta: dict) -> list | None:
+    """Collected centroid rows for expression-path assignment (None
+    when the index blocks on plain label, or when the cell count
+    exceeds the expression bound — callers then use the stored frame
+    via the exploded join)."""
+    if meta["blocking"] != "label_ivf":
+        return None
+    if path in _SEM_CENT_ROWS_CACHE:
+        return _SEM_CENT_ROWS_CACHE[path]
+    n = meta.get("n_cells")
+    rows = (
+        spark.read.parquet(f"{path}/cents").collect()
+        if n is not None and n <= _SEM_EXPR_CELL_MAX
+        else None
+    )
+    _SEM_CENT_ROWS_CACHE[path] = rows
+    return rows
 
 
 def _sem_cents(spark: SparkSession, path: str, meta: dict) -> DataFrame | None:
@@ -773,6 +806,26 @@ def _with_block_label(df: DataFrame, cents: DataFrame | None) -> DataFrame:
         )
         .drop("cell")
     )
+
+
+def _block_label_for_index(
+    spark: SparkSession, path: str, df: DataFrame
+) -> DataFrame:
+    """Index-path composite labeling for extend/search: resolves the
+    stored blocking policy through the per-path caches, so repeated
+    searches against a built index pay zero extra driver jobs — the
+    centroid literals are collected once per process and ride the
+    plan as a map-side expression."""
+    meta = _sem_meta(spark, path)
+    rows = _sem_cent_rows(spark, path, meta)
+    if rows is not None:
+        return df.withColumn(
+            "label",
+            F.concat_ws(
+                ":", F.col("label"), F.expr(_cell_expr(rows)).cast("string")
+            ),
+        )
+    return _with_block_label(df, _sem_cents(spark, path, meta))
 
 
 def _sem_train(corpus: DataFrame, k: int) -> DataFrame:
@@ -877,6 +930,8 @@ def build_semantic_index(
     spark.createDataFrame(
         [(blocking, n_cells)], _SEM_META_SCHEMA
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    _SEM_META_CACHE.pop(path, None)
+    _SEM_CENT_ROWS_CACHE.pop(path, None)
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
     prepped = corpus.select(
@@ -922,9 +977,7 @@ def extend_semantic_index(new_corpus: DataFrame, path: str) -> None:
     extend_ivf_index); append-only, nothing rewritten. Caller
     contract: batch vec_ids are disjoint from ids already stored."""
     spark = new_corpus.sparkSession
-    new_corpus = _with_block_label(
-        new_corpus, _sem_cents(spark, path, _sem_meta(spark, path))
-    )
+    new_corpus = _block_label_for_index(spark, path, new_corpus)
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
     prepped = new_corpus.select(
@@ -987,9 +1040,7 @@ def semantic_dedup_against_index(
     semi-join key set, the verification union); it is persisted only
     when a ``cleanup`` list is passed (the module convention — see
     repeated_spans), staying fully lazy otherwise."""
-    batch = _with_block_label(
-        batch, _sem_cents(spark, path, _sem_meta(spark, path))
-    )
+    batch = _block_label_for_index(spark, path, batch)
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
     if {"nf", "sig"}.issubset(batch.columns):
