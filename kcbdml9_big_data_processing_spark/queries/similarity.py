@@ -203,7 +203,9 @@ def _ann_oracle() -> str:
     """
 
 
-def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_cosine(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Approximate top-k: 16-bit random-hyperplane signature, banded
     into 4x4 bits; candidates are vectors sharing any band bucket with
     the probe; exact cosine re-rank inside the candidate set.
@@ -217,7 +219,8 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked — same planes, same buckets, same answer."""
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
-    emb = read_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         "vec_id",
         "embedding",
@@ -429,7 +432,9 @@ def _ensure_index(kind: str, emb: DataFrame, sf_dir: str, build_fn) -> str:
     return path
 
 
-def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_ann_cosine(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """IVF ANN routed through the PERSISTED index (r7, per the r6
     verdict): build_ivf_index materializes the quantizer centroids and
     the full-corpus cell assignment as parquet tables once per
@@ -442,7 +447,8 @@ def ivf_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`ivf_ann_cosine_inline`, pinned in tests/test_llm_ops.py),
     so the oracle hash equality is unchanged; what moves is the plan —
     the train/assign passes no longer appear in the per-query DAG."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = read_table(spark, sf_dir, "embeddings")
     path = _ensure_index("ivf", emb, sf_dir, build_ivf_index)
     probes = emb.where(F.col("vec_id") % _PROBE_MOD == 0)
     return search_ivf_index(spark, path, probes, emb)
@@ -1092,7 +1098,6 @@ def semantic_dedup_against_index(
     # outgrew the batch (measured 1.95 s -> ~0.6 s candidate stage at
     # sf0.1); corpus-vs-corpus probing now never happens at all
     a, b = b_banded.alias("a"), b_banded.alias("b")
-    key = ["label", "band", "bucket"]
     cand_bb = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
@@ -1441,7 +1446,9 @@ def _pq_oracle() -> str:
     """
 
 
-def pq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_ann_cosine(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """PQ ANN routed through the PERSISTED index (r7, per the r6
     verdict): build_pq_index materializes the per-subspace codebooks
     and the one-byte-per-subspace code table as parquet once per
@@ -1455,7 +1462,8 @@ def pq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`pq_ann_cosine_inline`, pinned in tests/test_llm_ops.py),
     so the oracle hash equality is unchanged; the train/encode passes
     no longer appear in the per-query DAG."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = read_table(spark, sf_dir, "embeddings")
     path = _ensure_index("pq", emb, sf_dir, build_pq_index)
     probes = emb.where(F.col("vec_id") % _PROBE_MOD == 0)
     return search_pq_index(spark, path, probes, emb)
@@ -2043,12 +2051,15 @@ def _ivfpq_oracle() -> str:
     """
 
 
-def ivfpq_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_ann_cosine(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
     """IVF-PQ composed ANN over the two persisted indexes (both
     cached per process like the single-index rows): the actual 100 TB
     deployment shape — IVF restricts WHICH vectors are ADC-scored,
     PQ restricts WHAT is read per scored vector."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = read_table(spark, sf_dir, "embeddings")
     ivf_path = _ensure_index("ivf", emb, sf_dir, build_ivf_index)
     pq_path = _ensure_index("pq", emb, sf_dir, build_pq_index)
     probes = emb.where(F.col("vec_id") % _PROBE_MOD == 0)
@@ -2090,17 +2101,22 @@ def ann_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every variant is exact-arithmetic deterministic (fixed-point dots,
     pinned tie-breaks), so the whole approximate-search surface is
     value-hash-gated, not just row-counted."""
+    # one persisted embeddings frame feeds all four variants (each is
+    # otherwise its own parquet scan; the index builds behind
+    # _ensure_index are already once-per-process)
+    emb = read_table(spark, sf_dir, "embeddings").persist()
+    emb.count()
     parts = [
-        ann_lsh_cosine(spark, sf_dir).select(
+        ann_lsh_cosine(spark, sf_dir, emb).select(
             F.lit("lsh").alias("variant"), "probe_id", "vec_id", "cosine", "rank"
         ),
-        ivf_ann_cosine(spark, sf_dir).select(
+        ivf_ann_cosine(spark, sf_dir, emb).select(
             F.lit("ivf").alias("variant"), "probe_id", "vec_id", "cosine", "rank"
         ),
-        pq_ann_cosine(spark, sf_dir).select(
+        pq_ann_cosine(spark, sf_dir, emb).select(
             F.lit("pq").alias("variant"), "probe_id", "vec_id", "cosine", "rank"
         ),
-        ivfpq_ann_cosine(spark, sf_dir).select(
+        ivfpq_ann_cosine(spark, sf_dir, emb).select(
             F.lit("ivfpq").alias("variant"), "probe_id", "vec_id", "cosine", "rank"
         ),
     ]
