@@ -360,3 +360,115 @@ def repeated_spans(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_repeated_spans"))
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cleanup: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Cross-document repeated-span REMOVAL — the transform half of
+    exact-substring dedup (Lee et al. 2022 *remove* the repeated
+    50-token spans from the training set rather than dropping whole
+    documents; :func:`repeated_spans` is the detection half, this is
+    the surgery). Returns one row per input doc:
+    (id_col, clean_text, n_removed_tokens), where ``clean_text`` is
+    the document with every token covered by at least one globally
+    repeated ``span_tokens``-token window removed (windows stride 1;
+    "globally repeated" = the window occurs verbatim in >= 2 distinct
+    documents), remaining tokens re-joined with single spaces.
+
+    Semantics are positional: a repeated window starting at 1-based
+    token ``i`` covers tokens ``[i, i+span_tokens-1]``; token ``j``
+    survives iff no repeated window starts in ``[j-span_tokens+1, j]``.
+    Docs with no repeated spans pass through with their tokens intact
+    (whitespace normalized by the re-join); null-text docs keep their
+    row as ('', 0) (the contamination_flags lesson — one row per
+    input doc, always).
+
+    Distributed shape (same as the detector): window fingerprints are
+    xxhash64 chains over once-hashed tokens, so only (doc_id, 8-byte
+    fp) rows ever shuffle — the fingerprint->distinct-doc-count
+    aggregation, a semi-join, and one collect_set per affected doc;
+    the removal itself is a pure per-row expression over the doc's
+    (small) set of repeated fingerprints, evaluated where the text
+    already sits. Fingerprint-vs-string equivalence is the
+    repeated_spans collision argument; the oracle twin marks positions
+    by raw span STRINGS and the driver hash-proves the cleaned text
+    matches byte-for-byte.
+
+    The lambda-binding discipline matters here (see
+    repetition_signals): token hashes, the marked-start mask, and the
+    kept-token array are each bound ONCE through
+    ``transform(array(x), v -> ...)`` levels — free-expression
+    references would re-inline the whole token-hash transform into
+    every window (no CSE for interpreted higher-order exprs)."""
+    k = span_tokens
+    token_hashes = F.transform(_toks(text_col), lambda t: F.xxhash64(t))
+    hashed = docs.select(F.col(id_col), token_hashes.alias("__th"))
+    window_fp = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(F.col("__th")) - (k - 1), F.lit(1)),
+        ),
+        lambda i: F.aggregate(
+            F.slice(F.col("__th"), i, k),
+            F.lit(0).cast("long"),
+            lambda acc, v: F.xxhash64(acc, v),
+        ),
+    )
+    ex = hashed.select(
+        id_col, F.explode(F.array_distinct(window_fp)).alias("fp")
+    )
+    if cleanup is not None:
+        ex = ex.persist()
+        cleanup.append(ex)
+    shared = (
+        ex.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    bad = (
+        ex.join(shared, "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("fp").alias("__bad"))
+    )
+    ws = _WS.replace("\\", "\\\\")
+    scrub = F.expr(
+        f"""
+        transform(array(named_struct(
+            't', coalesce(split(trim({text_col}), '{ws}'),
+                          cast(array() as array<string>)),
+            'bad', coalesce(__bad, cast(array() as array<bigint>)))), r ->
+          transform(array(transform(r.t, x -> xxhash64(x))), th ->
+            transform(array(transform(
+                sequence(1, greatest(size(th) - {k - 1}, 1)),
+                i -> array_contains(r.bad,
+                       aggregate(slice(th, i, {k}), cast(0 as bigint),
+                                 (a, v) -> xxhash64(a, v))))), mk ->
+              transform(array(filter(r.t, (x, j) ->
+                  size(filter(slice(mk,
+                      greatest(j - {k - 2}, 1),
+                      least(j + 1, size(mk)) - greatest(j - {k - 2}, 1) + 1),
+                      b -> b)) = 0)), kept ->
+                named_struct(
+                  'clean_text', concat_ws(' ', kept),
+                  'n_removed_tokens',
+                  cast(size(r.t) - size(kept) as bigint))
+              )[0]
+            )[0]
+          )[0]
+        )[0]"""
+    )
+    return (
+        docs.join(bad, id_col, "left")
+        .select(F.col(id_col), scrub.alias("__s"))
+        .select(
+            id_col,
+            F.col("__s.clean_text").alias("clean_text"),
+            F.col("__s.n_removed_tokens").alias("n_removed_tokens"),
+        )
+    )

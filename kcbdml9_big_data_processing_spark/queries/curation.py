@@ -47,6 +47,7 @@ from ..operators.text_quality import (
     contamination_flags,
     quantile_prune,
     rarity_scores,
+    remove_repeated_spans,
     repeated_spans,
     repetition_signals,
 )
@@ -575,3 +576,93 @@ def curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for frame in cleanup:
             frame.unpersist()
+
+
+# --- repeated-span removal (the transform half of exact-substring dedup) --
+
+#: every doc_id % _SCRUB_COPY_MOD == 0 document gets a tail-dropped
+#: near-copy in the scrub scenario, so MOST documents pass through
+#: untouched while a fifth get surgically scrubbed — discriminative at
+#: every SF, unlike a full-copy scenario where every output would be
+#: near-empty
+_SCRUB_COPY_MOD = 5
+
+
+def _span_scrub_oracle() -> str:
+    k = _SPAN_TOKENS
+    t = _tokens_sql()
+    return f"""
+        WITH scrub_corpus AS (
+            SELECT doc_id, {t} AS t2 FROM documents
+            UNION ALL
+            SELECT doc_id + {_SPAN_COPY_OFFSET},
+                   list_slice({t}, 1, greatest(len({t}) - {_SPAN_DROP}, 1))
+            FROM documents WHERE doc_id % {_SCRUB_COPY_MOD} = 0
+        ),
+        scrub_pos AS (
+            SELECT doc_id, g.i AS i,
+                   array_to_string(list_slice(t2, CAST(g.i AS INT),
+                       CAST(g.i + {k - 1} AS INT)), ' ') AS sp
+            FROM scrub_corpus,
+                 unnest(generate_series(1, greatest(len(t2) - {k - 1}, 1)))
+                     AS g(i)
+        ),
+        scrub_shared AS (
+            SELECT sp FROM scrub_pos
+            GROUP BY sp HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        scrub_marked AS (
+            SELECT doc_id, list(i) AS starts
+            FROM scrub_pos JOIN scrub_shared USING (sp)
+            GROUP BY doc_id
+        ),
+        scrub_kept AS (
+            SELECT c.doc_id, c.t2,
+                   list_filter(generate_series(1, len(c.t2)),
+                       j -> len(list_filter(
+                                COALESCE(m.starts, CAST([] AS BIGINT[])),
+                                s -> s >= j - {k - 1} AND s <= j)) = 0) AS kj
+            FROM scrub_corpus c LEFT JOIN scrub_marked m USING (doc_id)
+            WHERE c.doc_id < {_SPAN_COPY_OFFSET}
+        )
+        SELECT doc_id,
+               -- COALESCE: duckdb's array_to_string([]) is NULL where
+               -- spark's concat_ws over an empty array is '' (a fully
+               -- scrubbed doc must compare equal across engines)
+               COALESCE(array_to_string(list_transform(kj,
+                   j -> t2[CAST(j AS INT)]), ' '), '') AS clean_text,
+               CAST(len(t2) - len(kj) AS BIGINT) AS n_removed_tokens
+        FROM scrub_kept
+    """
+
+
+@register("span_scrub", oracle=_span_scrub_oracle(), headline=True)
+def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span REMOVAL as a driver row — the Lee
+    et al. (2022) exact-substring-dedup TRANSFORM
+    (operators/text_quality.remove_repeated_spans), where the
+    registry's `span` variant (llm_curation_suite) only detects: every
+    token covered by a 16-token window occurring verbatim in >= 2
+    documents is excised and the surviving tokens re-joined. Scenario:
+    the documents table plus a tail-dropped near-copy of every fifth
+    document (the llm suite's span constants), output restricted to
+    the originals — so ~4/5 of the rows must pass through
+    byte-identical while the rest are surgically scrubbed, and the
+    oracle (which marks positions by raw span STRINGS where Spark uses
+    xxhash64 chain fingerprints) hash-proves the cleaned TEXT matches
+    byte-for-byte, pinning the positional semantics, not just counts.
+    Scale shape: only (doc_id, 8-byte fp) rows shuffle; the removal is
+    a per-row expression where the text already sits (see the
+    operator's docstring)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    copies = docs.where(F.col("doc_id") % _SCRUB_COPY_MOD == 0).select(
+        (F.col("doc_id") + _SPAN_COPY_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - _SPAN_DROP, F.lit(1))),
+            " ",
+        ).alias("text"),
+    )
+    return remove_repeated_spans(
+        docs.unionAll(copies), span_tokens=_SPAN_TOKENS
+    ).where(F.col("doc_id") < _SPAN_COPY_OFFSET)

@@ -730,3 +730,69 @@ def test_curator_rarity_band_stage(spark):
         CurationConfig(min_words=1, min_lexical_diversity=0.0)
     ).run(docs)
     assert {r["doc_id"] for r in kept2.collect()} == set(range(1, 8))
+
+
+def test_remove_repeated_spans_known_answer(spark):
+    """Positional semantics of the span-removal transform: a 20-token
+    run shared by two docs removes exactly the covered tokens from
+    each (prefix/suffix survivors differ per doc), a doc with no
+    repeated window passes through whitespace-normalized, and a
+    null-text doc keeps its row as ('', 0)."""
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        remove_repeated_spans,
+    )
+
+    words = [f"w{i}" for i in range(20)]
+    shared = " ".join(words)
+    rows = [
+        (1, shared + " unique1 tail1"),
+        (2, "prefix2 " + shared),
+        (3, "no repeats   in this    short doc"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in remove_repeated_spans(df, span_tokens=16).collect()
+    }
+    # doc1: windows 1..5 are shared (doc2 carries them at starts 2..6),
+    # covering tokens 1..20; unique1/tail1 survive
+    assert got[1] == ("unique1 tail1", 20)
+    # doc2: shared windows start at 2..6, covering tokens 2..21
+    assert got[2] == ("prefix2", 20)
+    # doc3: untouched, whitespace normalized by the re-join
+    assert got[3] == ("no repeats in this short doc", 0)
+    assert got[4] == ("", 0)
+
+
+def test_remove_repeated_spans_matches_detector(spark):
+    """Consistency with repeated_spans: exactly the docs the detector
+    reports (n_repeated_spans >= 1) lose tokens, and nothing else."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 60_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(copies)
+    flagged = {
+        r["doc_id"] for r in repeated_spans(corpus, span_tokens=16).collect()
+    }
+    scrubbed = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in remove_repeated_spans(corpus, span_tokens=16).collect()
+    }
+    assert set(scrubbed) == {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    lost = {d for d, n in scrubbed.items() if n > 0}
+    assert lost == flagged and len(flagged) > 0
