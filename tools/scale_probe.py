@@ -420,8 +420,20 @@ def main() -> None:
 
         return n, one, lambda: None
 
+    def span_scrub_op(corpus):
+        from kcbdml9_big_data_processing_spark.operators.text_quality import (
+            remove_repeated_spans,
+        )
+
+        return remove_repeated_spans(corpus), []
+
     OPS = {
         "exact_dedup": docs_op(lambda c: (exact_dedup(c), [])),
+        # every inflated layer carries an exact copy + a near-dup, so
+        # repeated spans abound at constant rate; detection is one
+        # fingerprint aggregation + semi-join, removal is per-row —
+        # the guard is ~linear
+        "span_scrub": docs_op(span_scrub_op),
         "ngram_jaccard_pairs": docs_op(ngram_pairs),
         "minhash_lsh_candidates": docs_op(minhash),
         "dedup_clusters": docs_op(clusters),
