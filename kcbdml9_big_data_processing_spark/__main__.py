@@ -18,7 +18,8 @@ shell too:
         [--n-cells K] [--out PATH] [--limit N]
 
 ACTION is build / extend / search / compact / vacuum (compact and
-vacuum apply to the ngram family's bucketed base+delta layout).
+vacuum apply to the ngram family's bucketed base+delta layout;
+every family supports build / extend / search).
 ``--where`` filters the input table (documents for ngram, embeddings
 otherwise) — e.g. build over ``doc_id % 2 = 0`` then search the
 odd half against it.
@@ -137,6 +138,8 @@ def _index_main(argv: list[str], spark=None) -> int:
             else:
                 if args.action == "build":
                     S.build_pq_index(emb(), path)
+                elif args.action == "extend":
+                    S.extend_pq_index(emb(), path)
                 elif args.action == "search":
                     result = S.search_pq_index(spark, path, emb(), corpus)
                 else:

@@ -1867,6 +1867,34 @@ def search_ivfpq_index(
     )
 
 
+def extend_pq_index(new_emb: DataFrame, path: str) -> None:
+    """Append newly-ingested vectors' codes to a persisted PQ index
+    WITHOUT retraining: quantize each new vector's subvectors against
+    the STORED codebooks (frozen quantizer — the same incremental
+    trade as extend_ivf_index / extend_dedup_index: codebook fit
+    drifts as the distribution moves, a periodic build_pq_index
+    rebuild re-fits it) and append (vec_id, m, code) rows. ADC
+    searches pick the new codes up immediately; one linear assignment
+    pass over the batch only, nothing existing is rewritten. Closes
+    the one gap in the index families' lifecycle symmetry (ngram /
+    IVF / semantic all had extend; PQ only had build+search). Caller
+    contract: batch vec_ids are disjoint from ids already indexed.
+    Pinned in tests/test_llm_ops.py: appended codes are exactly the
+    argmin assignment under the stored book, extension is
+    batch-split invariant, and searches see the new vectors."""
+    spark = new_emb.sparkSession
+    book = spark.read.parquet(f"{path}/book")
+    codes = _pq_assign(_pq_explode(new_emb), book)
+    w = Window.partitionBy("vec_id", "m").orderBy("dist_f", "code")
+    (
+        codes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+        .write.mode("append")
+        .parquet(f"{path}/codes")
+    )
+
+
 def extend_ivf_index(new_emb: DataFrame, path: str) -> None:
     """Append newly-ingested vectors to a persisted IVF index WITHOUT
     retraining: assign each new vector to its nearest STORED centroid

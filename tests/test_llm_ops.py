@@ -1066,3 +1066,124 @@ def test_semantic_index_label_ivf_blocking(spark, tmp_path):
     assert got2 == full_restricted(
         archive.unionAll(batch1).unionAll(batch2), batch2
     )
+
+
+def test_pq_index_incremental_extend(spark, tmp_path):
+    """extend_pq_index (r8 — closes the lifecycle gap: PQ was the one
+    index family without incremental extension): (1) appended codes
+    are exactly the argmin assignment of the batch under the STORED
+    (frozen) codebooks; (2) extension is batch-split invariant; (3)
+    a search over probes near the new vectors sees them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _pq_assign,
+        _pq_explode,
+        build_pq_index,
+        extend_pq_index,
+        search_pq_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    archive = emb.where(F.col("vec_id") % 2 == 0)
+    # the batch is an id-shifted exact copy of the archive, so every
+    # probe has an identical twin among the EXTENDED vectors — the
+    # searchability assertion below is then exact, not statistical
+    batch = archive.select(
+        (F.col("vec_id") + 70_000_000).alias("vec_id"), "label", "embedding"
+    )
+
+    path = str(tmp_path / "pq")
+    build_pq_index(archive, path)
+    extend_pq_index(batch, path)
+
+    # (1) appended codes == argmin under the stored book
+    book = spark.read.parquet(f"{path}/book")
+    w = Window.partitionBy("vec_id", "m").orderBy("dist_f", "code")
+    want = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in _pq_assign(_pq_explode(batch), book)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in spark.read.parquet(f"{path}/codes")
+        .where(F.col("vec_id") >= 70_000_000)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # (2) batch-split invariance: one extend vs two sub-batches
+    path2 = str(tmp_path / "pq2")
+    build_pq_index(archive, path2)
+    extend_pq_index(batch.where(F.col("vec_id") % 4 == 0), path2)
+    extend_pq_index(batch.where(F.col("vec_id") % 4 == 2), path2)
+    codes_a = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/codes").collect()
+    )
+    codes_b = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path2}/codes").collect()
+    )
+    assert codes_a == codes_b
+
+    # (3) searches see the extension: probes = a few archived vectors;
+    # their shifted twins (identical embeddings) must appear in the
+    # result's candidate ranks
+    corpus = archive.unionByName(batch)
+    probes = archive.orderBy("vec_id").limit(5)
+    res = search_pq_index(spark, path, probes, corpus)
+    twins = {
+        (r["probe_id"], r["vec_id"])
+        for r in res.where(
+            F.col("vec_id") == F.col("probe_id") + 70_000_000
+        ).collect()
+    }
+    assert len(twins) == 5, "every probe's extended twin must be found"
+
+
+def test_semantic_blocking_join_fallback_matches_expression(spark, tmp_path, monkeypatch):
+    """Past _SEM_EXPR_CELL_MAX cells the blocking falls back from the
+    inlined centroid-literal expression to the exploded join — both
+    build-time training and search-time assignment. Force the bound to
+    0 and pin that the whole incremental search is BIT-IDENTICAL to
+    the expression path (same seeds, same fixed-point arithmetic, same
+    tie-breaks)."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries import similarity as S
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.lit("all").alias("label"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    archive = base.where(F.col("vec_id") % 2 == 0)
+    # perturbed copies of the archive, so near-dup pairs exist
+    batch = archive.select(
+        (F.col("vec_id") + 80_000_000).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(emb, (x, i) ->"
+            " x + ((cast(i % 3 as double) - 1.0) * 0.02))"
+        ).alias("emb"),
+    )
+
+    def run(path):
+        S.build_semantic_index(archive, path, blocking="label_ivf", n_cells=24)
+        return {
+            (r.vec_a, r.vec_b, round(r.cosine, 12))
+            for r in S.semantic_dedup_against_index(spark, path, batch).collect()
+        }
+
+    expr_path = run(str(tmp_path / "expr"))
+    monkeypatch.setattr(S, "_SEM_EXPR_CELL_MAX", 0)
+    join_path = run(str(tmp_path / "join"))
+    assert expr_path == join_path and len(expr_path) > 0
