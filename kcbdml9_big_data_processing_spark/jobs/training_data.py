@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from ..operators.text_quality import (
     contamination_flags,
     rarity_scores,
+    remove_repeated_spans,
     repeated_spans,
 )
 from ..queries.dedup import (
@@ -77,6 +78,15 @@ class CurationConfig:
     #: this (None = stage off; the exact-substring-dedup policy on top
     #: of operators/text_quality.repeated_spans' detection)
     max_repeated_spans: int | None = None
+    #: opt-in span-SCRUB policy (mutually exclusive with
+    #: max_repeated_spans): instead of dropping span-heavy docs,
+    #: REMOVE every cross-document repeated span from every doc
+    #: (operators/text_quality.remove_repeated_spans — the Lee et al.
+    #: deployment shape: the spans go, the documents stay), after
+    #: exact dedup and before near-dup, so downstream stages and the
+    #: kept corpus see the scrubbed text. Docs whose text is entirely
+    #: repeated spans scrub to empty and drop with reason span_dup.
+    scrub_repeated_spans: bool = False
     span_tokens: int = 16
     #: opt-in rarity-band policy: drop docs whose corpus-statistics
     #: rarity score (operators/text_quality.rarity_scores — mean
@@ -321,6 +331,38 @@ class TrainingDataCurator:
             q_pass = q_pass.join(r_fail, "doc_id", "left_anti")
         e_kept, e_dropped = self.exact_dedup(q_pass, cleanup=cleanup)
         s_fail = None
+        if (
+            self.config.max_repeated_spans is not None
+            and self.config.scrub_repeated_spans
+        ):
+            raise ValueError(
+                "max_repeated_spans (drop policy) and"
+                " scrub_repeated_spans (transform policy) are mutually"
+                " exclusive"
+            )
+        if self.config.scrub_repeated_spans:
+            # span-SCRUB policy (opt-in): rewrite every doc with its
+            # cross-document repeated spans excised — near-dup and the
+            # kept corpus consume the scrubbed text. Runs after exact
+            # dedup (a verbatim redelivery must collapse as exact_dup,
+            # not shred both copies to nothing) and before near-dup
+            # (scrubbing removes exactly the shared material, so docs
+            # that only LOOKED similar through boilerplate no longer
+            # pair). Docs scrubbed to empty were pure duplication —
+            # they drop with reason span_dup.
+            scrubbed = remove_repeated_spans(
+                e_kept, span_tokens=self.config.span_tokens
+            )
+            e_kept = e_kept.drop("text").join(
+                scrubbed.select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+            s_fail = e_kept.where(
+                F.length(F.trim(F.col("text"))) == 0
+            ).select("doc_id")
+            e_kept = e_kept.join(s_fail, "doc_id", "left_anti")
         if self.config.max_repeated_spans is not None:
             # span-dedup policy (opt-in): the detection operator ranks
             # docs by how many of their spans repeat verbatim in OTHER

@@ -796,3 +796,48 @@ def test_remove_repeated_spans_matches_detector(spark):
     assert set(scrubbed) == {r["doc_id"] for r in corpus.select("doc_id").collect()}
     lost = {d for d, n in scrubbed.items() if n > 0}
     assert lost == flagged and len(flagged) > 0
+
+
+def test_curator_scrub_repeated_spans_policy(spark):
+    """The opt-in span-SCRUB policy transforms instead of dropping:
+    docs sharing a long span keep their rows with the span excised
+    (and, no longer textually similar, stop pairing as near-dups); a
+    doc that IS nothing but shared spans scrubs to empty and drops
+    with reason span_dup; the decision record still partitions the
+    input; drop- and scrub- policies are mutually exclusive."""
+    import pytest as _pytest
+
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        REASON_SPAN_DUP,
+        CurationConfig,
+        TrainingDataCurator,
+    )
+
+    span = " ".join(f"s{i}" for i in range(20))  # 20-token shared span
+    filler_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    filler_b = "mike november oscar papa quebec romeo sierra tango uniform victor"
+    rows = [
+        (1, filler_a + " " + span),
+        (2, span + " " + filler_b),
+        (3, span),  # nothing but the shared span -> scrubs to empty
+        (4, "whiskey xray yankee zulu lima kilo golfer hotelier indigo jungle"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(scrub_repeated_spans=True, span_tokens=16)
+    kept, decisions = TrainingDataCurator(cfg).run(docs)
+
+    dec = {r["doc_id"]: r["reason"] for r in decisions.collect()}
+    assert sorted(dec) == [1, 2, 3, 4]
+    assert dec[3] == REASON_SPAN_DUP
+    assert dec[1] == dec[2] == dec[4] == "kept"
+
+    texts = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert sorted(texts) == [1, 2, 4]
+    assert texts[1] == filler_a
+    assert texts[2] == filler_b
+    assert texts[4] == rows[3][1]
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        TrainingDataCurator(
+            CurationConfig(scrub_repeated_spans=True, max_repeated_spans=0)
+        ).run(docs)
