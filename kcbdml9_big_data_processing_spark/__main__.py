@@ -17,9 +17,9 @@ shell too:
         [--sf DIR] [--where SQL] [--blocking label|label_ivf]
         [--n-cells K] [--out PATH] [--limit N]
 
-ACTION is build / extend / search / compact / vacuum (compact and
-vacuum apply to the ngram family's bucketed base+delta layout;
-every family supports build / extend / search).
+ACTION is build / extend / search / compact / vacuum / stats
+(compact and vacuum apply to the ngram family's bucketed base+delta
+layout; every family supports build / extend / search / stats).
 ``--where`` filters the input table (documents for ngram, embeddings
 otherwise) — e.g. build over ``doc_id % 2 = 0`` then search the
 odd half against it.
@@ -34,7 +34,8 @@ import sys
 def _index_main(argv: list[str], spark=None) -> int:
     ap = argparse.ArgumentParser(prog="kcbdml9-spark index")
     ap.add_argument(
-        "action", choices=["build", "extend", "search", "compact", "vacuum"]
+        "action",
+        choices=["build", "extend", "search", "compact", "vacuum", "stats"],
     )
     ap.add_argument(
         "--family",
@@ -91,6 +92,8 @@ def _index_main(argv: list[str], spark=None) -> int:
             )
 
         result = None
+        if args.action == "stats":
+            return _index_stats(spark, args.family, path)
         if args.family == "ngram":
             if args.action == "build":
                 D.build_dedup_index(docs(), path)
@@ -158,6 +161,69 @@ def _index_main(argv: list[str], spark=None) -> int:
     finally:
         if own_session:
             spark.stop()
+    return 0
+
+
+def _index_stats(spark, family: str, path: str) -> int:
+    """Print a persisted index's composition — the operational
+    at-a-glance for the lifecycle commands above."""
+    def rows(p, schema=None):
+        try:
+            r = spark.read
+            if schema:
+                r = r.schema(schema)
+            return r.parquet(p).count()
+        except Exception:
+            return None
+
+    print(f"family={family} path={path}")
+    if family == "ngram":
+        from .queries.dedup import (
+            _POSTINGS_SCHEMA,
+            _STOP_SCHEMA,
+            _bucket_meta,
+            _tail_dir,
+        )
+
+        meta = _bucket_meta(spark, path)
+        tail = _tail_dir(meta, path)
+        print(f"stop_shingles={rows(f'{path}/stop', _STOP_SCHEMA)}")
+        if meta is None:
+            print("compacted=no")
+            print(f"postings={rows(f'{path}/postings', _POSTINGS_SCHEMA)}")
+        else:
+            print(
+                f"compacted=yes version={meta['version']}"
+                f" n_buckets={meta['n_buckets']}"
+            )
+            print(f"base_dir={meta['dir']} base_postings={rows(meta['dir'])}")
+            print(
+                f"tail_dir={tail}"
+                f" tail_postings={rows(tail, _POSTINGS_SCHEMA)}"
+            )
+    elif family == "ivf":
+        cents = spark.read.parquet(f"{path}/centroids")
+        print(f"cells={cents.select('cell').distinct().count()}")
+        print(f"indexed_vectors={rows(f'{path}/cells')}")
+    elif family == "pq":
+        book = spark.read.parquet(f"{path}/book")
+        m = book.select("m").distinct().count()
+        codes_per_m = book.select("m", "code").distinct().count()
+        n_codes = rows(f"{path}/codes")
+        print(f"subspaces={m} codebook_entries={codes_per_m}")
+        print(
+            "indexed_vectors="
+            + str(n_codes // m if n_codes is not None and m else None)
+        )
+    else:  # semantic
+        from .queries.similarity import _SEM_BANDS_SCHEMA, _sem_meta
+
+        meta = _sem_meta(spark, path)
+        print(
+            f"blocking={meta['blocking']} n_cells={meta['n_cells']}"
+        )
+        print(f"band_rows={rows(f'{path}/bands', _SEM_BANDS_SCHEMA)}")
+        print(f"indexed_vectors={rows(f'{path}/vecs')}")
     return 0
 
 

@@ -120,6 +120,17 @@ def test_cli_index_lifecycle(spark, tmp_path):
 
         spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(idx)}")
 
+    # stats after compaction reports the bucketed layout
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert _index_main(["stats", "--family", "ngram", *base], spark=spark) == 0
+    stats = buf.getvalue()
+    assert "compacted=yes" in stats and "version=1" in stats
+    assert "tail_postings=" in stats
+
     sem = str(tmp_path / "sem_idx")
     sem_out = str(tmp_path / "sem_pairs")
     assert _index_main(
@@ -139,6 +150,14 @@ def test_cli_index_lifecycle(spark, tmp_path):
     ) == 0
     sgot = spark.read.parquet(sem_out)
     assert set(sgot.columns) == {"vec_a", "vec_b", "cosine"}
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert _index_main(
+            ["stats", "--family", "semantic", "--sf", sf, "--index-dir", sem],
+            spark=spark,
+        ) == 0
+    assert "blocking=label_ivf n_cells=16" in buf.getvalue()
+
     # vacuum is ngram-only
     assert _index_main(
         ["vacuum", "--family", "semantic", "--sf", sf, "--index-dir", sem],
