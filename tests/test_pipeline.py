@@ -841,3 +841,65 @@ def test_curator_scrub_repeated_spans_policy(spark):
         TrainingDataCurator(
             CurationConfig(scrub_repeated_spans=True, max_repeated_spans=0)
         ).run(docs)
+
+
+def test_remove_repeated_spans_differential_fuzz(spark):
+    """Differential mini-fuzz: seeded random corpora checked against
+    an independent pure-Python reference implementation of the same
+    positional semantics (windows of k tokens, stride 1, short docs
+    produce one clamped window; a window is repeated iff its token
+    TUPLE occurs in >= 2 distinct docs; token j survives iff no
+    repeated window starts in [j-k+1, j]). Catches any drift between
+    the nested Spark expression (hash chains, slice windows, index
+    lambdas) and the spec."""
+    import random
+
+    from kcbdml9_big_data_processing_spark.operators.text_quality import (
+        remove_repeated_spans,
+    )
+
+    def reference(corpus, k):
+        toks = {d: t.split() for d, t in corpus if t is not None}
+        windows = {}
+        for d, t in toks.items():
+            n = len(t)
+            nw = max(n - (k - 1), 1)
+            for i in range(nw):
+                windows.setdefault(tuple(t[i : i + k]), set()).add(d)
+        repeated = {w for w, ds in windows.items() if len(ds) >= 2}
+        out = {}
+        for d, t in toks.items():
+            n = len(t)
+            nw = max(n - (k - 1), 1)
+            marked = [tuple(t[i : i + k]) in repeated for i in range(nw)]
+            kept = [
+                t[j]
+                for j in range(n)
+                if not any(
+                    marked[i]
+                    for i in range(max(j - (k - 1), 0), min(j, nw - 1) + 1)
+                )
+            ]
+            out[d] = (" ".join(kept), n - len(kept))
+        for d, t in corpus:
+            if t is None:
+                out[d] = ("", 0)
+        return out
+
+    rng = random.Random(8)
+    for trial in range(3):
+        k = rng.choice([3, 4, 6])
+        vocab = [f"t{i}" for i in range(6)]
+        corpus = []
+        for d in range(1, 9):
+            n = rng.randint(1, 14)
+            corpus.append(
+                (d, " ".join(rng.choice(vocab) for _ in range(n)))
+            )
+        corpus.append((99, None))
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+            for r in remove_repeated_spans(df, span_tokens=k).collect()
+        }
+        assert got == reference(corpus, k), f"trial={trial} k={k}"
