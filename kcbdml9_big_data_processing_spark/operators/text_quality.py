@@ -349,9 +349,13 @@ def repeated_spans(
     if cleanup is not None:
         ex = ex.persist()
         cleanup.append(ex)
+    # plain count, not count_distinct: ``ex`` explodes each doc's
+    # array_distinct'd fingerprints, so (doc, fp) rows are unique by
+    # construction — the count IS the distinct-doc count, without the
+    # distinct aggregation's extra dedup pass (r8, measured ~6%)
     shared = (
         ex.groupBy("fp")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
         .select("fp")
     )
@@ -425,9 +429,10 @@ def remove_repeated_spans(
     if cleanup is not None:
         ex = ex.persist()
         cleanup.append(ex)
+    # plain count == distinct-doc count (see repeated_spans)
     shared = (
         ex.groupBy("fp")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
         .select("fp")
     )
