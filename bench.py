@@ -196,7 +196,12 @@ _CONSTITUENTS: dict[str, list[str]] = {
         "stream_bytes_user_app_90s",
     ],
     "stream_bytes_user_app_90s": ["stream_bytes_user_90s", "stream_bytes_app_90s"],
-    "bytes_90s": ["bytes_antenna_90s", "bytes_user_90s", "bytes_app_90s"],
+    # r10: bytes_90s absorbed bytes_antenna_sliding (freed the slot
+    # for stream_running_totals); fair prior vs an r9-or-later
+    # baseline is bytes_90s + bytes_antenna_sliding (the pre-r4
+    # per-key leaf mapping is obsolete — no comparable baseline
+    # predates the r4 union row)
+    "bytes_90s": ["bytes_90s", "bytes_antenna_sliding"],
     "bytes_hourly": ["bytes_antenna_hourly", "bytes_email_hourly", "bytes_app_hourly"],
     "text_metrics": ["text_stats", "token_counts", "quality_score"],
     "language_id": ["language_id", "language_id_ngram"],

@@ -88,6 +88,22 @@ def bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform_metric(agg, "app", "app_bytes_total")
 
 
+#: oracle for the sliding branch that rides the bytes_90s row (see
+#: bytes_antenna_sliding below): the 2-element offset cross join
+#: replicates each event into its own 30-min bucket and the previous
+#: one — exactly the two 1 h/30 min windows that contain it
+#: (positive-epoch testdata, so `//` truncation == floor).
+_SLIDING_ORACLE = """
+        SELECT make_timestamp(((epoch_ms(ts) // 1800000) - g.k) * 1800000 * 1000)
+                   AS "timestamp",
+               CAST(event_type AS VARCHAR) AS id,
+               {value_sql} AS value,
+               'antenna_bytes_sliding' AS type
+        FROM events, (SELECT unnest([0, 1]) AS k) g
+        GROUP BY 1, 2
+    """
+
+
 @register(
     "bytes_90s",
     oracle=" UNION ALL ".join(
@@ -97,6 +113,7 @@ def bytes_app_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
             _metric_oracle(
                 "json_extract_string(props, '$.k')", NINETY_SECONDS, "app_bytes_total"
             ),
+            _SLIDING_ORACLE.format(value_sql=dsum_sql("value")),
         ]
     ),
     headline=True,
@@ -106,12 +123,22 @@ def bytes_90s(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums per antenna, user, and app, unioned into the long/narrow
     metric layout with the `type` discriminator
     (StreamingJobImpl.scala:43-77, JdbcProvisioner.scala:51-52).
-    Three independent single-shuffle aggregates over one shared scan;
-    the union is plan-level concatenation, no extra exchange."""
+    Independent single-shuffle aggregates over one shared scan;
+    the union is plan-level concatenation, no extra exchange.
+
+    r10: the sliding-window extension (previously its own
+    `bytes_antenna_sliding` row) rides this row as a fourth branch —
+    it shares the exact metric layout and the `type` column
+    discriminates it, the same consolidation that folded the antenna
+    stream into stream_bytes_90s_suite in r6. Filter
+    type != 'antenna_bytes_sliding' for the strict reference shape;
+    bench._CONSTITUENTS maps the merged row to its priors. The freed
+    slot gates stream_running_totals (queries/stream.py)."""
     return (
         bytes_antenna_90s(spark, sf_dir)
         .unionAll(bytes_user_90s(spark, sf_dir))
         .unionAll(bytes_app_90s(spark, sf_dir))
+        .unionAll(bytes_antenna_sliding(spark, sf_dir))
     )
 
 
@@ -302,26 +329,14 @@ def archive_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     reference — SURVEY.md §2.10 T7; first-class in this engine) -------
 
 
-@register(
-    "bytes_antenna_sliding",
-    oracle=f"""
-        SELECT make_timestamp(((epoch_ms(ts) // 1800000) - g.k) * 1800000 * 1000)
-                   AS "timestamp",
-               CAST(event_type AS VARCHAR) AS id,
-               {dsum_sql('value')} AS value,
-               'antenna_bytes_sliding' AS type
-        FROM events, (SELECT unnest([0, 1]) AS k) g
-        GROUP BY 1, 2
-    """,
-)
 def bytes_antenna_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window: 1 h duration, 30 min slide — every event lands
     in exactly 2 overlapping windows. Spark's window() replicates rows
     per overlap map-side, then it's the same single-shuffle partial+
     final aggregate as tumbling; state at any moment is bounded by
-    duration/slide windows per key. The oracle phrases the overlap as
-    a 2-element offset cross join over the same epoch-integer bucket
-    math (positive-epoch testdata, so `//` truncation == floor)."""
+    duration/slide windows per key. Registered as a branch of the
+    bytes_90s row (r10 consolidation — see _SLIDING_ORACLE above);
+    stays importable for jobs/tests."""
     ev = read_table(spark, sf_dir, "events")
     agg = ev.groupBy(
         F.col("event_type"),

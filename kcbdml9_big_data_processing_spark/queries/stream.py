@@ -435,3 +435,106 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("enrich").alias("variant"), "event_id", "k", "v"
     )
     return near.unionAll(enrich)
+
+
+# --- custom stateful operator (applyInPandasWithState) ---------------------
+
+#: per-process cache of the multi-file replay source for
+#: stream_running_totals, keyed by (applicationId, sf_dir) — same
+#: immutable-input posture as similarity._INDEX_PATHS: the testdata
+#: under one sf_dir never changes within an application, so the
+#: projected copy is written once and replayed by every call.
+_RT_SRC_CACHE: dict[tuple[str, str], str] = {}
+
+_RT_FILES = 4  # replay files -> guaranteed micro-batch count
+
+
+def _running_totals_source(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as _RT_FILES parquet files of
+    (key, cents) — user_id as string key, value in exact integer
+    cents (the testdata's values are exact 2-decimal currency; cents
+    make the cross-batch accumulation integer-exact, where a float
+    running sum would drift with batch order). Streaming this copy
+    with maxFilesPerTrigger=1 forces >= _RT_FILES micro-batches, so
+    the state store genuinely carries totals across batches."""
+    from ..tmpdirs import scratch_dir
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    path = _RT_SRC_CACHE.get(cache_key)
+    if path is None:
+        path = scratch_dir("running_totals_src_")
+        (
+            read_table(spark, sf_dir, "events")
+            .select(
+                F.col("user_id").cast("string").alias("key"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .repartition(_RT_FILES)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _RT_SRC_CACHE[cache_key] = path
+    return path
+
+
+@register(
+    "stream_running_totals",
+    oracle="""
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (streaming/stateful.running_totals,
+    applyInPandasWithState) driver-gated: per-user cumulative byte
+    totals carried in the streaming state store across micro-batches —
+    the running-counter semantics a watermarked window cannot express
+    (the total never closes). The events table replays as four files
+    with maxFilesPerTrigger=1, so the replay is guaranteed multiple
+    micro-batches and every key's final total is accumulated state,
+    not a single-batch sum (cross-batch arithmetic + restart recovery
+    are pinned in tests/test_stateful.py). Each key emits its updated
+    total once per micro-batch that touches it (update mode); the
+    LAST emission per key — row_number over n_updates, the same
+    WindowGroupLimit top-1 as latest_event_per_user — is the final
+    total, which must equal the batch GROUP BY sum: the oracle
+    hash-proves the state path loses/duplicates no update. Values
+    ride as exact integer cents so the cumulative sum is
+    batch-order-independent.
+
+    100 TB shape: state is hash-partitioned by key across executors,
+    per-key memory is one (long, long) pair, and idle keys would be
+    evicted by GroupStateTimeout in an unbounded deployment. The
+    memory sink here is the bounded-verification harness only; a
+    production stream emits updates through foreachBatch into a keyed
+    upsert sink (streaming/sinks.py)."""
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import running_totals
+
+    spark = _bounded_session(spark)
+    src_path = _running_totals_source(spark, sf_dir)
+    src = (
+        spark.readStream.schema("key string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    totals = running_totals(src, key_col="key", value_col="cents")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("stream_running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table("stream_running_totals")
+    w = Window.partitionBy("key").orderBy(F.col("n_updates").desc())
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", F.col("total").alias("total_cents"))
+    )
