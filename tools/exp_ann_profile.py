@@ -1,6 +1,15 @@
 """One-off profiler for the ann_index_suite regression (r9 item 1):
 times plan-construction vs execution for each variant and the suite,
-with and without the suite-level persist barrier."""
+with and without the suite-level persist barrier.
+
+Measurement asymmetry after the r9 plan cache (r9 ADVICE): the
+'suite(as-is)' rows hit the _prepared_plan entry cached during the
+warm-up run, while every 'suite(no-persist)' run rebuilds and
+re-analyzes its plan from scratch — so the two series differ by plan
+cache + barrier, not the barrier alone. To isolate the barrier cost
+by itself, clear S._PREPARED_PLANS between 'as-is' runs (the r9
+commit's numbers were taken pre-cache, where the comparison was
+clean)."""
 
 from __future__ import annotations
 
