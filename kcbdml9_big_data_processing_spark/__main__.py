@@ -18,8 +18,11 @@ shell too:
         [--n-cells K] [--out PATH] [--limit N]
 
 ACTION is build / extend / search / compact / vacuum / stats
-(compact and vacuum apply to the ngram family's bucketed base+delta
-layout; every family supports build / extend / search / stats).
+(compact applies to the ngram family's bucketed base+delta layout;
+vacuum prunes superseded generations for every family — the ngram
+base+tail versions, or the r10 g{N} build generations of
+ivf/pq/semantic; every family supports build / extend / search /
+stats).
 ``--where`` filters the input table (documents for ngram, embeddings
 otherwise) — e.g. build over ``doc_id % 2 = 0`` then search the
 odd half against it.
@@ -49,9 +52,11 @@ def _index_main(argv: list[str], spark=None) -> int:
     )
     ap.add_argument(
         "--blocking",
-        default="label",
+        default="label_ivf",
         choices=["label", "label_ivf"],
-        help="semantic-family blocking policy (build only)",
+        help="semantic-family blocking policy (build only); label_ivf "
+        "is the measured-flat default, label opts into pure "
+        "label-partitioned blocking",
     )
     ap.add_argument(
         "--n-cells", type=int, default=None, help="semantic label_ivf cell count"
@@ -119,6 +124,8 @@ def _index_main(argv: list[str], spark=None) -> int:
                 result = S.semantic_dedup_against_index(
                     spark, path, sem_corpus()
                 )
+            elif args.action == "vacuum":
+                S.vacuum_index_generations(spark, path)
             else:
                 print(
                     f"{args.action} not supported for semantic", file=sys.stderr
@@ -133,6 +140,8 @@ def _index_main(argv: list[str], spark=None) -> int:
                     S.extend_ivf_index(emb(), path)
                 elif args.action == "search":
                     result = S.search_ivf_index(spark, path, emb(), corpus)
+                elif args.action == "vacuum":
+                    S.vacuum_index_generations(spark, path)
                 else:
                     print(
                         f"{args.action} not supported for ivf", file=sys.stderr
@@ -145,6 +154,8 @@ def _index_main(argv: list[str], spark=None) -> int:
                     S.extend_pq_index(emb(), path)
                 elif args.action == "search":
                     result = S.search_pq_index(spark, path, emb(), corpus)
+                elif args.action == "vacuum":
+                    S.vacuum_index_generations(spark, path)
                 else:
                     print(
                         f"{args.action} not supported for pq", file=sys.stderr
@@ -202,28 +213,42 @@ def _index_stats(spark, family: str, path: str) -> int:
                 f" tail_postings={rows(tail, _POSTINGS_SCHEMA)}"
             )
     elif family == "ivf":
-        cents = spark.read.parquet(f"{path}/centroids")
+        from .queries.similarity import _gen_current
+
+        gdir = _gen_current(spark, path)
+        print(f"generation_dir={gdir}")
+        cents = spark.read.parquet(f"{gdir}/centroids")
         print(f"cells={cents.select('cell').distinct().count()}")
-        print(f"indexed_vectors={rows(f'{path}/cells')}")
+        print(f"indexed_vectors={rows(f'{gdir}/cells')}")
     elif family == "pq":
-        book = spark.read.parquet(f"{path}/book")
+        from .queries.similarity import _gen_current
+
+        gdir = _gen_current(spark, path)
+        print(f"generation_dir={gdir}")
+        book = spark.read.parquet(f"{gdir}/book")
         m = book.select("m").distinct().count()
         codes_per_m = book.select("m", "code").distinct().count()
-        n_codes = rows(f"{path}/codes")
+        n_codes = rows(f"{gdir}/codes")
         print(f"subspaces={m} codebook_entries={codes_per_m}")
         print(
             "indexed_vectors="
             + str(n_codes // m if n_codes is not None and m else None)
         )
     else:  # semantic
-        from .queries.similarity import _SEM_BANDS_SCHEMA, _sem_meta
+        from .queries.similarity import (
+            _SEM_BANDS_SCHEMA,
+            _gen_current,
+            _sem_meta,
+        )
 
+        gdir = _gen_current(spark, path)
+        print(f"generation_dir={gdir}")
         meta = _sem_meta(spark, path)
         print(
             f"blocking={meta['blocking']} n_cells={meta['n_cells']}"
         )
-        print(f"band_rows={rows(f'{path}/bands', _SEM_BANDS_SCHEMA)}")
-        print(f"indexed_vectors={rows(f'{path}/vecs')}")
+        print(f"band_rows={rows(f'{gdir}/bands', _SEM_BANDS_SCHEMA)}")
+        print(f"indexed_vectors={rows(f'{gdir}/vecs')}")
     return 0
 
 

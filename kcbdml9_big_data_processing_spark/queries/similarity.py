@@ -442,18 +442,141 @@ def _ensure_index(kind: str, emb: DataFrame, sf_dir: str, build_fn) -> str:
 #: SQL-parse + Catalyst analysis the 64-dim fixed-point expression
 #: trees cost per preparation — measured in tools/exp_ann_profile.py).
 #: Keyed by applicationId so a new SparkSession never sees a stale
-#: plan bound to a stopped context.
+#: plan bound to a stopped context; entries for OTHER applicationIds
+#: are evicted on lookup (r9 ADVICE — a long-lived process cycling
+#: SparkSessions must not accumulate plans pinned to dead contexts).
+#:
+#: Input-immutability assumption (same posture as _INDEX_PATHS, made
+#: explicit per r9 ADVICE): the analyzed plan freezes the parquet
+#: FILE LISTING of its source tables, so data under one sf_dir must
+#: not be rewritten within an application's lifetime — true for the
+#: read-only testdata here, and the documented contract for a search
+#: service (a new corpus/index version gets a new path, which is a
+#: new cache key; see the versioned dedup-index layout).
 _PREPARED_PLANS: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _prepared_plan(spark: SparkSession, name: str, sf_dir: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, name, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PREPARED_PLANS if k[0] != app_id]:
+        del _PREPARED_PLANS[k]
+    key = (app_id, name, sf_dir)
     df = _PREPARED_PLANS.get(key)
     if df is None:
         df = build()
         df.schema  # force analysis at preparation time
         _PREPARED_PLANS[key] = df
     return df
+
+
+# --- crash-safe index generations (r10, verdict #5) -----------------------
+#
+# build_ivf/pq/semantic_index previously wrote their tables with
+# mode("overwrite") directly under the index root — on a LIVE index a
+# rebuild that crashed mid-overwrite (Spark deletes the target dir
+# before writing) left a truncated index with no previous generation.
+# Same failure the ngram family's compaction solved in r8, same cure:
+# builds write a fresh VERSIONED generation dir (``{root}/g{N}``) and
+# the SINGLE commit point is a row appended to the ``gen_meta``
+# sidecar (readers take the max-version row; the parquet committer's
+# rename makes a half-written row invisible). A crash anywhere before
+# the commit leaves the previous generation — including its
+# post-build extends, which append INTO the committed generation —
+# fully live; a build retry rewrites the same staging dir. Extends
+# stay append-only within the current generation (each table append
+# is committer-atomic; a crash between the vecs and bands appends of
+# extend_semantic_index can orphan rows of the FIRST table, which is
+# why it appends vecs first — an unreferenced vec row is inert,
+# whereas a bands row without its vec would silently drop candidate
+# pairs; re-running a half-applied extend requires a rebuild, see the
+# extend docstring). Indexes written before r10 (no gen_meta) read as
+# generation 0 at the root — fully backward compatible.
+#
+# At 100 TB this is the standard object-store table-format recipe
+# (versioned data dirs + tiny committed metadata as the atomicity
+# point); the Hadoop FileSystem API below works unchanged on HDFS/S3A.
+
+_GEN_META_SCHEMA = "dir string, version int"
+
+#: per-process cache of resolved current-generation dirs, keyed by
+#: (applicationId, index root). _gen_commit updates it, so rebuilds
+#: within one process are seen immediately; concurrent cross-process
+#: writers coordinate via gen_meta itself (max-version read), and a
+#: process that cached generation N keeps serving N until its next
+#: build — the same retention-not-locking posture as
+#: vacuum_dedup_index.
+_GEN_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _gen_meta_row(spark: SparkSession, path: str):
+    try:
+        return (
+            spark.read.schema(_GEN_META_SCHEMA)
+            .parquet(f"{path}/gen_meta")
+            .orderBy(F.col("version").desc())
+            .first()
+        )
+    except Exception:
+        return None
+
+
+def _gen_current(spark: SparkSession, path: str) -> str:
+    """The current committed generation dir of an index root —
+    ``{path}/g{N}`` for the max committed N, or ``path`` itself for a
+    legacy flat (pre-r10) or not-yet-built index."""
+    key = (spark.sparkContext.applicationId, path)
+    hit = _GEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    row = _gen_meta_row(spark, path)
+    cur = path if row is None else row["dir"]
+    _GEN_CACHE[key] = cur
+    return cur
+
+
+def _gen_begin(spark: SparkSession, path: str) -> tuple[str, int]:
+    """Staging dir + version for a new build. Reads gen_meta directly
+    (not the cache): a crashed build's staging dir is re-used by the
+    retry, because the version after the last COMMITTED one is the
+    same both times."""
+    row = _gen_meta_row(spark, path)
+    v = 1 if row is None else row["version"] + 1
+    return f"{path}/g{v}", v
+
+
+def _gen_commit(spark: SparkSession, path: str, gdir: str, version: int) -> None:
+    spark.createDataFrame([(gdir, version)], _GEN_META_SCHEMA).write.mode(
+        "append"
+    ).parquet(f"{path}/gen_meta")
+    _GEN_CACHE[(spark.sparkContext.applicationId, path)] = gdir
+
+
+def vacuum_index_generations(
+    spark: SparkSession, path: str, retain: int = 2
+) -> None:
+    """Delete superseded index generations, keeping the ``retain``
+    most recent (current included) — the IVF/PQ/semantic sibling of
+    vacuum_dedup_index, with the same retention-not-locking safety: a
+    reader planned against generation N survives the rebuild that
+    commits N+1, and N's dir is deleted only once N+retain exists.
+    Meta rows are never pruned (one skinny row per rebuild; the
+    max-version read ignores stale ones). A legacy flat layout at the
+    root is left untouched."""
+    row = _gen_meta_row(spark, path)
+    if row is None:
+        return
+    cutoff = row["version"] - retain + 1
+    import re
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        name = status.getPath().getName()
+        m = re.fullmatch(r"g(\d+)", name)
+        if m is not None and int(m.group(1)) < cutoff:
+            fs.delete(status.getPath(), True)
 
 
 def ivf_ann_cosine(
@@ -720,7 +843,11 @@ _SEM_CENT_ROWS_CACHE: dict[str, list | None] = {}
 
 def _sem_meta(spark: SparkSession, path: str) -> dict:
     """Stored blocking policy of a semantic index; indexes written
-    before the policy existed read as plain label blocking."""
+    before the policy existed read as plain label blocking. Resolves
+    the current generation first, so the cache key is the generation
+    dir — a rebuild changes the key and the stale entry is never
+    consulted (idempotent when handed an already-resolved dir)."""
+    path = _gen_current(spark, path)
     cached = _SEM_META_CACHE.get(path)
     if cached is not None:
         return cached
@@ -746,6 +873,7 @@ def _sem_cent_rows(spark: SparkSession, path: str, meta: dict) -> list | None:
     via the exploded join)."""
     if meta["blocking"] != "label_ivf":
         return None
+    path = _gen_current(spark, path)
     if path in _SEM_CENT_ROWS_CACHE:
         return _SEM_CENT_ROWS_CACHE[path]
     n = meta.get("n_cells")
@@ -760,7 +888,7 @@ def _sem_cent_rows(spark: SparkSession, path: str, meta: dict) -> list | None:
 
 def _sem_cents(spark: SparkSession, path: str, meta: dict) -> DataFrame | None:
     return (
-        spark.read.parquet(f"{path}/cents")
+        spark.read.parquet(f"{_gen_current(spark, path)}/cents")
         if meta["blocking"] == "label_ivf"
         else None
     )
@@ -895,7 +1023,7 @@ def _sem_train(corpus: DataFrame, k: int) -> DataFrame:
 def build_semantic_index(
     corpus: DataFrame,
     path: str,
-    blocking: str = "label",
+    blocking: str = "label_ivf",
     n_cells: int | None = None,
     target_cell_pop: int = _SEM_TARGET_CELL_POP,
 ) -> None:
@@ -916,7 +1044,12 @@ def build_semantic_index(
     construction — the 'frozen quantizer' concern of the IVF/postings
     indexes doesn't arise for the bands.
 
-    ``blocking`` (r7 verdict #1 — production granularity):
+    ``blocking`` (r7 verdict #1 — production granularity; default
+    ``label_ivf`` since r10 because its per-batch search cost is
+    measured flat as the corpus grows — SCALE_PROBE.json
+    semantic_vs_index exponent −0.01 vs 0.53 for ``label`` — so the
+    naive caller gets the shape that survives 100 TB; ``label`` is
+    the opt-in for corpora whose labels already partition finely):
 
     - ``"label"``: block on the corpus's own label column. Fine when
       labels partition the corpus finely; degenerate when one label
@@ -945,23 +1078,28 @@ def build_semantic_index(
     spark = corpus.sparkSession
     if blocking not in ("label", "label_ivf"):
         raise ValueError(f"unknown blocking: {blocking!r}")
+    # crash-safe (r10): all four tables land in a fresh generation
+    # dir; the index goes live only at the single gen_meta commit at
+    # the end — see the generation-layer comment above _gen_current
+    root, path = path, None
+    gdir, v = _gen_begin(spark, root)
     if blocking == "label_ivf":
         if n_cells is None:
             import math
 
             n_cells = max(_IVF_K, math.ceil(corpus.count() / target_cell_pop))
         cents = _sem_train(corpus, n_cells)
-        cents.write.mode("overwrite").parquet(f"{path}/cents")
+        cents.write.mode("overwrite").parquet(f"{gdir}/cents")
         # relabel against the WRITTEN centroids (re-read, not the
         # lineage): the stored index is the truth searches will read
         corpus = _with_block_label(
-            corpus, spark.read.parquet(f"{path}/cents")
+            corpus, spark.read.parquet(f"{gdir}/cents")
         )
     spark.createDataFrame(
         [(blocking, n_cells)], _SEM_META_SCHEMA
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    _SEM_META_CACHE.pop(path, None)
-    _SEM_CENT_ROWS_CACHE.pop(path, None)
+    ).write.mode("overwrite").parquet(f"{gdir}/meta")
+    _SEM_META_CACHE.pop(gdir, None)
+    _SEM_CENT_ROWS_CACHE.pop(gdir, None)
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
     prepped = corpus.select(
@@ -975,7 +1113,7 @@ def build_semantic_index(
     try:
         prepped.select("vec_id", "label", "emb", "nf").write.mode(
             "overwrite"
-        ).parquet(f"{path}/vecs")
+        ).parquet(f"{gdir}/vecs")
         (
             prepped.select(
                 "vec_id",
@@ -994,19 +1132,28 @@ def build_semantic_index(
                 ).alias("bucket"),
             )
             .write.mode("overwrite")
-            .parquet(f"{path}/bands")
+            .parquet(f"{gdir}/bands")
         )
     finally:
         prepped.unpersist()
+    _gen_commit(spark, root, gdir, v)
 
 
 def extend_semantic_index(new_corpus: DataFrame, path: str) -> None:
     """Append newly-accepted vectors to a persisted semantic index:
     same deterministic planes, and — under ``label_ivf`` blocking —
     the STORED frozen quantizer (the same incremental trade as
-    extend_ivf_index); append-only, nothing rewritten. Caller
-    contract: batch vec_ids are disjoint from ids already stored."""
+    extend_ivf_index); append-only into the CURRENT generation,
+    nothing rewritten. Caller contract: batch vec_ids are disjoint
+    from ids already stored. Crash note (r10): the two table appends
+    are each committer-atomic but not jointly — vecs appends FIRST
+    because an orphaned vec row is inert, while a bands row without
+    its vec would silently drop candidate pairs; a crash between the
+    two means the batch is simply not yet visible and the extend, if
+    re-run, would duplicate vec rows — rebuild (build_semantic_index)
+    instead, exactly as for a lost batch."""
     spark = new_corpus.sparkSession
+    path = _gen_current(spark, path)
     new_corpus = _block_label_for_index(spark, path, new_corpus)
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
@@ -1070,6 +1217,7 @@ def semantic_dedup_against_index(
     semi-join key set, the verification union); it is persisted only
     when a ``cleanup`` list is passed (the module convention — see
     repeated_spans), staying fully lazy otherwise."""
+    path = _gen_current(spark, path)
     batch = _block_label_for_index(spark, path, batch)
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
@@ -1680,10 +1828,16 @@ def build_pq_index(emb: DataFrame, path: str) -> None:
     build's two assignment passes run ONCE at write time, and every
     later search reads the code table (8 small ints per vector)
     instead of re-deriving it — at 100 TB the codes table is orders
-    of magnitude smaller than the embeddings it indexes."""
+    of magnitude smaller than the embeddings it indexes.
+
+    Crash-safe (r10): tables land in a fresh generation dir, made
+    live by the single gen_meta commit — see the generation-layer
+    comment above _gen_current."""
+    spark = emb.sparkSession
+    gdir, v = _gen_begin(spark, path)
     ex = _pq_explode(emb)
     book = _pq_train(emb, ex)
-    book.write.mode("overwrite").parquet(f"{path}/book")
+    book.write.mode("overwrite").parquet(f"{gdir}/book")
     codes = _pq_assign(ex, book)
     w_code = Window.partitionBy("vec_id", "m").orderBy("dist_f", "code")
     (
@@ -1691,8 +1845,9 @@ def build_pq_index(emb: DataFrame, path: str) -> None:
         .where(F.col("rn") == 1)
         .select("vec_id", "m", "code")
         .write.mode("overwrite")
-        .parquet(f"{path}/codes")
+        .parquet(f"{gdir}/codes")
     )
+    _gen_commit(spark, path, gdir, v)
 
 
 def search_pq_index(
@@ -1703,6 +1858,7 @@ def search_pq_index(
     codebooks, ADC over the stored codes, exact re-rank against
     ``corpus`` (vec_id, embedding). Identical results to the inline
     query for the same probe set — pinned in tests/test_llm_ops.py."""
+    path = _gen_current(spark, path)
     book = spark.read.parquet(f"{path}/book")
     codes = spark.read.parquet(f"{path}/codes")
     probe_ex = _pq_explode(probes)
@@ -1726,13 +1882,19 @@ def build_ivf_index(emb: DataFrame, path: str) -> None:
     probes against the (broadcastable) centroid table and touches only
     ~nprobe/K of the corpus via the cell table — at 100 TB the
     assignment pass is the expensive part and this is its
-    amortization."""
+    amortization.
+
+    Crash-safe (r10): tables land in a fresh generation dir, made
+    live by the single gen_meta commit — see the generation-layer
+    comment above _gen_current."""
+    spark = emb.sparkSession
+    gdir, v = _gen_begin(spark, path)
     ex = _ivf_explode(emb)
     cents = _ivf_train(emb, ex)
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents.write.mode("overwrite").parquet(f"{gdir}/centroids")
     # assign against the WRITTEN centroids (re-read, not the lineage):
     # the stored index is the source of truth the searches will read
-    stored = emb.sparkSession.read.parquet(f"{path}/centroids")
+    stored = spark.read.parquet(f"{gdir}/centroids")
     d = _sqdist_cells(ex, stored)
     w = Window.partitionBy("vec_id").orderBy("dist_f", "cell")
     (
@@ -1740,8 +1902,9 @@ def build_ivf_index(emb: DataFrame, path: str) -> None:
         .where(F.col("rn") == 1)
         .select("vec_id", "cell")
         .write.mode("overwrite")
-        .parquet(f"{path}/cells")
+        .parquet(f"{gdir}/cells")
     )
+    _gen_commit(spark, path, gdir, v)
 
 
 def search_ivf_index(
@@ -1754,6 +1917,7 @@ def search_ivf_index(
     candidates. Identical results to the inline ivf_ann_cosine query
     for the same probe set (same arithmetic, same tie-breaks) —
     pinned in tests/test_llm_ops.py."""
+    path = _gen_current(spark, path)
     cents = spark.read.parquet(f"{path}/centroids")
     cells = spark.read.parquet(f"{path}/cells")
     d = _sqdist_cells(_ivf_explode(probes), cents)
@@ -1820,6 +1984,8 @@ def search_ivfpq_index(
     the probed cells (recall floor pinned in tests/test_llm_ops.py).
     Both indexes must be built over the same corpus (build_ivf_index /
     build_pq_index)."""
+    ivf_path = _gen_current(spark, ivf_path)
+    pq_path = _gen_current(spark, pq_path)
     cents = spark.read.parquet(f"{ivf_path}/centroids")
     cells = spark.read.parquet(f"{ivf_path}/cells")
     book = spark.read.parquet(f"{pq_path}/book")
@@ -1907,6 +2073,7 @@ def extend_pq_index(new_emb: DataFrame, path: str) -> None:
     argmin assignment under the stored book, extension is
     batch-split invariant, and searches see the new vectors."""
     spark = new_emb.sparkSession
+    path = _gen_current(spark, path)
     book = spark.read.parquet(f"{path}/book")
     codes = _pq_assign(_pq_explode(new_emb), book)
     w = Window.partitionBy("vec_id", "m").orderBy("dist_f", "code")
@@ -1932,6 +2099,7 @@ def extend_ivf_index(new_emb: DataFrame, path: str) -> None:
     answer probes identically) and the appended rows are exactly the
     argmin assignment against the stored centroids."""
     spark = new_emb.sparkSession
+    path = _gen_current(spark, path)
     stored = spark.read.parquet(f"{path}/centroids")
     d = _sqdist_cells(_ivf_explode(new_emb), stored)
     w = Window.partitionBy("vec_id").orderBy("dist_f", "cell")

@@ -460,10 +460,12 @@ def test_ivf_index_incremental_extend(spark, tmp_path):
     }
     assert got_one == got_two and len(got_one) > 0
 
-    cells = spark.read.parquet(f"{one}/cells")
+    from kcbdml9_big_data_processing_spark.queries.similarity import _gen_current
+
+    cells = spark.read.parquet(f"{_gen_current(spark, one)}/cells")
     assert cells.count() == emb.count()
     assert cells.select("vec_id").distinct().count() == emb.count()
-    stored = spark.read.parquet(f"{one}/centroids")
+    stored = spark.read.parquet(f"{_gen_current(spark, one)}/centroids")
     want_b = {
         (r["vec_id"], r["cell"])
         for r in _argmin_cell(_ivf_explode(b), stored)
@@ -585,8 +587,13 @@ def test_ivfpq_composed_search(spark, tmp_path):
     assert len(got) > 0
 
     # (1) cell restriction holds against the stored cell table
+    from kcbdml9_big_data_processing_spark.queries.similarity import _gen_current
+
     cells = {
-        r.vec_id: r.cell for r in spark.read.parquet(f"{ivf_path}/cells").collect()
+        r.vec_id: r.cell
+        for r in spark.read.parquet(
+            f"{_gen_current(spark, ivf_path)}/cells"
+        ).collect()
     }
     from collections import defaultdict
 
@@ -713,7 +720,10 @@ def test_semantic_index_incremental_dedup(spark, tmp_path):
     batch1 = emb.where(F.col("vec_id") % 4 == 1).unionAll(copies1)
 
     one = str(tmp_path / "one")
-    build_semantic_index(archive, one)
+    # explicit "label" blocking (no longer the default as of r10):
+    # this test's equality target is the UNBLOCKED full dedup, which
+    # only the pure-label policy guarantees on a single-label corpus
+    build_semantic_index(archive, one, blocking="label")
     got = {
         (r.vec_a, r.vec_b, round(r.cosine, 12))
         for r in semantic_dedup_against_index(spark, one, batch1).collect()
@@ -733,7 +743,7 @@ def test_semantic_index_incremental_dedup(spark, tmp_path):
     batch2 = emb.where(F.col("vec_id") % 4 == 3).unionAll(copies2)
     extend_semantic_index(batch1, one)
     two = str(tmp_path / "two")
-    build_semantic_index(archive.unionAll(batch1), two)
+    build_semantic_index(archive.unionAll(batch1), two, blocking="label")
     got_ext = {
         (r.vec_a, r.vec_b, round(r.cosine, 12))
         for r in semantic_dedup_against_index(spark, one, batch2).collect()
@@ -1101,7 +1111,9 @@ def test_pq_index_incremental_extend(spark, tmp_path):
     extend_pq_index(batch, path)
 
     # (1) appended codes == argmin under the stored book
-    book = spark.read.parquet(f"{path}/book")
+    from kcbdml9_big_data_processing_spark.queries.similarity import _gen_current
+
+    book = spark.read.parquet(f"{_gen_current(spark, path)}/book")
     w = Window.partitionBy("vec_id", "m").orderBy("dist_f", "code")
     want = {
         (r["vec_id"], r["m"]): r["code"]
@@ -1112,7 +1124,7 @@ def test_pq_index_incremental_extend(spark, tmp_path):
     }
     got = {
         (r["vec_id"], r["m"]): r["code"]
-        for r in spark.read.parquet(f"{path}/codes")
+        for r in spark.read.parquet(f"{_gen_current(spark, path)}/codes")
         .where(F.col("vec_id") >= 70_000_000)
         .collect()
     }
@@ -1124,10 +1136,16 @@ def test_pq_index_incremental_extend(spark, tmp_path):
     extend_pq_index(batch.where(F.col("vec_id") % 4 == 0), path2)
     extend_pq_index(batch.where(F.col("vec_id") % 4 == 2), path2)
     codes_a = sorted(
-        tuple(r) for r in spark.read.parquet(f"{path}/codes").collect()
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{_gen_current(spark, path)}/codes"
+        ).collect()
     )
     codes_b = sorted(
-        tuple(r) for r in spark.read.parquet(f"{path2}/codes").collect()
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{_gen_current(spark, path2)}/codes"
+        ).collect()
     )
     assert codes_a == codes_b
 
@@ -1187,3 +1205,159 @@ def test_semantic_blocking_join_fallback_matches_expression(spark, tmp_path, mon
     monkeypatch.setattr(S, "_SEM_EXPR_CELL_MAX", 0)
     join_path = run(str(tmp_path / "join"))
     assert expr_path == join_path and len(expr_path) > 0
+
+
+def test_index_generation_crash_safety_and_vacuum(spark, tmp_path, monkeypatch):
+    """r10 (verdict #5): build_ivf/pq/semantic_index no longer
+    overwrite a live index in place — tables land in a versioned
+    generation dir and the SINGLE commit point is the appended
+    gen_meta row, the same recipe as the ngram family's compaction.
+
+    (a) a build that crashes before its commit (simulated by making
+        _gen_commit raise) leaves the fully-written-but-uncommitted
+        staging dir invisible: searches keep answering from the
+        previous generation — INCLUDING vectors appended via
+        extend_semantic_index after that generation's build (the
+        exact loss mode of the old mode("overwrite") layout);
+    (b) the retried build reuses the staging dir, commits, and
+        searches cut over;
+    (c) vacuum_index_generations deletes superseded generation dirs
+        under retention;
+    (d) a pre-r10 flat layout (no gen_meta) resolves to the root
+        itself, so legacy indexes read unchanged.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries import similarity as S
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.lit("corpus").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    archive = emb.where(F.col("vec_id") % 2 == 0)
+    perturb = F.transform(
+        "emb", lambda x, i: x + ((i % 3).cast("double") - 1.0) * 0.02
+    )
+    batch1 = emb.where(F.col("vec_id") % 4 == 1).unionAll(
+        archive.where(F.col("vec_id") % 8 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            "label",
+            perturb.alias("emb"),
+        )
+    )
+    batch2 = emb.where(F.col("vec_id") % 4 == 3).unionAll(
+        batch1.where(F.col("vec_id") % 4 == 1).limit(5).select(
+            (F.col("vec_id") + 20_000_000).alias("vec_id"),
+            "label",
+            perturb.alias("emb"),
+        )
+    )
+
+    path = str(tmp_path / "semidx")
+
+    def results():
+        return {
+            (r.vec_a, r.vec_b, round(r.cosine, 12))
+            for r in S.semantic_dedup_against_index(
+                spark, path, batch2
+            ).collect()
+        }
+
+    S.build_semantic_index(archive, path, n_cells=16)
+    assert os.path.isdir(f"{path}/g1")
+    S.extend_semantic_index(batch1, path)  # appends INTO g1
+    want = results()
+    # batch2 contains near-copies of batch1 rows, so matches REQUIRE
+    # the extend's rows to be visible
+    assert any(b >= 20_000_000 for _, b, _ in want) and len(want) > 0
+
+    # (a) crashed rebuild: everything written, commit never lands
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(S, "_gen_commit", boom)
+    try:
+        S.build_semantic_index(archive.unionAll(batch1), path, n_cells=16)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert os.path.isdir(f"{path}/g2")  # staging exists...
+    assert results() == want  # ...but readers still serve g1 + extend
+
+    # (b) retry commits the same staging dir and searches cut over.
+    # The rebuilt result is NOT asserted equal to g1+extend: the
+    # rebuild re-trains the coarse quantizer on archive∪batch1 where
+    # g1 froze archive-trained centroids, so the label_ivf blocking —
+    # and with it the candidate pair set — legitimately shifts (the
+    # SemDeDup cell-boundary trade both docstrings state).
+    S.build_semantic_index(archive.unionAll(batch1), path, n_cells=16)
+    assert S._gen_meta_row(spark, path)["version"] == 2
+    want_g2 = results()
+    assert len(want_g2) > 0
+    assert any(b >= 20_000_000 for _, b, _ in want_g2)
+
+    # (c) retention GC: g1 is superseded; retain=1 deletes it
+    S.vacuum_index_generations(spark, path, retain=1)
+    assert not os.path.isdir(f"{path}/g1")
+    assert os.path.isdir(f"{path}/g2")
+    assert results() == want_g2
+
+    # (d) legacy flat layout: a generation dir read AS an index root
+    # (no gen_meta inside) resolves to itself
+    got_flat = {
+        (r.vec_a, r.vec_b, round(r.cosine, 12))
+        for r in S.semantic_dedup_against_index(
+            spark, f"{path}/g2", batch2
+        ).collect()
+    }
+    assert got_flat == want_g2
+
+
+def test_ivf_pq_builds_are_generation_committed(spark, tmp_path, monkeypatch):
+    """The ivf/pq builds share the generation layer: a crashed
+    rebuild never disturbs the live index, and the composed IVF-PQ
+    search resolves both roots' current generations."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries import similarity as S
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    probes = emb.where(F.col("vec_id") % 50 == 0)
+
+    ivf_path = str(tmp_path / "ivf")
+    pq_path = str(tmp_path / "pq")
+    S.build_ivf_index(emb, ivf_path)
+    S.build_pq_index(emb, pq_path)
+    want = {
+        (r.probe_id, r.vec_id, r.rank)
+        for r in S.search_ivfpq_index(
+            spark, ivf_path, pq_path, probes, emb
+        ).collect()
+    }
+    assert len(want) > 0
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(S, "_gen_commit", boom)
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    for fn, p in ((S.build_ivf_index, ivf_path), (S.build_pq_index, pq_path)):
+        try:
+            fn(half, p)
+        except RuntimeError:
+            pass
+    monkeypatch.undo()
+    got = {
+        (r.probe_id, r.vec_id, r.rank)
+        for r in S.search_ivfpq_index(
+            spark, ivf_path, pq_path, probes, emb
+        ).collect()
+    }
+    assert got == want

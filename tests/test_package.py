@@ -158,8 +158,13 @@ def test_cli_index_lifecycle(spark, tmp_path):
         ) == 0
     assert "blocking=label_ivf n_cells=16" in buf.getvalue()
 
-    # vacuum is ngram-only
+    # vacuum prunes superseded generations (r10: no longer ngram-only)
     assert _index_main(
         ["vacuum", "--family", "semantic", "--sf", sf, "--index-dir", sem],
+        spark=spark,
+    ) == 0
+    # compact remains ngram-only
+    assert _index_main(
+        ["compact", "--family", "semantic", "--sf", sf, "--index-dir", sem],
         spark=spark,
     ) == 2
