@@ -148,6 +148,20 @@ def main() -> None:
         _, decisions = TrainingDataCurator().run(corpus, cleanup=cleanup)
         return decisions, cleanup
 
+    def curator_scrub(corpus):
+        """curation_run WITH the opt-in span scrub (r9 verdict #7 /
+        r10 #4): the composed policy's scale shape, measured before
+        anyone flips it on at 100 TB."""
+        from kcbdml9_big_data_processing_spark.jobs.training_data import (
+            CurationConfig,
+        )
+
+        cleanup: list = []
+        _, decisions = TrainingDataCurator(
+            CurationConfig(scrub_repeated_spans=True)
+        ).run(corpus, cleanup=cleanup)
+        return decisions, cleanup
+
     def minhash(corpus):
         prepped = shingle_docs(corpus).persist()
         prepped.count()
@@ -438,6 +452,7 @@ def main() -> None:
         "minhash_lsh_candidates": docs_op(minhash),
         "dedup_clusters": docs_op(clusters),
         "curation_run": docs_op(curator),
+        "curation_run_scrub": docs_op(curator_scrub),
         "dedup_vs_index": vs_index_runner,
         "semantic_vs_index": semantic_vs_index_runner,
         "ivf_index_search": ivf_search_runner,
