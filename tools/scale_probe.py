@@ -86,9 +86,9 @@ def main() -> None:
         "--only",
         nargs="*",
         default=None,
-        help="probe only these series (writes SCALE_PROBE.json ONLY "
-        "when running the full set, so partial runs can't clobber "
-        "the recorded curves)",
+        help="probe only these series (merged into the existing "
+        "SCALE_PROBE.json series-by-series, so a partial run updates "
+        "its own curves without clobbering the rest)",
     )
     args = ap.parse_args()
 
@@ -483,11 +483,16 @@ def main() -> None:
         exponent = round(math.log(t4 / t1) / math.log(MULTS[-1]), 3) if t1 > 0 else None
         results[name] = {"series": series, "growth_exponent": exponent}
 
-    payload = {"sf": args.sf, "runs_per_point": args.runs, "operators": results}
-    if not args.only:
-        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(here, "SCALE_PROBE.json"), "w") as f:
-            json.dump(payload, f, indent=1)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, "SCALE_PROBE.json")
+    if args.only and os.path.exists(out_path):
+        with open(out_path) as f:
+            payload = json.load(f)
+        payload["operators"].update(results)
+    else:
+        payload = {"sf": args.sf, "runs_per_point": args.runs, "operators": results}
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
     print(json.dumps(payload))
     spark.stop()
 
