@@ -240,6 +240,7 @@ class TrainingDataCurator:
         id_col: str = "doc_id",
         label_col: str = "label",
         emb_col: str = "emb",
+        materialize: bool = True,
     ) -> tuple[DataFrame, DataFrame]:
         """SemDeDup-style embedding near-dedup (Abbas et al. 2023):
         cluster docs whose embedding cosine >= ``cos_min`` — pairs
@@ -252,18 +253,31 @@ class TrainingDataCurator:
         column: it catches paraphrase-level duplication that the
         lexical n-gram stage can't see. ``run()`` doesn't call it
         because the plain documents table has no embeddings; a corpus
-        that does composes it after :meth:`near_dedup`."""
+        that does composes it after :meth:`near_dedup`.
+
+        A corpus already carrying the near-dup prep columns
+        (``nf``/``sig``) flows through prepped — the pair stage reuses
+        them instead of recomputing norm + plane signature per call;
+        a caller whose prepped corpus is durable (the per-process
+        scratch store behind queries/similarity.semantic_dedup_clusters)
+        passes ``materialize=False`` to skip the persist barrier too."""
         from ..queries.similarity import embedding_near_dup_pairs
 
-        corpus = docs.select(
+        sel = [
             F.col(id_col).alias("vec_id"),
             F.col(label_col).alias("label"),
             F.col(emb_col).alias("emb"),
-        )
+        ]
+        if {"nf", "sig"}.issubset(docs.columns):
+            sel += [F.col("nf"), F.col("sig")]
+        corpus = docs.select(*sel)
         cleanup: list[DataFrame] = []
         try:
             pairs = embedding_near_dup_pairs(
-                corpus, cos_min=cos_min, cleanup=cleanup
+                corpus,
+                cos_min=cos_min,
+                cleanup=cleanup,
+                materialize=materialize,
             ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
             labels = connected_components(
                 docs.select(F.col(id_col).alias("doc_id")),

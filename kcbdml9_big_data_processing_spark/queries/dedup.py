@@ -1538,8 +1538,16 @@ def dedup_clusters(
     jobs/training_data.py); the oracle phrases the same fixpoint as a
     recursive transitive-closure CTE — Spark's loop is the formulation
     that scales (closure materializes O(cluster^2) rows, labels stay
-    O(nodes))."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    O(nodes)).
+
+    r10: the pair source reads the per-process stored shingled corpus
+    (_stored_shingled_corpus — the same standing index the ngram and
+    minhash rows scan) instead of re-shingling + persisting per call;
+    the postings self-join and the CC loop still execute fully every
+    call."""
+    pairs = _exact_jaccard_pairs(
+        _stored_shingled_corpus(spark, sf_dir)
+    ).select("doc_a", "doc_b")
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     nodes = docs.unionAll(docs.select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id")))
     return connected_components(
