@@ -450,36 +450,51 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile-size membership scans), not the array construction, so
     the binding is a correctness-of-shape fix more than a speedup;
     the generator (``inline``) is the one construct that expands a
-    struct to columns while evaluating its input once."""
-    docs = read_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    grams = F.expr(
-        "array_distinct(transform(sequence(1, greatest(length(text) - 1, 1)),"
-        " i -> substring(text, i, 2)))"
-    )
+    struct to columns while evaluating its input once.
 
-    def scores(b):
-        fields = []
-        for lang in sorted(_LANG_PROFILES):
-            profile = F.array([F.lit(w) for w in _LANG_PROFILES[lang]])
-            fields.append(
-                F.size(F.filter(b["t"], lambda t: F.array_contains(profile, t)))
-                .cast("long")
-                .alias(f"word_{lang}")
-            )
-        for lang in sorted(_BIGRAM_PROFILES):
-            profile = F.array([F.lit(g) for g in _BIGRAM_PROFILES[lang]])
-            fields.append(
-                F.size(F.array_intersect(b["g"], profile))
-                .cast("long")
-                .alias(f"ngram_{lang}")
-            )
-        return F.struct(*fields)
+    r10: the plan is prepared once per process
+    (similarity._prepared_plan — the ann/ngram recipe): the ten
+    profile array literals (hundreds of F.lit elements each) cost
+    ~0.4 s of construction + Catalyst analysis per call at idle
+    steady-state (A/B time_query median-of-5: 2.55 -> 2.14 s; a
+    loaded exp_plan_vs_exec window showed up to 1.4 s), re-paid on
+    every re-run against the same immutable sf_dir. The scan +
+    score arithmetic still executes fully every call."""
 
-    bound = F.transform(
-        F.array(F.struct(toks.alias("t"), grams.alias("g"))), scores
-    )[0]
-    return docs.select("doc_id", "lang", F.inline(F.array(bound)))
+    def build() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents")
+        toks = _tokens()
+        grams = F.expr(
+            "array_distinct(transform(sequence(1, greatest(length(text) - 1, 1)),"
+            " i -> substring(text, i, 2)))"
+        )
+
+        def scores(b):
+            fields = []
+            for lang in sorted(_LANG_PROFILES):
+                profile = F.array([F.lit(w) for w in _LANG_PROFILES[lang]])
+                fields.append(
+                    F.size(F.filter(b["t"], lambda t: F.array_contains(profile, t)))
+                    .cast("long")
+                    .alias(f"word_{lang}")
+                )
+            for lang in sorted(_BIGRAM_PROFILES):
+                profile = F.array([F.lit(g) for g in _BIGRAM_PROFILES[lang]])
+                fields.append(
+                    F.size(F.array_intersect(b["g"], profile))
+                    .cast("long")
+                    .alias(f"ngram_{lang}")
+                )
+            return F.struct(*fields)
+
+        bound = F.transform(
+            F.array(F.struct(toks.alias("t"), grams.alias("g"))), scores
+        )[0]
+        return docs.select("doc_id", "lang", F.inline(F.array(bound)))
+
+    from .similarity import _prepared_plan
+
+    return _prepared_plan(spark, "language_id", sf_dir, build)
 
 
 # --- PII redaction --------------------------------------------------------
