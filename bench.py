@@ -203,6 +203,9 @@ _CONSTITUENTS: dict[str, list[str]] = {
     # predates the r4 union row)
     "bytes_90s": ["bytes_90s", "bytes_antenna_sliding"],
     "bytes_hourly": ["bytes_antenna_hourly", "bytes_email_hourly", "bytes_app_hourly"],
+    # r10: tfidf_top_terms + bigram_lift consolidated (freed the slot
+    # for quality_clf, which is NEW work with no prior)
+    "term_stats_suite": ["tfidf_top_terms", "bigram_lift"],
     "text_metrics": ["text_stats", "token_counts", "quality_score"],
     "language_id": ["language_id", "language_id_ngram"],
     "membership_suite": [

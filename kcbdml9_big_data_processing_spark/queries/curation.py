@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.chunking import chunk_documents
 from ..operators.packing import pack_sequences
+from ..operators.quality_model import classifier_score, default_weights
 from ..operators.sampling import (
     _bucket,
     _threshold,
@@ -129,6 +130,68 @@ _LSH_SQL = f"list_distinct({_grams3_sql(_LTOKS_SQL)})"
 _SPAN_TOKENS = 16
 _SPAN_DROP = 2
 _SPAN_COPY_OFFSET = 30_000_000
+
+#: linear quality-classifier variant (operators/quality_model): the
+#: feature space is deliberately small — the point is pinning the
+#: inference arithmetic (hash → weight lookup → integer sum) in both
+#: engines, not model capacity; a production model just passes a
+#: bigger trained vector
+_CLF_DIM = 512
+_CLF_WEIGHTS = default_weights(_CLF_DIM)
+
+
+def _clf_sql() -> str:
+    """DuckDB twin of operators/quality_model.classifier_score at
+    unigram+bigram order: same truncated-slice n-gram boundary as
+    _word_ngrams, same first-48-bits-of-sha256 feature hash, same
+    1-based weight lookup into the identical literal vector."""
+    wl = "[" + ", ".join(str(x) for x in _CLF_WEIGHTS) + "]"
+    fid = f"CAST((CAST(('0x' || substr(sha256(x), 1, 12)) AS BIGINT) % {_CLF_DIM}) + 1 AS INT)"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_tokens_sql()} AS t FROM documents
+        ),
+        ng AS (
+            SELECT doc_id, list_concat(t, list_transform(
+                       generate_series(1, greatest(len(t) - 1, 1)),
+                       i -> array_to_string(list_slice(t, CAST(i AS INT),
+                                CAST(i + 1 AS INT)), ' '))) AS g
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_feats,
+               CAST(list_sum(list_transform(g,
+                    x -> list_extract(CAST({wl} AS BIGINT[]), {fid})))
+                    AS BIGINT) AS score
+        FROM ng
+    """
+
+
+@register("quality_clf", oracle=_clf_sql())
+def quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style linear quality-classifier INFERENCE
+    (operators/quality_model.classifier_score) as a driver row: every
+    document's word unigrams + bigrams hash into a 512-bucket feature
+    space (the hashing trick, first-48-bits-of-sha256 — the portable
+    hash operators/sampling._bucket established) and a literal weight
+    vector scores them; the result is one (doc_id, n_feats, score)
+    row per document with ``score`` the exact integer milli-weight
+    sum — the model-based quality-filter step (CCNet / fastText
+    classifiers) beside the suite's heuristic signals.
+
+    No reference counterpart (north-star extension operator). Both
+    engines embed the identical deterministic weight vector as a plan
+    literal (default_weights — the trained-model stand-in) and
+    compute the identical hash, so the equality is exact integer
+    arithmetic; a differential pure-Python pin (including the
+    weight-binding no-CSE regression) lives in tests/test_llm_ops.py.
+
+    100 TB shape: a pure per-row projection — scan-parallel on any
+    executor count, zero shuffle, zero Python rows; the model rides
+    as a plan literal (~dim longs per executor, the broadcast-variable
+    shape), so inference cost is exactly one corpus scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    return classifier_score(docs, _CLF_WEIGHTS)
 
 
 @register(
@@ -292,7 +355,8 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window shuffle each (lang / source) planning partial top-n
     (WindowGroupLimit); pack is one window shuffle on its shard key;
     contamination broadcasts only the benchmark shingles — the corpus
-    never shuffles anywhere.
+    never shuffles anywhere. The MODEL-based quality signal (linear
+    classifier inference) is its own row, ``quality_clf``.
 
     The eleven variants compose off ONE persisted ``documents`` scan (r7:
     previously each union branch re-scanned the table — fine for

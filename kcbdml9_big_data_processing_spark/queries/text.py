@@ -287,9 +287,8 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TF-IDF top terms ------------------------------------------------------
 
 
-@register(
-    "tfidf_top_terms",
-    oracle=f"""
+def _tfidf_oracle() -> str:
+    return f"""
         WITH ex AS (
             SELECT doc_id, unnest({_tokens_sql()}) AS term FROM documents
         ),
@@ -322,8 +321,9 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM scored
         )
         WHERE rank <= 3
-    """,
-)
+    """
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document. IDF is the rational N/df (no
     log — ln() last-ulp behavior is engine-specific; the ranking is
@@ -590,9 +590,8 @@ _MIN_BIGRAM_COUNT = 5
 _TOP_BIGRAMS = 100
 
 
-@register(
-    "bigram_lift",
-    oracle=f"""
+def _bigram_oracle() -> str:
+    return f"""
         WITH toks AS (
             SELECT doc_id, {_tokens_sql()} AS t FROM documents
         ),
@@ -617,8 +616,9 @@ _TOP_BIGRAMS = 100
         WHERE c_xy >= {_MIN_BIGRAM_COUNT}
         ORDER BY lift DESC, bigram
         LIMIT {_TOP_BIGRAMS}
-    """,
-)
+    """
+
+
 def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: the corpus's top bigrams by lift
     (P(xy)/P(x)P(y) phrased as the exact integer rational
@@ -669,3 +669,44 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("lift").desc(), "bigram").limit(_TOP_BIGRAMS)
+
+
+@register(
+    "term_stats_suite",
+    oracle=f"""
+        SELECT 'tfidf' AS variant, doc_id, term,
+               CAST(rank AS BIGINT) AS n, score AS value
+        FROM ({_tfidf_oracle()})
+        UNION ALL
+        SELECT 'bigram_lift', CAST(NULL AS BIGINT), bigram, c_xy, lift
+        FROM ({_bigram_oracle()})
+    """,
+)
+def term_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-statistics family in one long-format result (r10:
+    ``tfidf_top_terms`` + ``bigram_lift`` consolidated to free a
+    registry slot for ``quality_clf`` — the r6 suite recipe: every
+    constituent keeps its full computation and oracle phrasing inside
+    the union, the plain functions stay importable individually, and
+    bench._CONSTITUENTS maps the merged prior):
+
+    - ``tfidf``: top-3 TF-IDF terms per document (rational IDF — see
+      :func:`tfidf_top_terms`); n = rank, value = score;
+    - ``bigram_lift``: corpus top bigrams by collocation lift (see
+      :func:`bigram_lift`); doc_id is NULL, n = bigram count,
+      value = lift."""
+    tf = tfidf_top_terms(spark, sf_dir).select(
+        F.lit("tfidf").alias("variant"),
+        "doc_id",
+        "term",
+        F.col("rank").cast("long").alias("n"),
+        F.col("score").alias("value"),
+    )
+    bg = bigram_lift(spark, sf_dir).select(
+        F.lit("bigram_lift").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("bigram").alias("term"),
+        F.col("c_xy").alias("n"),
+        F.col("lift").alias("value"),
+    )
+    return tf.unionAll(bg)

@@ -1361,3 +1361,60 @@ def test_ivf_pq_builds_are_generation_committed(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert got == want
+
+
+def test_classifier_score_differential_fuzz(spark):
+    """Differential pin of the linear-classifier inference
+    (operators/quality_model.classifier_score) against the pure-Python
+    reference on a seeded random corpus — the strong-pin pattern from
+    test_remove_repeated_spans_differential_fuzz: tokenization, the
+    truncated-slice bigram boundary, the sha256 feature hash, and the
+    bound-once weight lookup must agree exactly, including the
+    1-token and padded-whitespace edges."""
+    import random
+
+    from kcbdml9_big_data_processing_spark.operators.quality_model import (
+        classifier_score,
+        classifier_score_py,
+        default_weights,
+    )
+
+    weights = default_weights(64)
+    rng = random.Random(20260815)
+    vocab = ["a", "bb", "ccc", "the", "of", "x1", "longword", "zz", "q", "end"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(60)
+    ]
+    rows += [(1000, "single"), (1001, "  padded   runs  of   spaces  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score"])
+        for r in classifier_score(df, weights).collect()
+    }
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        assert got[doc_id] == classifier_score_py(text, weights), (doc_id, text)
+
+
+def test_classifier_score_respects_caller_weights(spark):
+    """Weights are the caller's model: an all-zero vector scores every
+    document 0 (n_feats unchanged), and scaling every weight scales
+    every score — inference must not bake in the default vector."""
+    from kcbdml9_big_data_processing_spark.operators.quality_model import (
+        classifier_score,
+        default_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta")], "doc_id long, text string"
+    )
+    zero = {r["doc_id"]: r["score"] for r in classifier_score(df, [0] * 32).collect()}
+    assert zero == {1: 0, 2: 0}
+    w = default_weights(32)
+    base = {r["doc_id"]: r["score"] for r in classifier_score(df, w).collect()}
+    doubled = {
+        r["doc_id"]: r["score"]
+        for r in classifier_score(df, [2 * x for x in w]).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in base.items()}
