@@ -441,8 +441,19 @@ def main() -> None:
 
         return remove_repeated_spans(corpus), []
 
+    def quality_clf_op(corpus):
+        from kcbdml9_big_data_processing_spark.operators.quality_model import (
+            classifier_score,
+            default_weights,
+        )
+
+        return classifier_score(corpus, default_weights(512)), []
+
     OPS = {
         "exact_dedup": docs_op(lambda c: (exact_dedup(c), [])),
+        # pure per-row projection (hash + literal-vector lookup), no
+        # shuffle — the guard is exactly-linear scan cost
+        "quality_clf": docs_op(quality_clf_op),
         # every inflated layer carries an exact copy + a near-dup, so
         # repeated spans abound at constant rate; detection is one
         # fingerprint aggregation + semi-join, removal is per-row —
