@@ -20,11 +20,27 @@ retries / speculative tasks / AQE re-plans cannot change a score),
 and weights are integer milli-units so the per-document sum is exact
 integer arithmetic in any evaluation order.
 
-Training is out of scope by design — the pipeline serves a model, it
-does not fit one; callers pass trained weights (any int sequence).
-:func:`default_weights` provides the deterministic stand-in the gated
-query uses so both engines can pin the arithmetic without a model
-artifact.
+Serving and fitting are split: callers of :func:`classifier_score`
+pass trained weights (any int sequence; :func:`default_weights` is
+the deterministic stand-in the gated query uses so both engines can
+pin the inference arithmetic without a model artifact), and
+:func:`train_classifier` fits those weights from a labeled corpus —
+the seed-label bootstrap of a fastText/CCNet-style quality filter
+(label a few thousand docs good/bad, fit the linear model, score the
+corpus). Training is a bounded-iteration Spark JOB, not a query: each
+pass is one corpus scan plus a ``dim``-key aggregation (map-side
+combine reduces every task's output to at most ``dim`` rows before
+the shuffle), the weight vector lives driver-side between passes and
+rides into each pass as a plan literal. All training arithmetic the
+cluster performs is exact-integer or correctly-rounded IEEE-754
+double ops (+,-,*,/ and floor — no transcendentals: the squashing
+function is the rational fast-sigmoid z/(2(1+|z|))), and per-row
+residuals quantize to fixed-point longs BEFORE the gradient
+aggregation, so gradients are exact integer sums — training is
+bit-deterministic under any partitioning, task retry, or evaluation
+order, and :func:`train_classifier_py` reproduces the exact integer
+weight trajectory in pure Python (the differential pin in
+tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -113,6 +129,156 @@ def classifier_score(
         F.array(F.struct(_toks(text_col).alias("t"), wl.alias("w"))), scored
     )[0]
     return docs.select(F.col(id_col), F.inline(F.array(bound)))
+
+
+#: fixed-point scale for quantized per-row residuals (and the default
+#: learning-rate denominator's unit): residuals live in (-1, 1), so
+#: the quantized long is |rq| <= 2^20 and a gradient sum over any
+#: realistic partition count stays far inside long range.
+_RESID_Q = 1 << 20
+
+
+def train_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    dim: int = 512,
+    iters: int = 8,
+    lr_num: int = 1 << 12,
+    lr_den: int | None = None,
+    ngram_max: int = 2,
+    text_col: str = "text",
+    init: Sequence[int] | None = None,
+) -> list[int]:
+    """Fit integer milli-weights for :func:`classifier_score` from a
+    labeled corpus (``label_col`` in {0, 1}; 1 = keep-quality) by
+    full-batch gradient descent on a logistic-style loss — the
+    seed-label bootstrap of a fastText/CCNet quality filter, run as a
+    bounded number of Spark passes.
+
+    Per pass, entirely declarative: every doc's score under the
+    current weights (the SAME bound-literal expression
+    :func:`classifier_score` serves with) normalizes to
+    ``z = score / (1000 * n_feats)``, squashes through the rational
+    fast-sigmoid ``0.5 + z / (2 * (1 + |z|))`` (only +,-,*,/ and
+    abs — every op correctly rounded IEEE-754, no transcendental
+    whose last ulp could differ between runtimes), and the residual
+    ``sigma - y`` quantizes to a fixed-point long
+    (``floor(resid * 2^20 + 0.5)``) BEFORE the n-grams explode; the
+    per-feature gradient is then an exact integer ``sum`` grouped by
+    the 48-bit-sha256 feature id. The weight update runs driver-side
+    in exact Python ints: ``w_j -= (grad_j * lr_num) // lr_den`` with
+    ``lr_den`` defaulting to ``2^20 * n_docs`` (i.e. ``lr_num`` is
+    the step per unit mean-residual, in milli-weight units).
+
+    Bit-determinism: integer sums commute, so the gradient — and
+    therefore the whole weight trajectory — is identical under any
+    partitioning, AQE re-plan, task retry, or executor count;
+    :func:`train_classifier_py` reproduces it exactly in pure Python
+    (differential-pinned in tests/test_llm_ops.py).
+
+    100 TB shape: each pass is one corpus scan plus a shuffle of at
+    most ``dim`` rows per map task (partial aggregation combines the
+    exploded n-grams map-side; only (fid, partial-sum) pairs move),
+    a ``dim``-row collect, and a driver update of ``dim`` ints —
+    the classic broadcast-model iteration, linear in corpus bytes
+    per pass with a fixed number of passes. Null/absent text is the
+    caller's problem, exactly as in :func:`classifier_score`."""
+    if lr_den is None:
+        lr_den = _RESID_Q * max(docs.count(), 1)
+    w = [0] * dim if init is None else [int(x) for x in init]
+    if len(w) != dim:
+        raise ValueError(f"init has {len(w)} weights, expected dim={dim}")
+
+    def ngrams_of(t: Column) -> Column:
+        arrs = [t] + [_word_ngrams(t, n) for n in range(2, ngram_max + 1)]
+        return F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+
+    base = docs.select(
+        F.col(label_col).cast("long").alias("y"), F.col(text_col).alias("_txt")
+    )
+    for _ in range(iters):
+        wl = F.array(*[F.lit(int(x)) for x in w])
+
+        def scored(b: Column) -> Column:
+            g = ngrams_of(b["t"])
+            return F.transform(
+                F.array(g),
+                lambda grams: F.struct(
+                    F.size(grams).cast("long").alias("n"),
+                    F.aggregate(
+                        grams,
+                        F.lit(0).cast("long"),
+                        lambda acc, gr: acc
+                        + F.element_at(
+                            b["w"], (_feature_id(gr, dim) + 1).cast("int")
+                        ),
+                    ).alias("score"),
+                    grams.alias("grams"),
+                ),
+            )[0]
+
+        bound = F.transform(
+            F.array(F.struct(_toks("_txt").alias("t"), wl.alias("w"))), scored
+        )[0]
+        z = F.col("score") / (F.lit(1000.0) * F.col("n"))
+        sig = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+        rq = F.floor((sig - F.col("y")) * _RESID_Q + F.lit(0.5)).cast("long")
+        grads = {
+            r["fid"]: r["grad"]
+            for r in (
+                base.select("y", F.inline(F.array(bound)))
+                .select(rq.alias("rq"), F.explode("grams").alias("g"))
+                .select("rq", _feature_id(F.col("g"), dim).alias("fid"))
+                .groupBy("fid")
+                .agg(F.sum("rq").alias("grad"))
+                .collect()
+            )
+        }
+        w = [wj - (grads.get(j, 0) * lr_num) // lr_den for j, wj in enumerate(w)]
+    return w
+
+
+def train_classifier_py(
+    rows: Sequence[tuple[str, int]],
+    dim: int = 512,
+    iters: int = 8,
+    lr_num: int = 1 << 12,
+    lr_den: int | None = None,
+    ngram_max: int = 2,
+    init: Sequence[int] | None = None,
+) -> list[int]:
+    """Pure-Python reference of :func:`train_classifier` for the
+    differential pin: identical tokenization, n-gram boundary, hash,
+    fast-sigmoid op ORDER (IEEE doubles make same-order +,-,*,/
+    bit-identical across runtimes), residual quantization, integer
+    gradient accumulation, and floor-division update — given the same
+    (text, label) rows it must produce the same exact integer weight
+    trajectory."""
+    import math
+    import re
+
+    if lr_den is None:
+        lr_den = _RESID_Q * max(len(rows), 1)
+    w = [0] * dim if init is None else [int(x) for x in init]
+    docs = []
+    for text, y in rows:
+        toks = re.split(r"\s+", text.strip())
+        grams = list(toks)
+        for n in range(2, ngram_max + 1):
+            upper = max(len(toks) - (n - 1), 1)
+            grams += [" ".join(toks[i : i + n]) for i in range(upper)]
+        docs.append(([_h48_py(g) % dim for g in grams], int(y)))
+    for _ in range(iters):
+        grads = [0] * dim
+        for fids, y in docs:
+            score = sum(w[j] for j in fids)
+            z = score / (1000.0 * len(fids))
+            sig = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            rq = math.floor((sig - y) * _RESID_Q + 0.5)
+            for j in fids:
+                grads[j] += rq
+        w = [wj - (grads[j] * lr_num) // lr_den for j, wj in enumerate(w)]
+    return w
 
 
 def classifier_score_py(

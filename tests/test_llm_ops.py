@@ -1418,3 +1418,62 @@ def test_classifier_score_respects_caller_weights(spark):
         for r in classifier_score(df, [2 * x for x in w]).collect()
     }
     assert doubled == {k: 2 * v for k, v in base.items()}
+
+
+def test_train_classifier_bit_matches_python_twin_and_learns(spark):
+    """The distributed trainer's whole integer weight trajectory is
+    bit-deterministic: residuals quantize to fixed-point longs BEFORE
+    the gradient aggregation, so the per-feature gradient is an exact
+    integer sum under any partitioning — train_classifier on Spark,
+    its pure-Python twin, and a differently-partitioned re-run must
+    produce the IDENTICAL weight list (the running_totals
+    integer-cents argument applied to model fitting). And the fitted
+    model must actually separate a planted good/bad labeling when
+    served through classifier_score."""
+    import random
+
+    from kcbdml9_big_data_processing_spark.operators.quality_model import (
+        classifier_score,
+        train_classifier,
+        train_classifier_py,
+    )
+
+    rng = random.Random(42)
+    good = [
+        "the quick brown fox jumps over the lazy dog",
+        "clear concise prose wins the day",
+        "well formed sentences carry structure and meaning",
+    ]
+    bad = [
+        "zzz qqq xxx kkk jjj",
+        "buy now click here spam spam spam",
+        "aaa aaa aaa aaa aaa aaa",
+    ]
+    rows = []
+    for i in range(100):
+        words = rng.choice(good if i % 2 == 0 else bad).split()
+        rng.shuffle(words)
+        rows.append(
+            (" ".join(words[: rng.randint(3, len(words))]), 1 - i % 2)
+        )
+    dim, iters = 64, 6
+    df = spark.createDataFrame(rows, "text string, label int")
+    w = train_classifier(df, dim=dim, iters=iters)
+    assert w == train_classifier_py(rows, dim=dim, iters=iters)
+    assert w == train_classifier(df.repartition(13), dim=dim, iters=iters)
+    assert any(w), "training moved no weight"
+
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in classifier_score(
+            spark.createDataFrame(
+                [(i, t) for i, (t, _) in enumerate(rows)],
+                "doc_id long, text string",
+            ),
+            w,
+        ).collect()
+    }
+    acc = sum(
+        (scored[i] > 0) == bool(y) for i, (_, y) in enumerate(rows)
+    ) / len(rows)
+    assert acc >= 0.9, acc
