@@ -33,6 +33,7 @@ Design points a 100 TB corpus forces:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -96,6 +97,18 @@ class CurationConfig:
     #: garbage/binary soup. None bounds = stage off.
     min_rarity: float | None = None
     max_rarity: float | None = None
+    #: opt-in MODEL quality gate: trained integer milli-weights for
+    #: operators/quality_model.classifier_score (e.g. fitted by
+    #: train_classifier — the train -> curate loop). When set, the
+    #: quality gate ADDITIONALLY requires a mean feature weight of at
+    #: least ``min_model_mean_milli``: ``score * 1000 >=
+    #: min_model_mean_milli * n_feats``, exact integer arithmetic so
+    #: the keep/drop decision is engine- and order-independent. The
+    #: model folds into the existing quality-signal scan (same single
+    #: pass, zero extra shuffle). None = stage off (the heuristic
+    #: gate alone, the oracle-graded default).
+    quality_model_weights: "Sequence[int] | None" = None
+    min_model_mean_milli: int = 0
     #: reliable CC checkpointing (None = auto-detect setCheckpointDir)
     reliable_checkpoint: bool | None = None
 
@@ -118,13 +131,17 @@ class TrainingDataCurator:
 
     def quality_signals(self, docs: DataFrame) -> DataFrame:
         """(doc_id, n_words, stopword_ratio, lexical_diversity) — the
-        same arithmetic as the oracle-checked text_metrics query."""
+        same arithmetic as the oracle-checked text_metrics query. With
+        ``quality_model_weights`` configured, the same single scan also
+        carries the classifier's (model_n_feats, model_score) — the
+        model rides the signal projection instead of costing a second
+        pass + join."""
         toks = _tokens()
         n_words = F.size(toks)
         sw = F.array([F.lit(w) for w in _STOPWORDS])
         n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-        return docs.select(
-            "doc_id",
+        cols = [
+            F.col("doc_id"),
             n_words.cast("long").alias("n_words"),
             (n_stop.cast("double") / n_words.cast("double")).alias(
                 "stopword_ratio"
@@ -133,6 +150,16 @@ class TrainingDataCurator:
                 F.size(F.array_distinct(toks)).cast("double")
                 / n_words.cast("double")
             ).alias("lexical_diversity"),
+        ]
+        if self.config.quality_model_weights is None:
+            return docs.select(*cols)
+        from ..operators.quality_model import score_expr
+
+        return docs.select(
+            *cols,
+            F.inline(F.array(score_expr(self.config.quality_model_weights))),
+        ).withColumnsRenamed(
+            {"n_feats": "model_n_feats", "score": "model_score"}
         )
 
     def quality_gate(
@@ -152,12 +179,19 @@ class TrainingDataCurator:
         # the doc from BOTH where(ok) and where(~ok) — it must land in
         # the quality-drop bucket so the decision record keeps its
         # one-row-per-input-doc invariant
-        ok = F.coalesce(
+        conj = (
             (F.col("n_words") >= cfg.min_words)
             & (F.col("stopword_ratio") <= cfg.max_stopword_ratio)
-            & (F.col("lexical_diversity") >= cfg.min_lexical_diversity),
-            F.lit(False),
+            & (F.col("lexical_diversity") >= cfg.min_lexical_diversity)
         )
+        if cfg.quality_model_weights is not None:
+            # mean feature weight >= threshold, kept in exact integer
+            # arithmetic: score * 1000 >= thr * n_feats
+            conj = conj & (
+                F.col("model_score") * F.lit(1000)
+                >= F.lit(int(cfg.min_model_mean_milli)) * F.col("model_n_feats")
+            )
+        ok = F.coalesce(conj, F.lit(False))
         flagged = sig.select("doc_id", ok.alias("q_ok"))
         if cleanup is not None:
             flagged = flagged.persist()

@@ -77,6 +77,43 @@ def _feature_id(gram: Column, dim: int) -> Column:
     return h48 % dim
 
 
+def score_expr(
+    weights: Sequence[int], ngram_max: int = 2, text_col: str = "text"
+) -> Column:
+    """The scoring expression behind :func:`classifier_score` as a
+    reusable ``struct(n_feats, score)`` Column, for callers that fold
+    model inference into an existing per-row scan (e.g. the curator's
+    quality gate) instead of paying a join against a separate scored
+    frame. Consume it through ONE generator (``F.inline(F.array(e))``)
+    or one struct reference — reading two fields off two copies of the
+    expression duplicates the whole tree (no CSE in interpreted
+    higher-order expressions)."""
+    dim = len(weights)
+    wl = F.array(*[F.lit(int(w)) for w in weights])
+
+    def ngrams_of(t: Column) -> Column:
+        arrs = [t] + [_word_ngrams(t, n) for n in range(2, ngram_max + 1)]
+        return F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+
+    def scored(b: Column) -> Column:
+        return F.transform(
+            F.array(ngrams_of(b["t"])),
+            lambda g: F.struct(
+                F.size(g).cast("long").alias("n_feats"),
+                F.aggregate(
+                    g,
+                    F.lit(0).cast("long"),
+                    lambda acc, gr: acc
+                    + F.element_at(b["w"], (_feature_id(gr, dim) + 1).cast("int")),
+                ).alias("score"),
+            ),
+        )[0]
+
+    return F.transform(
+        F.array(F.struct(_toks(text_col).alias("t"), wl.alias("w"))), scored
+    )[0]
+
+
 def classifier_score(
     docs: DataFrame,
     weights: Sequence[int],
@@ -104,30 +141,7 @@ def classifier_score(
     (measured: ~4.5 s extra at sf0.1 for dim=512 — the bug this
     binding avoids); as a lambda variable it is constructed once per
     row and the inner lookup just indexes it."""
-    dim = len(weights)
-    wl = F.array(*[F.lit(int(w)) for w in weights])
-
-    def ngrams_of(t: Column) -> Column:
-        arrs = [t] + [_word_ngrams(t, n) for n in range(2, ngram_max + 1)]
-        return F.concat(*arrs) if len(arrs) > 1 else arrs[0]
-
-    def scored(b: Column) -> Column:
-        return F.transform(
-            F.array(ngrams_of(b["t"])),
-            lambda g: F.struct(
-                F.size(g).cast("long").alias("n_feats"),
-                F.aggregate(
-                    g,
-                    F.lit(0).cast("long"),
-                    lambda acc, gr: acc
-                    + F.element_at(b["w"], (_feature_id(gr, dim) + 1).cast("int")),
-                ).alias("score"),
-            ),
-        )[0]
-
-    bound = F.transform(
-        F.array(F.struct(_toks(text_col).alias("t"), wl.alias("w"))), scored
-    )[0]
+    bound = score_expr(weights, ngram_max=ngram_max, text_col=text_col)
     return docs.select(F.col(id_col), F.inline(F.array(bound)))
 
 

@@ -732,6 +732,50 @@ def test_curator_rarity_band_stage(spark):
     assert {r["doc_id"] for r in kept2.collect()} == set(range(1, 8))
 
 
+def test_curator_model_quality_gate(spark):
+    """Opt-in model gate: with trained/planted classifier weights in
+    the config, docs whose mean feature weight falls below
+    min_model_mean_milli drop with reason quality, in the SAME scan as
+    the heuristic signals; the expected drop set is derived from the
+    pure-Python scorer (no magic constants), and the stage is off by
+    default."""
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        REASON_QUALITY,
+        CurationConfig,
+        TrainingDataCurator,
+    )
+    from kcbdml9_big_data_processing_spark.operators.quality_model import (
+        classifier_score_py,
+        default_weights,
+    )
+
+    # distinct-token docs: all pass the heuristic gate, none are dups
+    rows = [
+        (i, " ".join(f"d{i}tok{j}" for j in range(10))) for i in range(1, 9)
+    ]
+    w = default_weights(32)
+    scored = {d: classifier_score_py(t, w) for d, t in rows}  # (n, score)
+    vals = sorted(s * 1000 / n for n, s in scored.values())
+    thr = int((vals[3] + vals[4]) / 2)  # split the corpus in half
+    # exact-integer gate semantics: drop iff score*1000 < thr*n_feats
+    expect_drop = {d for d, (n, s) in scored.items() if s * 1000 < thr * n}
+    assert 0 < len(expect_drop) < len(rows)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(
+        quality_model_weights=w, min_model_mean_milli=thr
+    )
+    kept, decisions = TrainingDataCurator(cfg).run(docs)
+    by_reason = {r["doc_id"]: r["reason"] for r in decisions.collect()}
+    assert {d for d, r in by_reason.items() if r == REASON_QUALITY} == expect_drop
+    assert {r["doc_id"] for r in kept.collect()} == set(scored) - expect_drop
+    assert len(by_reason) == len(rows)
+
+    # off by default: everything passes the heuristic-only gate
+    kept2, _ = TrainingDataCurator(CurationConfig()).run(docs)
+    assert {r["doc_id"] for r in kept2.collect()} == set(scored)
+
+
 def test_remove_repeated_spans_known_answer(spark):
     """Positional semantics of the span-removal transform: a 20-token
     run shared by two docs removes exactly the covered tokens from
