@@ -449,11 +449,33 @@ def main() -> None:
 
         return classifier_score(corpus, default_weights(512)), []
 
+    def classifier_train_op(corpus):
+        from pyspark.sql import functions as F
+
+        from kcbdml9_big_data_processing_spark.operators.quality_model import (
+            train_classifier,
+        )
+
+        # one gradient pass with synthetic parity labels — the probe
+        # measures per-pass COST vs corpus size (pass count is a fixed
+        # multiplier); lr_den pinned so no extra count() job runs
+        labeled = corpus.withColumn("label", (F.col("doc_id") % 2).cast("int"))
+        w = train_classifier(labeled, dim=256, iters=1, lr_den=1 << 40)
+        return (
+            corpus.sparkSession.createDataFrame([(sum(w),)], "wsum long"),
+            [],
+        )
+
     OPS = {
         "exact_dedup": docs_op(lambda c: (exact_dedup(c), [])),
         # pure per-row projection (hash + literal-vector lookup), no
         # shuffle — the guard is exactly-linear scan cost
         "quality_clf": docs_op(quality_clf_op),
+        # per pass: one scan + a dim-key map-side-combined shuffle +
+        # a dim-row collect — the guard is ~linear scan cost; anything
+        # super-linear would mean the gradient shuffle grows with the
+        # corpus instead of with dim
+        "classifier_train": docs_op(classifier_train_op),
         # every inflated layer carries an exact copy + a near-dup, so
         # repeated spans abound at constant rate; detection is one
         # fingerprint aggregation + semi-join, removal is per-row —
