@@ -26,6 +26,16 @@ stats).
 ``--where`` filters the input table (documents for ngram, embeddings
 otherwise) — e.g. build over ``doc_id % 2 = 0`` then search the
 odd half against it.
+
+The quality-classifier trainer is driveable too (r10):
+
+    python -m kcbdml9_big_data_processing_spark train
+        (--labels PARQUET | --label-expr SQL [--sf DIR])
+        [--dim N] [--iters N] [--lr-num N] [--out weights.json]
+
+writing the fitted integer milli-weights as a JSON list — the
+artifact classifier_score and CurationConfig.quality_model_weights
+consume.
 """
 
 from __future__ import annotations
@@ -252,11 +262,86 @@ def _index_stats(spark, family: str, path: str) -> int:
     return 0
 
 
+def _train_main(argv: list[str], spark=None) -> int:
+    """``train``: fit quality-classifier weights from labeled text and
+    write them as a JSON int list — the artifact
+    :func:`operators.quality_model.classifier_score` and
+    ``CurationConfig.quality_model_weights`` consume. Labels come from
+    a parquet of (text, label) rows (``--labels``), or from the
+    testdata documents table with a SQL ``--label-expr`` (the
+    seed-label bootstrap: label a slice by rule or by joined human
+    labels, fit, then serve)."""
+    ap = argparse.ArgumentParser(prog="kcbdml9-spark train")
+    ap.add_argument(
+        "--labels", default=None, help="parquet path with (text, label) rows"
+    )
+    ap.add_argument("--sf", default="/root/testdata/sf0.01", help="testdata dir")
+    ap.add_argument(
+        "--label-expr",
+        default=None,
+        help="SQL expression over the documents table yielding the 0/1 "
+        "label (used when --labels is not given)",
+    )
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--label-col", default="label")
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--lr-num", type=int, default=1 << 12)
+    ap.add_argument(
+        "--out", default=None, help="write weights JSON here (default stdout)"
+    )
+    args = ap.parse_args(argv)
+    if args.labels is None and args.label_expr is None:
+        print("train: need --labels or --label-expr", file=sys.stderr)
+        return 2
+
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .operators.quality_model import train_classifier
+    from .sources.parquet import read_table
+
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="kcbdml9-train")
+    try:
+        if args.labels is not None:
+            df = spark.read.parquet(args.labels)
+        else:
+            df = read_table(spark, args.sf, "documents").withColumn(
+                args.label_col, F.expr(args.label_expr).cast("int")
+            )
+        w = train_classifier(
+            df,
+            label_col=args.label_col,
+            dim=args.dim,
+            iters=args.iters,
+            lr_num=args.lr_num,
+            text_col=args.text_col,
+        )
+        payload = json.dumps(w)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(payload)
+            print(f"wrote {args.out}")
+        else:
+            print(payload)
+    finally:
+        if own_session:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "index":
         return _index_main(argv[1:])
+    if argv and argv[0] == "train":
+        return _train_main(argv[1:])
     ap = argparse.ArgumentParser(prog="kcbdml9-spark")
     ap.add_argument("query", nargs="?", help="registered query name")
     ap.add_argument("--sf", default="/root/testdata/sf0.01", help="testdata dir")

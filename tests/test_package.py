@@ -168,3 +168,45 @@ def test_cli_index_lifecycle(spark, tmp_path):
         ["compact", "--family", "semantic", "--sf", sf, "--index-dir", sem],
         spark=spark,
     ) == 2
+
+
+def test_cli_train_writes_consumable_weights(spark, tmp_path):
+    """The train subcommand fits classifier weights from a label
+    expression over the documents table and writes the JSON artifact
+    classifier_score consumes; the CLI run must reproduce a direct
+    train_classifier call bit-for-bit (the trainer is deterministic,
+    so the shell artifact IS the library result)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.__main__ import _train_main
+    from kcbdml9_big_data_processing_spark.operators.quality_model import (
+        classifier_score,
+        train_classifier,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "weights.json")
+    expr = "n_chars > 200"
+    assert _train_main(
+        [
+            "--sf", sf, "--label-expr", expr,
+            "--dim", "64", "--iters", "2", "--out", out,
+        ],
+        spark=spark,
+    ) == 0
+    with open(out) as f:
+        w = json.load(f)
+    assert len(w) == 64 and all(isinstance(x, int) for x in w)
+
+    docs = read_table(spark, sf, "documents")
+    direct = train_classifier(
+        docs.withColumn("label", F.expr(expr).cast("int")),
+        dim=64,
+        iters=2,
+    )
+    assert w == direct
+    # and the artifact serves: scoring runs with the loaded weights
+    assert classifier_score(docs.limit(5), w).count() == 5
