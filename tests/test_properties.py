@@ -193,3 +193,28 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(i, find(i)) for i in range(n_nodes)}
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_doc, st.integers(min_value=0, max_value=1)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@_settings
+def test_train_classifier_bit_matches_twin_on_arbitrary_corpora(spark, rows):
+    """One gradient pass of the distributed trainer on ARBITRARY
+    (text, label) corpora produces the IDENTICAL integer weight list
+    as the pure-Python twin — the fixed-point quantize-before-
+    aggregate design makes the whole trajectory exact, so the property
+    is equality, not tolerance (heavy token repeats, all-one-label,
+    and single-token docs included)."""
+    from kcbdml9_big_data_processing_spark.operators.quality_model import (
+        train_classifier,
+        train_classifier_py,
+    )
+
+    df = spark.createDataFrame(rows, "text string, label int")
+    got = train_classifier(df, dim=16, iters=1, lr_num=1 << 16)
+    assert got == train_classifier_py(rows, dim=16, iters=1, lr_num=1 << 16)
