@@ -1,0 +1,117 @@
+"""Corpus ingestion (sources/corpus.py): raw text dirs and JSON-lines
+land in the exact documents schema, ids are stable and portable,
+malformed JSONL lines are quarantined (not silently dropped), and the
+ingested frame feeds the engine end to end."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from kcbdml9_big_data_processing_spark.sources.corpus import (
+    DOCUMENTS_SCHEMA,
+    ingest_jsonl,
+    ingest_text_dir,
+)
+
+
+def _h48_py(s: str) -> int:
+    return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def test_ingest_text_dir_one_doc_per_file(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    contents = {
+        "a.txt": "alpha bravo charlie",
+        "b.txt": "multi\nline\ndocument here",
+    }
+    for name, body in contents.items():
+        (d / name).write_text(body)
+    # zero-byte files carry no document: Spark's text source emits no
+    # row for them (pinned here so the behavior is a contract)
+    (d / "empty.txt").write_text("")
+
+    docs = ingest_text_dir(spark, str(d))
+    # same names and types (nullability metadata differs: the file
+    # path and length are provably non-null, which is strictly better)
+    assert [(f.name, f.dataType) for f in docs.schema] == [
+        (f.name, f.dataType) for f in DOCUMENTS_SCHEMA
+    ]
+    rows = {r["source"].rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert set(rows) == set(contents)
+    for name, body in contents.items():
+        r = rows[name]
+        assert r["text"] == body
+        assert r["n_chars"] == len(body)
+        assert r["lang"] is None
+        # portable id: 48-bit sha256 of the full source path
+        assert r["doc_id"] == _h48_py(r["source"])
+    # stable across re-ingestion
+    again = {r["doc_id"] for r in ingest_text_dir(spark, str(d)).collect()}
+    assert again == {r["doc_id"] for r in rows.values()}
+
+
+def test_ingest_jsonl_policy_and_quarantine(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        # fully specified
+        json.dumps(
+            {
+                "doc_id": 7,
+                "text": "alpha bravo",
+                "lang": "en",
+                "source": "s1",
+                "n_chars": 11,
+            }
+        ),
+        # minimal: doc_id/n_chars derived, lang/source null
+        json.dumps({"text": "charlie delta echo"}),
+        # malformed JSON -> quarantined verbatim
+        '{"text": "broken',
+        # parses but has no text -> quarantined with its own reason
+        json.dumps({"source": "s2"}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+
+    cleanup = []
+    docs, rejects = ingest_jsonl(spark, str(p), cleanup=cleanup)
+    assert docs.schema == DOCUMENTS_SCHEMA
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert got[7]["lang"] == "en" and got[7]["n_chars"] == 11
+    derived = _h48_py("charlie delta echo")
+    assert got[derived]["n_chars"] == len("charlie delta echo")
+    assert got[derived]["source"] is None
+    assert len(got) == 2
+
+    rej = {r["reason"]: r["raw"] for r in rejects.collect()}
+    assert rej["malformed"] == '{"text": "broken'
+    assert "s2" in rej["missing_text"]
+    assert rejects.count() == 2
+    for f in cleanup:
+        f.unpersist()
+
+
+def test_ingested_corpus_feeds_the_engine(spark, tmp_path):
+    """The ingested frame IS a documents table: the curator and the
+    quality classifier run on it unchanged."""
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        TrainingDataCurator,
+    )
+    from kcbdml9_big_data_processing_spark.operators.quality_model import (
+        classifier_score,
+        default_weights,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    (d / "one.txt").write_text(body)
+    (d / "two.txt").write_text(body)  # exact duplicate content
+    (d / "three.txt").write_text("an entirely different document with words")
+
+    docs = ingest_text_dir(spark, str(d))
+    kept, decisions = TrainingDataCurator().run(docs)
+    reasons = sorted(r["reason"] for r in decisions.collect())
+    assert reasons == ["exact_dup", "kept", "kept"]
+    assert classifier_score(docs, default_weights(32)).count() == 3
