@@ -35,7 +35,11 @@ The quality-classifier trainer is driveable too (r10):
 
 writing the fitted integer milli-weights as a JSON list — the
 artifact classifier_score and CurationConfig.quality_model_weights
-consume.
+consume. And raw corpora land from the shell (r10):
+
+    python -m kcbdml9_big_data_processing_spark ingest
+        (--text-dir DIR | --jsonl PATH) --out DOCS_PARQUET
+        [--rejects-out PATH]
 """
 
 from __future__ import annotations
@@ -335,6 +339,49 @@ def _train_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def _ingest_main(argv: list[str], spark=None) -> int:
+    """``ingest``: land a raw corpus (text-file dir or JSON-lines) as
+    a documents-schema parquet table, with JSONL rejects quarantined
+    to their own path — the shell front door to sources/corpus.py."""
+    ap = argparse.ArgumentParser(prog="kcbdml9-spark ingest")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--text-dir", help="directory of raw text files (one doc per file)")
+    src.add_argument("--jsonl", help="JSON-lines path/glob")
+    ap.add_argument("--out", required=True, help="documents parquet output path")
+    ap.add_argument(
+        "--rejects-out",
+        default=None,
+        help="parquet path for quarantined JSONL lines (default <out>_rejects)",
+    )
+    args = ap.parse_args(argv)
+
+    from .sources.corpus import ingest_jsonl, ingest_text_dir
+
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="kcbdml9-ingest")
+    try:
+        if args.text_dir:
+            docs = ingest_text_dir(spark, args.text_dir)
+            docs.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        else:
+            cleanup: list = []
+            docs, rejects = ingest_jsonl(spark, args.jsonl, cleanup=cleanup)
+            docs.write.mode("overwrite").parquet(args.out)
+            rej_path = args.rejects_out or f"{args.out}_rejects"
+            rejects.write.mode("overwrite").parquet(rej_path)
+            for f in cleanup:
+                f.unpersist()
+            print(f"wrote {args.out} (rejects: {rej_path})")
+    finally:
+        if own_session:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -342,6 +389,8 @@ def main(argv: list[str] | None = None) -> int:
         return _index_main(argv[1:])
     if argv and argv[0] == "train":
         return _train_main(argv[1:])
+    if argv and argv[0] == "ingest":
+        return _ingest_main(argv[1:])
     ap = argparse.ArgumentParser(prog="kcbdml9-spark")
     ap.add_argument("query", nargs="?", help="registered query name")
     ap.add_argument("--sf", default="/root/testdata/sf0.01", help="testdata dir")

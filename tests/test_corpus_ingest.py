@@ -115,3 +115,24 @@ def test_ingested_corpus_feeds_the_engine(spark, tmp_path):
     reasons = sorted(r["reason"] for r in decisions.collect())
     assert reasons == ["exact_dup", "kept", "kept"]
     assert classifier_score(docs, default_weights(32)).count() == 3
+
+
+def test_cli_ingest_lands_docs_and_rejects(spark, tmp_path):
+    """The ingest subcommand writes the documents parquet (text-dir
+    mode) and the (docs, rejects) pair (jsonl mode) from the shell."""
+    from kcbdml9_big_data_processing_spark.__main__ import _ingest_main
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha bravo charlie")
+    out = str(tmp_path / "docs")
+    assert _ingest_main(["--text-dir", str(d), "--out", out], spark=spark) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 1 and "doc_id" in got.columns
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(json.dumps({"text": "delta echo"}) + "\n" + '{"broken\n')
+    out2 = str(tmp_path / "docs2")
+    assert _ingest_main(["--jsonl", str(p), "--out", out2], spark=spark) == 0
+    assert spark.read.parquet(out2).count() == 1
+    assert spark.read.parquet(out2 + "_rejects").count() == 1
