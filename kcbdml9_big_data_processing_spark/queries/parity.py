@@ -14,7 +14,6 @@ hashes match bit-for-bit.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +26,7 @@ from ..operators.quota import quota_violations
 from ..schemas import EVENT_PROPS_SCHEMA
 from ..sinks.parquet import write_partitioned_archive
 from ..sources.parquet import read_partitioned_archive, read_table
+from ..tmpdirs import scratch_dir
 from .registry import register
 
 HOUR = 3600
@@ -312,7 +312,7 @@ def archive_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     opens non-matching files (asserted via PartitionFilters in tests)."""
     ev = read_table(spark, sf_dir, "events")
     first_day = ev.agg(F.min("ts").alias("m")).first()["m"]
-    path = tempfile.mkdtemp(prefix="kcbdml9_archive_") + "/events_archive"
+    path = scratch_dir("archive_") + "/events_archive"
     write_partitioned_archive(ev, path, ts_col="ts", mode="overwrite")
     df = read_partitioned_archive(spark, path)
     df = df.where(

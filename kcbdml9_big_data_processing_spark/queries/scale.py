@@ -10,7 +10,6 @@ JdbcProvisioner.scala:30-49); both operators are north-star extensions.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import DEFAULT_SCALE, dsum_sql
 from ..operators.skew import salted_aggregate
 from ..sinks.bucketed import write_join_ready_pair
+from ..tmpdirs import scratch_dir
 from ..sources.parquet import read_table
 from .registry import register
 
@@ -93,7 +93,7 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    base = tempfile.mkdtemp(prefix="kcbdml9_bucketed_")
+    base = scratch_dir("bucketed_")
     ob, cb = write_join_ready_pair(
         spark,
         orders,

@@ -19,7 +19,6 @@ if source reads dominate.
 from __future__ import annotations
 
 import os
-import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,7 +55,14 @@ class StreamingJobConfig:
 
     def __post_init__(self) -> None:
         if self.checkpoint_root is None:
-            self.checkpoint_root = tempfile.mkdtemp(prefix="kcbdml9-ckpt-")
+            # under the process scratch root (tmpdirs), so ad-hoc/test
+            # checkpoints are reclaimed at exit instead of leaking one
+            # /tmp dir per run (the ADVICE-r6 leak class; a default
+            # checkpoint is per-process by definition — durability
+            # across restarts requires pinning a path anyway)
+            from ..tmpdirs import scratch_dir
+
+            self.checkpoint_root = scratch_dir("ckpt-")
 
 
 class StreamingJob:
