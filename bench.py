@@ -135,6 +135,30 @@ def main() -> None:
             failed.append(name)
 
     total = round(sum(t for t in times.values() if t is not None), 3)
+    # host-speed calibration: two fixed JVM jobs (no IO, no Python,
+    # constant plans) timed median-of-3 AFTER the sweep. This sandbox
+    # has host-level noisy-neighbor windows that inflate whole sweeps
+    # up to ~60% with the guest idle (r10, ROUND_NOTES.md); the
+    # constant-work rows make window speed visible IN the record, so
+    # totals from different windows compare as ratios-to-calibration
+    # instead of raw seconds. Two probes because the two failure
+    # modes differ: cpu = bulk whole-stage-codegen throughput
+    # (2e9-row sum), sched = per-task scheduling/dispatch floor
+    # (320 near-empty tasks) — the streaming-heavy rows track sched.
+    def _calib(df_maker):
+        s = []
+        for _ in range(3):
+            t0 = time.time()
+            df_maker().collect()
+            s.append(round(time.time() - t0, 3))
+        return sorted(s)[1], s
+
+    calib_cpu, calib_cpu_samples = _calib(
+        lambda: spark.range(2_000_000_000).selectExpr("sum(id * 3 + 1) AS s")
+    )
+    calib_sched, calib_sched_samples = _calib(
+        lambda: spark.range(0, 320, 1, 320).selectExpr("count(1) AS n")
+    )
     payload = {
         "metric": "all_queries_total",
         "value": total,
@@ -144,6 +168,10 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
         "aggregation": "median",
+        "calib_cpu_sec": calib_cpu,
+        "calib_cpu_samples": calib_cpu_samples,
+        "calib_sched_sec": calib_sched,
+        "calib_sched_samples": calib_sched_samples,
         "regressions": _regressions(times),
     }
     # sidecar record the driver can't truncate: BENCH_r03.json lost its
