@@ -59,6 +59,21 @@ def _h48_py(s: str) -> int:
     return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:12], 16)
 
 
+def _toks_py(text: str) -> list[str]:
+    """EXACT Python mirror of the engine tokenizer
+    ``split(trim(text), '\\s+')``: Spark's ``trim`` removes only
+    U+0020 spaces, and Java's ``\\s`` is the ASCII class
+    ``[ \\t\\n\\x0b\\f\\r]`` — so a leading tab yields a leading ''
+    token and NBSP is not whitespace. Python's ``str.strip()`` /
+    ``re`` ``\\s`` are Unicode-wide and DIVERGE on exactly those
+    inputs (a bit-equality twin using them is wrong on any text with
+    non-space whitespace); every *_py twin in this module must
+    tokenize through here."""
+    import re
+
+    return re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))
+
+
 def default_weights(dim: int, lo: int = -1000, hi: int = 1000, salt: str = "w") -> list[int]:
     """Deterministic integer milli-weights in [lo, hi] derived from the
     feature index — a reproducible stand-in for trained weights (both
@@ -214,20 +229,24 @@ def train_classifier(
         wl = F.array(*[F.lit(int(x)) for x in w])
 
         def scored(b: Column) -> Column:
-            g = ngrams_of(b["t"])
+            # hash each n-gram to its feature id ONCE and bind the id
+            # array (sha256 per gram is the dominant per-row cost —
+            # re-deriving ids after the explode would pay it twice and
+            # shuffle full gram strings instead of ints)
+            fids = F.transform(
+                ngrams_of(b["t"]),
+                lambda gr: (_feature_id(gr, dim)).cast("int"),
+            )
             return F.transform(
-                F.array(g),
-                lambda grams: F.struct(
-                    F.size(grams).cast("long").alias("n"),
+                F.array(fids),
+                lambda fa: F.struct(
+                    F.size(fa).cast("long").alias("n"),
                     F.aggregate(
-                        grams,
+                        fa,
                         F.lit(0).cast("long"),
-                        lambda acc, gr: acc
-                        + F.element_at(
-                            b["w"], (_feature_id(gr, dim) + 1).cast("int")
-                        ),
+                        lambda acc, fid: acc + F.element_at(b["w"], fid + 1),
                     ).alias("score"),
-                    grams.alias("grams"),
+                    fa.alias("fids"),
                 ),
             )[0]
 
@@ -241,8 +260,7 @@ def train_classifier(
             r["fid"]: r["grad"]
             for r in (
                 base.select("y", F.inline(F.array(bound)))
-                .select(rq.alias("rq"), F.explode("grams").alias("g"))
-                .select("rq", _feature_id(F.col("g"), dim).alias("fid"))
+                .select(rq.alias("rq"), F.explode("fids").alias("fid"))
                 .groupBy("fid")
                 .agg(F.sum("rq").alias("grad"))
                 .collect()
@@ -269,14 +287,13 @@ def train_classifier_py(
     (text, label) rows it must produce the same exact integer weight
     trajectory."""
     import math
-    import re
 
     if lr_den is None:
         lr_den = _RESID_Q * max(len(rows), 1)
     w = [0] * dim if init is None else [int(x) for x in init]
     docs = []
     for text, y in rows:
-        toks = re.split(r"\s+", text.strip())
+        toks = _toks_py(text)
         grams = list(toks)
         for n in range(2, ngram_max + 1):
             upper = max(len(toks) - (n - 1), 1)
@@ -302,9 +319,7 @@ def classifier_score_py(
     differential tests: returns (n_feats, score) with the identical
     tokenization, truncated-slice n-gram boundary, hash, and weight
     lookup."""
-    import re
-
-    toks = re.split(r"\s+", text.strip())
+    toks = _toks_py(text)
     grams = list(toks)
     for n in range(2, ngram_max + 1):
         upper = max(len(toks) - (n - 1), 1)

@@ -1386,7 +1386,17 @@ def test_classifier_score_differential_fuzz(spark):
         (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
         for i in range(60)
     ]
-    rows += [(1000, "single"), (1001, "  padded   runs  of   spaces  ")]
+    rows += [
+        (1000, "single"),
+        (1001, "  padded   runs  of   spaces  "),
+        # non-space whitespace: the engine tokenizer is space-only
+        # trim + ASCII \s (a leading tab yields a leading '' token,
+        # NBSP is not whitespace) and the twin must mirror it
+        (1002, "\tleading tab"),
+        (1003, "line\nbreaks\rand\x0bvt"),
+        (1004, "nbsp\xa0stays one-token"),
+        (1005, "trailing tab\t"),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r["doc_id"]: (r["n_feats"], r["score"])

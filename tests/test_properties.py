@@ -195,9 +195,20 @@ def test_connected_components_match_union_find(spark, edges):
     assert got == want
 
 
+#: hostile-whitespace text: tabs/newlines/CR/VT/NBSP interleaved with
+#: words — exactly the inputs where a naive Python twin (Unicode
+#: strip/\s) diverges from the engine tokenizer (space-only trim +
+#: ASCII \s)
+_hostile_doc = st.lists(
+    st.sampled_from(["alpha", "beta", "g9", "\t", "\n", "\r", "\x0b", "\xa0", " ", ""]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
 @given(
     rows=st.lists(
-        st.tuples(_doc, st.integers(min_value=0, max_value=1)),
+        st.tuples(_hostile_doc, st.integers(min_value=0, max_value=1)),
         min_size=1,
         max_size=10,
     ),
@@ -208,8 +219,11 @@ def test_train_classifier_bit_matches_twin_on_arbitrary_corpora(spark, rows):
     (text, label) corpora produces the IDENTICAL integer weight list
     as the pure-Python twin — the fixed-point quantize-before-
     aggregate design makes the whole trajectory exact, so the property
-    is equality, not tolerance (heavy token repeats, all-one-label,
-    and single-token docs included)."""
+    is equality, not tolerance. The alphabet interleaves tabs,
+    newlines, CR, VT, NBSP, empty strings, and padded spaces: the
+    engine tokenizer is space-only trim + ASCII \\s, and the twin must
+    mirror it exactly (_toks_py) — a Unicode-wide strip()/re \\s twin
+    fails this property on the first tab."""
     from kcbdml9_big_data_processing_spark.operators.quality_model import (
         train_classifier,
         train_classifier_py,
