@@ -146,12 +146,19 @@ def main() -> None:
     # (2e9-row sum), sched = per-task scheduling/dispatch floor
     # (320 near-empty tasks) — the streaming-heavy rows track sched.
     def _calib(df_maker):
+        # guarded: a throwing calibration (executor loss in exactly
+        # the noisy window calibration exists for) must not discard
+        # the sweep record the loop above just produced
         s = []
-        for _ in range(3):
-            t0 = time.time()
-            df_maker().collect()
-            s.append(round(time.time() - t0, 3))
-        return sorted(s)[1], s
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                df_maker().collect()
+                s.append(round(time.time() - t0, 3))
+            return sorted(s)[1], s
+        except Exception as e:
+            print(f"calibration error: {e}", file=sys.stderr)
+            return None, s
 
     calib_cpu, calib_cpu_samples = _calib(
         lambda: spark.range(2_000_000_000).selectExpr("sum(id * 3 + 1) AS s")

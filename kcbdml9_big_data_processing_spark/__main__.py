@@ -292,6 +292,13 @@ def _train_main(argv: list[str], spark=None) -> int:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--lr-num", type=int, default=1 << 12)
     ap.add_argument(
+        "--ngram-max",
+        type=int,
+        default=2,
+        help="n-gram order of the hashed features; serve the weights "
+        "with the SAME order (CurationConfig.quality_model_ngram_max)",
+    )
+    ap.add_argument(
         "--out", default=None, help="write weights JSON here (default stdout)"
     )
     args = ap.parse_args(argv)
@@ -324,6 +331,7 @@ def _train_main(argv: list[str], spark=None) -> int:
             dim=args.dim,
             iters=args.iters,
             lr_num=args.lr_num,
+            ngram_max=args.ngram_max,
             text_col=args.text_col,
         )
         payload = json.dumps(w)

@@ -109,6 +109,12 @@ class CurationConfig:
     #: gate alone, the oracle-graded default).
     quality_model_weights: "Sequence[int] | None" = None
     min_model_mean_milli: int = 0
+    #: n-gram order the weights were TRAINED with — must match
+    #: train_classifier's ngram_max or the gate scores over a
+    #: different feature distribution than the model was fitted on
+    #: (silently mis-calibrated, no error). Bundle this with the
+    #: weights artifact.
+    quality_model_ngram_max: int = 2
     #: reliable CC checkpointing (None = auto-detect setCheckpointDir)
     reliable_checkpoint: bool | None = None
 
@@ -157,7 +163,14 @@ class TrainingDataCurator:
 
         return docs.select(
             *cols,
-            F.inline(F.array(score_expr(self.config.quality_model_weights))),
+            F.inline(
+                F.array(
+                    score_expr(
+                        self.config.quality_model_weights,
+                        ngram_max=self.config.quality_model_ngram_max,
+                    )
+                )
+            ),
         ).withColumnsRenamed(
             {"n_feats": "model_n_feats", "score": "model_score"}
         )

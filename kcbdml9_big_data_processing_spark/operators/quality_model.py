@@ -85,11 +85,12 @@ def default_weights(dim: int, lo: int = -1000, hi: int = 1000, salt: str = "w") 
 
 def _feature_id(gram: Column, dim: int) -> Column:
     """Hashing-trick feature id in [0, dim): first 48 bits of sha256
-    of the n-gram string, mod the feature-space size — bit-identical
-    to the DuckDB formula in queries/curation (same recipe
-    operators/sampling.bucket_sql established)."""
-    h48 = F.conv(F.substring(F.sha2(gram, 256), 1, 12), 16, 10).cast("long")
-    return h48 % dim
+    of the n-gram string (the shared operators/sampling.h48 recipe),
+    mod the feature-space size — bit-identical to the DuckDB formula
+    in queries/curation."""
+    from .sampling import h48
+
+    return h48(gram) % dim
 
 
 def score_expr(

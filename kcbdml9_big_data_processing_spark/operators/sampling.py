@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 _RESOLUTION = 1_000_000
 
 
+def h48(col: Column) -> Column:
+    """First 48 bits of sha256 of a string column, as a positive long —
+    THE portable deterministic hash of this codebase (cross-engine:
+    DuckDB computes the identical value from the identical string;
+    48 bits keep conv() exact in a long). Single definition: the
+    bucket below, the classifier's feature hash
+    (operators/quality_model._feature_id), and corpus-ingestion ids
+    (sources/corpus.py) all route through here so the recipe cannot
+    drift."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 12), 16, 10).cast("long")
+
+
 def _bucket(id_col: str | Column, salt: str | None = None) -> Column:
     """Uniform bucket in [0, 1e6): first 48 bits of sha256 of the id,
     mod the resolution. 48 bits keep the conv() result positive-long
@@ -46,8 +58,7 @@ def _bucket(id_col: str | Column, salt: str | None = None) -> Column:
     id_str = col.cast("string")
     if salt is not None:
         id_str = F.concat(F.lit(f"{salt}:"), id_str)
-    h48 = F.conv(F.substring(F.sha2(id_str, 256), 1, 12), 16, 10).cast("long")
-    return F.pmod(h48, F.lit(_RESOLUTION))
+    return F.pmod(h48(id_str), F.lit(_RESOLUTION))
 
 
 def bucket_sql(id_expr: str, salt: str | None = None) -> str:

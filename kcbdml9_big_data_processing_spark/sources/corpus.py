@@ -41,9 +41,10 @@ _CORRUPT = "_corrupt_record"
 
 
 def _h48(col: Column) -> Column:
-    """First 48 bits of sha256 as a positive long — the portable id
-    hash (same formula as operators/sampling._bucket, unreduced)."""
-    return F.conv(F.substring(F.sha2(col, 256), 1, 12), 16, 10).cast("long")
+    """The shared portable id hash (operators/sampling.h48)."""
+    from ..operators.sampling import h48
+
+    return h48(col)
 
 
 def ingest_text_dir(spark: SparkSession, path: str) -> DataFrame:
@@ -75,58 +76,87 @@ def ingest_jsonl(
     path: str,
     cleanup: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """JSON-lines ingestion with an explicit malformed-record policy:
+    """JSON-lines ingestion with an explicit quarantine policy:
     returns ``(docs, rejects)`` where ``docs`` is ``documents``-shaped
-    and ``rejects`` carries each unparseable line verbatim for
-    quarantine (PERMISSIVE capture via ``columnNameOfCorruptRecord``
-    — at 100 TB silently dropping dirty lines is how a corpus loses
-    an unknown slice of itself; the reject frame makes the loss
-    measurable and re-driable).
+    with UNIQUE doc_ids, and ``rejects`` carries every excluded line
+    VERBATIM with a reason — at 100 TB silently dropping dirty lines
+    is how a corpus loses an unknown slice of itself; the reject frame
+    makes the loss measurable and re-driable. Reasons:
 
-    Field policy: ``text`` is required (a parsed line without it is a
-    reject); ``doc_id`` defaults to the 48-bit sha256 of the text,
-    ``n_chars`` to ``length(text)``; ``lang``/``source`` default null.
-    The schema is pinned, never inferred — inference is an extra full
-    scan and nondeterministic under dirty data.
+    - ``malformed``: the line is not a JSON object of the pinned
+      schema (schema is never inferred — inference is an extra full
+      scan and nondeterministic under dirty data);
+    - ``missing_text``: parses but has no ``text`` (the raw line is
+      preserved verbatim, unknown fields and all);
+    - ``duplicate_doc_id``: a second line landed on an id already
+      taken — identical repeated lines (crawl boilerplate) and
+      id collisions both surface here instead of breaking the
+      engine-wide doc_id-uniqueness invariant downstream (exact dedup
+      keys canonical choice on doc_id; duplicate ids would sail
+      through it). The survivor per id is chosen DETERMINISTICALLY
+      (min by (text, lang, source, n_chars, raw) — a total order, so
+      re-ingestion picks the same survivor under any partitioning).
 
-    Spark refuses to filter on the corrupt column of an un-materialized
-    scan (internal-column restriction), so the parsed frame is
-    persisted — one scan serves both outputs. Pass ``cleanup`` to
-    receive it for release (the repo's standard cache-handover
-    convention); without it the parse is materialized immediately and
-    stays cached until the caller clears it."""
+    Field policy: ``doc_id`` defaults to the 48-bit sha256 of the
+    text, ``n_chars`` to ``length(text)``; ``lang``/``source``
+    default null.
+
+    Mechanics: the file is read as raw text lines and parsed with
+    ``from_json`` — the raw line rides alongside the parse, so every
+    reject is byte-verbatim, and (unlike the json reader's internal
+    corrupt column) the result filters freely without a forced
+    persist. The uniqueness pass is one window shuffle on doc_id —
+    the honest price of an enforced invariant. ``docs`` and
+    ``rejects`` are lazy; a caller consuming BOTH can pass
+    ``cleanup`` to persist the shared parse for one scan (the repo's
+    cache-handover convention: the caller unpersists)."""
+    from pyspark.sql import Window
+
     schema = T.StructType(
         list(DOCUMENTS_SCHEMA) + [T.StructField(_CORRUPT, T.StringType())]
     )
-    parsed = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-        .json(path)
-        .persist()
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw"),
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("d"),
     )
-    bad_parse = F.col(_CORRUPT).isNotNull()
-    no_text = F.col("text").isNull()
-    docs = (
-        parsed.where(~bad_parse & ~no_text)
-        .select(
-            F.coalesce(F.col("doc_id"), _h48(F.col("text"))).alias("doc_id"),
-            "text",
-            "lang",
-            "source",
-            F.coalesce(F.col("n_chars"), F.length("text").cast("long")).alias(
-                "n_chars"
-            ),
-        )
-    )
-    rejects = parsed.where(bad_parse | no_text).select(
-        F.coalesce(F.col(_CORRUPT), F.to_json(F.struct("*"))).alias("raw"),
-        F.when(bad_parse, F.lit("malformed"))
-        .otherwise(F.lit("missing_text"))
-        .alias("reason"),
+    malformed = F.col("d").isNull() | F.col(f"d.{_CORRUPT}").isNotNull()
+    no_text = F.col("d.text").isNull()
+    flagged = parsed.select(
+        "raw",
+        F.when(malformed, F.lit("malformed"))
+        .when(no_text, F.lit("missing_text"))
+        .alias("bad"),
+        F.coalesce(F.col("d.doc_id"), _h48(F.col("d.text"))).alias("doc_id"),
+        F.col("d.text").alias("text"),
+        F.col("d.lang").alias("lang"),
+        F.col("d.source").alias("source"),
+        F.coalesce(F.col("d.n_chars"), F.length("d.text").cast("long")).alias(
+            "n_chars"
+        ),
     )
     if cleanup is not None:
-        cleanup.append(parsed)
-    else:
-        parsed.count()
+        flagged = flagged.persist()
+        cleanup.append(flagged)
+    w = Window.partitionBy("doc_id").orderBy(
+        "text", "lang", "source", "n_chars", "raw"
+    )
+    ranked = flagged.where(F.col("bad").isNull()).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    docs = ranked.where(F.col("rn") == 1).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    rejects = (
+        flagged.where(F.col("bad").isNotNull())
+        .select("raw", F.col("bad").alias("reason"))
+        .unionAll(
+            ranked.where(F.col("rn") > 1).select(
+                "raw", F.lit("duplicate_doc_id").alias("reason")
+            )
+        )
+    )
     return docs, rejects

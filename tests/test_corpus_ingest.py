@@ -54,6 +54,7 @@ def test_ingest_text_dir_one_doc_per_file(spark, tmp_path):
 
 def test_ingest_jsonl_policy_and_quarantine(spark, tmp_path):
     p = tmp_path / "corpus.jsonl"
+    dup_line = json.dumps({"text": "repeated boilerplate line"})
     lines = [
         # fully specified
         json.dumps(
@@ -69,8 +70,18 @@ def test_ingest_jsonl_policy_and_quarantine(spark, tmp_path):
         json.dumps({"text": "charlie delta echo"}),
         # malformed JSON -> quarantined verbatim
         '{"text": "broken',
-        # parses but has no text -> quarantined with its own reason
-        json.dumps({"source": "s2"}),
+        # parses but has no text -> quarantined VERBATIM, unknown
+        # fields preserved (the line must stay re-driable)
+        json.dumps({"source": "s2", "meta": {"keep": "me"}}),
+        # identical repeated lines (crawl boilerplate): ONE survives,
+        # the others quarantine as duplicate_doc_id — doc_id stays
+        # unique engine-wide instead of exact-dedup silently keeping
+        # both copies of the same id
+        dup_line,
+        dup_line,
+        # explicit id collision on a DIFFERENT text: deterministic
+        # survivor (min text), loser quarantined verbatim
+        json.dumps({"doc_id": 7, "text": "zzz later text"}),
     ]
     p.write_text("\n".join(lines) + "\n")
 
@@ -79,15 +90,27 @@ def test_ingest_jsonl_policy_and_quarantine(spark, tmp_path):
     assert docs.schema == DOCUMENTS_SCHEMA
     got = {r["doc_id"]: r for r in docs.collect()}
     assert got[7]["lang"] == "en" and got[7]["n_chars"] == 11
+    assert got[7]["text"] == "alpha bravo"  # min-text survivor
     derived = _h48_py("charlie delta echo")
     assert got[derived]["n_chars"] == len("charlie delta echo")
     assert got[derived]["source"] is None
-    assert len(got) == 2
+    dup_id = _h48_py("repeated boilerplate line")
+    assert dup_id in got
+    assert len(got) == 3
+    # doc_id uniqueness is the enforced invariant
+    assert docs.count() == docs.select("doc_id").distinct().count()
 
-    rej = {r["reason"]: r["raw"] for r in rejects.collect()}
-    assert rej["malformed"] == '{"text": "broken'
-    assert "s2" in rej["missing_text"]
-    assert rejects.count() == 2
+    rej = [(r["reason"], r["raw"]) for r in rejects.collect()]
+    by_reason: dict[str, list[str]] = {}
+    for reason, raw in rej:
+        by_reason.setdefault(reason, []).append(raw)
+    assert by_reason["malformed"] == ['{"text": "broken']
+    # verbatim: the unknown field survives in the quarantined line
+    assert "meta" in by_reason["missing_text"][0]
+    dups = sorted(by_reason["duplicate_doc_id"])
+    assert dup_line in dups
+    assert any("zzz later text" in r for r in dups)
+    assert len(rej) == 4
     for f in cleanup:
         f.unpersist()
 
