@@ -482,3 +482,159 @@ class TrainingDataCurator:
                 null_canon.alias("canonical_id"),
             ).unionAll(decisions)
         return n_kept, decisions
+
+    def run_incremental(
+        self,
+        batch: DataFrame,
+        archive: DataFrame,
+        dedup_index_path: str,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Curate an incoming batch against a previously-curated
+        archive WITHOUT re-pairing the archive — the daily-ingest
+        shape at 100 TB, where re-running run() over archive∪batch
+        would pay O(archive) every day for an O(batch) question.
+
+        Preconditions (the production contract):
+
+        - ``archive`` is the KEPT output of a previous :meth:`run`
+          (pairwise dup-free — run()'s own pinned invariant), carrying
+          (doc_id, text);
+        - the near-dup index at ``dedup_index_path`` was built
+          (queries.dedup.build_dedup_index) over exactly that archive
+          (extend it with each batch's kept docs afterwards);
+        - ids are monotonic: every archive doc_id precedes every
+          batch doc_id (the natural ingest order).
+
+        Under those, the batch's decision record EQUALS
+        ``run(archive ∪ batch)`` restricted to batch ids (pinned in
+        tests/test_pipeline.py): the kept archive contributes no
+        archive-archive pairs, so the index's batch-touching pairs ARE
+        the full pair set, and min-label canonicals agree because
+        archive ids are smaller. Archived docs are immutable here —
+        this path never revokes a previously-kept doc (with
+        non-monotonic ids a full run could prefer a batch doc as
+        canonical; the incremental path keeps the archive doc and
+        drops the batch copy instead).
+
+        Cost shape: quality gate is one batch scan; exact dedup
+        shuffles 32-byte hashes (batch grouped within itself, then a
+        hash join against the archive's hash->canonical map — content
+        never shuffles, nothing data-sized broadcasts); near-dup reads
+        the persisted postings pruned to the batch's shingle
+        vocabulary (the measured-flat dedup_vs_index series) and the
+        CC loop runs over batch-touching pairs only.
+
+        Span/rarity policies are corpus-statistics stages — configure
+        them on the periodic full run; this path raises if they are
+        set. The model quality gate (quality_model_weights) composes
+        fine: it is per-row."""
+        from ..queries.dedup import dedup_against_index
+
+        cfg = self.config
+        if (
+            cfg.max_repeated_spans is not None
+            or cfg.scrub_repeated_spans
+            or cfg.min_rarity is not None
+            or cfg.max_rarity is not None
+        ):
+            raise ValueError(
+                "span/rarity policies are full-corpus-statistics stages;"
+                " run_incremental supports the core quality -> exact ->"
+                " near path — apply policies on the periodic full run"
+            )
+        null_canon = F.lit(None).cast("long")
+        q_pass, q_fail = self.quality_gate(batch)
+
+        # exact: within-batch min-id canonical, then archive wins any
+        # hash it already holds (archive ids precede batch ids, so the
+        # archive canonical IS the full-run canonical)
+        norm = F.sha2(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
+        )
+        hashed = q_pass.withColumn("content_hash", norm)
+        arch_canon = (
+            archive.select(
+                norm.alias("content_hash"), F.col("doc_id").alias("arch_id")
+            )
+            .groupBy("content_hash")
+            .agg(F.min("arch_id").alias("archive_canonical"))
+        )
+        batch_canon = hashed.groupBy("content_hash").agg(
+            F.min("doc_id").alias("batch_canonical")
+        )
+        tagged = hashed.join(batch_canon, "content_hash").join(
+            arch_canon, "content_hash", "left"
+        )
+        e_kept = tagged.where(
+            F.col("archive_canonical").isNull()
+            & (F.col("doc_id") == F.col("batch_canonical"))
+        ).drop("content_hash", "batch_canonical", "archive_canonical")
+        e_dropped = tagged.where(
+            F.col("archive_canonical").isNotNull()
+            | (F.col("doc_id") != F.col("batch_canonical"))
+        ).select(
+            "doc_id",
+            F.coalesce("archive_canonical", "batch_canonical").alias(
+                "canonical_id"
+            ),
+        )
+
+        # near: batch-touching pairs from the persisted postings (the
+        # proven search == full-dedup-restricted contract), CC over
+        # exactly that pair set — archive nodes enter only if touched
+        pairs = dedup_against_index(
+            batch.sparkSession,
+            dedup_index_path,
+            e_kept.select("doc_id", "text"),
+            jaccard_min=cfg.jaccard_min,
+        ).select("doc_a", "doc_b")
+        touched = pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+        nodes = e_kept.select("doc_id").unionAll(touched).distinct()
+        labels = connected_components(
+            nodes, pairs, reliable_checkpoint=cfg.reliable_checkpoint
+        )
+        batch_labels = labels.join(
+            e_kept.select("doc_id"), "doc_id", "left_semi"
+        )
+        n_dropped = batch_labels.where(
+            F.col("doc_id") != F.col("canonical_id")
+        )
+        n_kept = e_kept.join(
+            batch_labels.where(
+                F.col("doc_id") == F.col("canonical_id")
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+        decisions = (
+            q_fail.select(
+                "doc_id",
+                F.lit(REASON_QUALITY).alias("reason"),
+                null_canon.alias("canonical_id"),
+            )
+            .unionAll(
+                e_dropped.select(
+                    "doc_id",
+                    F.lit(REASON_EXACT_DUP).alias("reason"),
+                    "canonical_id",
+                )
+            )
+            .unionAll(
+                n_dropped.select(
+                    "doc_id",
+                    F.lit(REASON_NEAR_DUP).alias("reason"),
+                    "canonical_id",
+                )
+            )
+            .unionAll(
+                n_kept.select(
+                    "doc_id",
+                    F.lit(REASON_KEPT).alias("reason"),
+                    null_canon.alias("canonical_id"),
+                )
+            )
+        )
+        return n_kept, decisions

@@ -947,3 +947,85 @@ def test_remove_repeated_spans_differential_fuzz(spark):
             for r in remove_repeated_spans(df, span_tokens=k).collect()
         }
         assert got == reference(corpus, k), f"trial={trial} k={k}"
+
+
+def test_run_incremental_equals_full_run_restricted_to_batch(spark, tmp_path):
+    """The daily-ingest path: curate a batch against the kept archive
+    + its persisted near-dup index, WITHOUT re-pairing the archive.
+    Under the documented preconditions (archive = a previous run()'s
+    kept set, index built over it, archive ids precede batch ids) the
+    batch's decision record must EQUAL run(archive ∪ batch) restricted
+    to batch ids — reason AND canonical, row for row."""
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    # raw archive with its own dups so run() does real work
+    raw_archive = spark.createDataFrame(
+        [
+            (1, words("a1")),
+            (2, words("a1")),  # exact dup of 1
+            (3, " ".join(words("a4").split()[:-1])),  # near-dup of 4
+            (4, words("a4")),
+            (5, words("a5")),
+        ],
+        "doc_id long, text string",
+    )
+    curator = TrainingDataCurator()
+    kept_archive, _ = curator.run(raw_archive)
+    kept_archive = kept_archive.persist()
+    assert sorted(r["doc_id"] for r in kept_archive.collect()) == [1, 3, 5]
+
+    idx = str(tmp_path / "inc_idx")
+    build_dedup_index(kept_archive, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (101, words("b101")),  # genuinely new
+            (102, words("a5")),  # exact redelivery of archived 5
+            (103, " ".join(words("a1").split()[:-1])),  # near-dup of arch 1
+            (104, words("b104")),
+            (105, words("b104")),  # exact dup within batch
+            (106, " ".join(words("b101").split()[:-1])),  # near-dup of 101
+            (107, "tiny junk"),  # quality drop
+        ],
+        "doc_id long, text string",
+    )
+
+    inc_kept, inc_dec = curator.run_incremental(batch, kept_archive, idx)
+    got_dec = {
+        r["doc_id"]: (r["reason"], r["canonical_id"]) for r in inc_dec.collect()
+    }
+
+    full_kept, full_dec = curator.run(kept_archive.unionAll(batch))
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    want_dec = {
+        r["doc_id"]: (r["reason"], r["canonical_id"])
+        for r in full_dec.collect()
+        if r["doc_id"] in batch_ids
+    }
+    assert got_dec == want_dec
+    assert len(got_dec) == batch.count()  # partitions the batch
+
+    inc_kept_ids = {r["doc_id"] for r in inc_kept.collect()}
+    full_kept_ids = {r["doc_id"] for r in full_kept.collect()}
+    assert inc_kept_ids == full_kept_ids & batch_ids
+    # sanity on the scenario's intent
+    assert got_dec[102] == ("exact_dup", 5)
+    assert got_dec[103] == ("near_dup", 1)
+    assert got_dec[105] == ("exact_dup", 104)
+    assert got_dec[106] == ("near_dup", 101)
+    assert got_dec[107] == ("quality", None)
+    assert got_dec[101][0] == "kept" and got_dec[104][0] == "kept"
+    kept_archive.unpersist()
+
+    # policy stages are full-run-only: the incremental path refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TrainingDataCurator(
+            CurationConfig(scrub_repeated_spans=True)
+        ).run_incremental(batch, kept_archive, idx)
