@@ -488,6 +488,7 @@ class TrainingDataCurator:
         batch: DataFrame,
         archive: DataFrame,
         dedup_index_path: str,
+        cleanup: list[DataFrame] | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """Curate an incoming batch against a previously-curated
         archive WITHOUT re-pairing the archive — the daily-ingest
@@ -527,7 +528,29 @@ class TrainingDataCurator:
         Span/rarity policies are corpus-statistics stages — configure
         them on the periodic full run; this path raises if they are
         set. The model quality gate (quality_model_weights) composes
-        fine: it is per-row."""
+        fine: it is per-row.
+
+        With ``cleanup`` given (the same convention as :meth:`run`),
+        the three frames that feed multiple downstream actions — the
+        hash-tagged exact frame, the batch-touching pairs, and the CC
+        labels — are persisted and appended for the caller to release;
+        the labels frame's lazy lineage reaches back through the whole
+        index pair join, so a cache-free consumer materializing kept +
+        each decision branch re-executes the O(batch·neighborhood)
+        pair pipeline per branch. Without ``cleanup`` the outputs stay
+        lazy and cache-free.
+
+        Measured shape (tools/scale_probe.py, curator_vs_archive):
+        fixed batch, archive×4 → **5.5 → 4.7 s (exponent −0.12)** —
+        flat, as designed. One operational caveat the probe surfaced:
+        run sessions are not free — a heavy :meth:`run` in the SAME
+        session pins its CC loop's localCheckpoint RDD blocks for the
+        process lifetime (catalog clearCache cannot see them), and
+        with the archive curated in-session the identical timed runs
+        measured 22× slower. Curate the archive in its own job (the
+        production shape anyway), or unpersist the leftover RDDs via
+        ``sparkContext._jsc.getPersistentRDDs()`` before latency-
+        sensitive work."""
         from ..queries.dedup import dedup_against_index
 
         cfg = self.config
@@ -565,6 +588,9 @@ class TrainingDataCurator:
         tagged = hashed.join(batch_canon, "content_hash").join(
             arch_canon, "content_hash", "left"
         )
+        if cleanup is not None:
+            tagged = tagged.persist()
+            cleanup.append(tagged)
         e_kept = tagged.where(
             F.col("archive_canonical").isNull()
             & (F.col("doc_id") == F.col("batch_canonical"))
@@ -588,6 +614,10 @@ class TrainingDataCurator:
             e_kept.select("doc_id", "text"),
             jaccard_min=cfg.jaccard_min,
         ).select("doc_a", "doc_b")
+        if cleanup is not None:
+            pairs = pairs.persist()
+            pairs.count()
+            cleanup.append(pairs)
         touched = pairs.select(
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         )
@@ -595,6 +625,13 @@ class TrainingDataCurator:
         labels = connected_components(
             nodes, pairs, reliable_checkpoint=cfg.reliable_checkpoint
         )
+        if cleanup is not None:
+            # the CC result's lazy tail (isolated-node union) reaches
+            # back through `nodes` into the pair pipeline — pin it so
+            # the decision branches below read one materialization
+            labels = labels.persist()
+            labels.count()
+            cleanup.append(labels)
         batch_labels = labels.join(
             e_kept.select("doc_id"), "doc_id", "left_semi"
         )

@@ -999,6 +999,17 @@ def test_run_incremental_equals_full_run_restricted_to_batch(spark, tmp_path):
     got_dec = {
         r["doc_id"]: (r["reason"], r["canonical_id"]) for r in inc_dec.collect()
     }
+    # the cleanup/persist path must not change a single decision
+    cleanup = []
+    _, inc_dec2 = curator.run_incremental(
+        batch, kept_archive, idx, cleanup=cleanup
+    )
+    assert {
+        r["doc_id"]: (r["reason"], r["canonical_id"])
+        for r in inc_dec2.collect()
+    } == got_dec
+    for f in cleanup:
+        f.unpersist()
 
     full_kept, full_dec = curator.run(kept_archive.unionAll(batch))
     batch_ids = {r["doc_id"] for r in batch.collect()}

@@ -214,6 +214,58 @@ def main() -> None:
 
         return n, one, corpus.unpersist
 
+    def curator_vs_archive_runner(mult):
+        """Fixed batch through run_incremental vs a growing CURATED
+        archive + its persisted index — the end-to-end daily-ingest
+        path: cost must track the batch (quality gate + hash join +
+        index-pruned pair join + batch-scale CC), not the archive.
+
+        The archive curation + index build are the untimed prepare,
+        and the prepare's session footprint must not leak into the
+        timed runs: run()'s CC loop localCheckpoints per round, and
+        those RDD blocks stay pinned for the process lifetime — with
+        the mult=4 curation in-session, the SAME timed runs measured
+        22x slower (217 s vs 5.7 s in a clean session, identical
+        row counts). So the kept archive lands in scratch parquet,
+        the timed path reads it back (lineage cut), and every
+        persistent RDD the prepare left is explicitly unpersisted —
+        matching production, where the archive was curated by an
+        earlier job."""
+        from kcbdml9_big_data_processing_spark.jobs.training_data import (
+            TrainingDataCurator,
+        )
+
+        curator = TrainingDataCurator()
+        corpus = _inflate(base, mult)
+        kept_live, _ = curator.run(corpus)
+        arch_path = scratch_dir(f"probe_inc_arch_{mult}_")
+        kept_live.write.mode("overwrite").parquet(arch_path)
+        kept = spark.read.parquet(arch_path)
+        n = kept.count()
+        path = scratch_dir(f"probe_inc_cur_{mult}_")
+        build_dedup_index(kept, path)
+        # release every block the prepare pinned (caches AND the CC
+        # loop's localCheckpoint RDDs, which clearCache cannot see)
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        batch = base.where(F.col("doc_id") % 16 == 1).select(
+            (F.col("doc_id") + 90_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+            ).alias("text"),
+        )
+
+        def one():
+            cleanup = []
+            _, dec = curator.run_incremental(batch, kept, path, cleanup=cleanup)
+            dec.write.mode("overwrite").format("noop").save()
+            for f in cleanup:
+                f.unpersist()
+
+        return n, one, lambda: None
+
     def _inflate_emb(emb, mult):
         layers = [emb]
         for k in range(1, mult):
@@ -487,6 +539,7 @@ def main() -> None:
         "curation_run": docs_op(curator),
         "curation_run_scrub": docs_op(curator_scrub),
         "dedup_vs_index": vs_index_runner,
+        "curator_vs_archive": curator_vs_archive_runner,
         "semantic_vs_index": semantic_vs_index_runner,
         "ivf_index_search": ivf_search_runner,
         "pq_adc_search": pq_search_runner,
