@@ -397,6 +397,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SCHEMA = "k long"
 _POSTINGS_SCHEMA = "doc_id long, n int, k long"
+_HASHES_SCHEMA = "content_hash string, canonical_id long"
+
+
+def content_hash_expr(col: str = "text"):
+    """THE exact-dedup content identity: sha256 over the normalized
+    text (lowercase, trim, collapse whitespace). Shared by the
+    curator's exact_dedup stage, run_incremental, and the persisted
+    ``hashes`` index artifact — one definition so a stored map and a
+    live batch can never disagree on what "same content" means."""
+    return F.sha2(
+        F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), 256
+    )
+
+
+def _write_hashes(docs: DataFrame, path: str, mode: str) -> None:
+    """Write/append the (content_hash, canonical_id) exact-dedup map
+    for ``docs``. ~40 bytes per doc — the artifact that lets an
+    incremental run answer "has the archive seen this content?"
+    without ever re-scanning archive text (r10 verdict #1: the
+    O(archive)-per-batch rehash this replaces was the one true
+    scale-killer). Append-only, same crash model as bucket_meta: a
+    parquet append lands via the committer's rename, so a crashed
+    append is never visible. Readers aggregate min(canonical_id), so
+    a duplicate appended row can only re-assert the same canonical."""
+    (
+        docs.select(
+            content_hash_expr().alias("content_hash"),
+            F.col("doc_id").alias("canonical_id"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+        .write.mode(mode)
+        .parquet(f"{path}/hashes")
+    )
+
+
+def dedup_index_hashes(spark: SparkSession, path: str) -> DataFrame | None:
+    """The stored exact-dedup map of a persisted index: (content_hash,
+    canonical_id = min doc_id with that normalized content among the
+    indexed docs), or None for a legacy index built before the
+    ``hashes`` artifact existed. Aggregated over the append tail so
+    extend-time appends need no read-modify-write."""
+    if not _dir_has_parquet(spark, f"{path}/hashes"):
+        return None
+    return (
+        spark.read.schema(_HASHES_SCHEMA)
+        .parquet(f"{path}/hashes")
+        .groupBy("content_hash")
+        .agg(F.min("canonical_id").alias("canonical_id"))
+    )
 
 
 def build_dedup_index(docs: DataFrame, path: str) -> None:
@@ -414,11 +464,18 @@ def build_dedup_index(docs: DataFrame, path: str) -> None:
     (:func:`dedup_against_index`) and appended via
     :func:`extend_dedup_index`. At 100 TB, lay ``postings`` out
     bucketed by ``k`` (sinks/bucketed.py) so the per-batch pair join
-    co-locates without shuffling the stored side."""
+    co-locates without shuffling the stored side.
+
+    Alongside the near-dup tables the build persists ``hashes`` — the
+    exact-dedup (content_hash, canonical_id) map over the same docs —
+    so the incremental curator's exact stage joins a stored 40-byte-
+    per-doc map instead of re-hashing archive text per batch
+    (:func:`dedup_index_hashes`)."""
     spark = docs.sparkSession
     prepped = shingle_docs(docs).persist()
     prepped.count()
     try:
+        _write_hashes(docs, path, "overwrite")
         (
             prepped.select(F.explode("sh").alias("k"))
             .groupBy("k")
@@ -459,8 +516,17 @@ def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
     re-freezes it), and append (doc_id, n, k) posting rows. One linear
     pass over the batch; nothing existing is rewritten. Caller
     contract: batch doc_ids are disjoint from every id already in the
-    index."""
+    index.
+
+    The ``hashes`` exact-dedup map extends in the same pass (plain
+    append — accepted docs are dup-free against the index by the
+    caller contract, and readers take min anyway). A legacy index
+    without the artifact stays legacy (appending only the batch's
+    hashes would masquerade as a COMPLETE map and mis-answer "seen
+    before?" for every archived doc) until a rebuild creates it."""
     spark = new_docs.sparkSession
+    if _dir_has_parquet(spark, f"{path}/hashes"):
+        _write_hashes(new_docs, path, "append")
     stop_arr = (
         spark.read.schema(_STOP_SCHEMA)
         .parquet(f"{path}/stop")

@@ -1040,3 +1040,172 @@ def test_run_incremental_equals_full_run_restricted_to_batch(spark, tmp_path):
         TrainingDataCurator(
             CurationConfig(scrub_repeated_spans=True)
         ).run_incremental(batch, kept_archive, idx)
+
+
+def test_run_incremental_never_scans_archive(spark, tmp_path):
+    """r10 verdict #1: with a current index (one carrying the stored
+    ``hashes`` exact-dedup map), run_incremental's plan must contain
+    NO scan of the archive — the exact stage joins the stored
+    40-byte-per-doc map, not a rehash of archive text. Pinned two
+    ways: the archive frame passed in carries a poison UDF that
+    raises if ANY row of it is ever computed (runtime guarantee),
+    and the decision plan's parquet scans don't include the archive's
+    parquet path (plan guarantee)."""
+    from pyspark.sql.types import StringType
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    archive = spark.createDataFrame(
+        [(i, words(f"a{i}")) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    arch_path = str(tmp_path / "arch_parquet")
+    archive.write.parquet(arch_path)
+    stored_archive = spark.read.parquet(arch_path)
+
+    idx = str(tmp_path / "inc_idx")
+    build_dedup_index(stored_archive, idx)
+
+    def _boom(s):
+        raise AssertionError(
+            "archive text was scanned on the incremental path"
+        )
+
+    poison = F.udf(_boom, StringType())
+    poisoned_archive = stored_archive.withColumn("text", poison("text"))
+
+    batch = spark.createDataFrame(
+        [
+            (101, words("b101")),
+            (102, words("a5")),  # exact redelivery of archived 5
+            (103, " ".join(words("a1").split()[:-1])),  # near-dup of 1
+            (104, "tiny junk"),  # quality drop
+        ],
+        "doc_id long, text string",
+    )
+    curator = TrainingDataCurator()
+    cleanup = []
+    kept, dec = curator.run_incremental(
+        batch, poisoned_archive, idx, cleanup=cleanup
+    )
+    got = {r["doc_id"]: (r["reason"], r["canonical_id"]) for r in dec.collect()}
+    assert got == {
+        101: (REASON_KEPT, None),
+        102: (REASON_EXACT_DUP, 5),
+        103: (REASON_NEAR_DUP, 1),
+        104: (REASON_QUALITY, None),
+    }
+    assert {r["doc_id"] for r in kept.collect()} == {101}
+    # plan guarantee: no scan of the archive parquet anywhere
+    physical = dec._jdf.queryExecution().executedPlan().toString()
+    assert "arch_parquet" not in physical
+    for f in cleanup:
+        f.unpersist()
+
+
+def test_run_incremental_legacy_index_falls_back_to_archive(
+    spark, tmp_path
+):
+    """An index built before the ``hashes`` artifact existed (here:
+    artifact deleted) must still answer correctly — the exact stage
+    falls back to deriving the map from archive text (documented as
+    O(archive); a rebuild restores the stored map)."""
+    import shutil
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+        dedup_index_hashes,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    archive = spark.createDataFrame(
+        [(1, words("a1")), (2, words("a2"))], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "legacy_idx")
+    build_dedup_index(archive, idx)
+    shutil.rmtree(f"{idx}/hashes")
+    assert dedup_index_hashes(spark, idx) is None
+
+    batch = spark.createDataFrame(
+        [(101, words("a2")), (102, words("b102"))],
+        "doc_id long, text string",
+    )
+    _, dec = TrainingDataCurator().run_incremental(batch, archive, idx)
+    got = {r["doc_id"]: (r["reason"], r["canonical_id"]) for r in dec.collect()}
+    assert got == {
+        101: (REASON_EXACT_DUP, 2),
+        102: (REASON_KEPT, None),
+    }
+
+
+def test_extend_dedup_index_extends_hashes(spark, tmp_path):
+    """extend_dedup_index must carry the ``hashes`` map forward: after
+    extending with a batch's kept docs, a redelivery of a BATCH doc is
+    exact-dropped against the stored map with the batch doc as
+    canonical — no archive or batch text rescan."""
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+        dedup_index_hashes,
+        extend_dedup_index,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    archive = spark.createDataFrame(
+        [(1, words("a1"))], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "ext_idx")
+    build_dedup_index(archive, idx)
+
+    day1_kept = spark.createDataFrame(
+        [(101, words("b101"))], "doc_id long, text string"
+    )
+    extend_dedup_index(day1_kept, idx)
+    stored = dedup_index_hashes(spark, idx)
+    assert stored is not None and stored.count() == 2
+
+    day2 = spark.createDataFrame(
+        [(201, words("b101")), (202, words("c202"))],
+        "doc_id long, text string",
+    )
+    new_archive = archive.unionAll(day1_kept)
+    _, dec = TrainingDataCurator().run_incremental(day2, new_archive, idx)
+    got = {r["doc_id"]: (r["reason"], r["canonical_id"]) for r in dec.collect()}
+    assert got == {
+        201: (REASON_EXACT_DUP, 101),
+        202: (REASON_KEPT, None),
+    }
+
+
+def test_run_incremental_monotonic_id_guard(spark, tmp_path):
+    """The monotonic-id precondition is load-bearing for full-run
+    equivalence (ADVICE r10): on the cleanup path, where frames
+    materialize anyway, a violating caller gets a ValueError rather
+    than silently divergent decisions."""
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    archive = spark.createDataFrame(
+        [(50, words("a50"))], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "guard_idx")
+    build_dedup_index(archive, idx)
+    bad_batch = spark.createDataFrame(
+        [(7, words("b7"))], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="monotonic-id precondition"):
+        TrainingDataCurator().run_incremental(
+            bad_batch, archive, idx, cleanup=[]
+        )
