@@ -179,7 +179,7 @@ def main() -> None:
         "calib_cpu_samples": calib_cpu_samples,
         "calib_sched_sec": calib_sched,
         "calib_sched_samples": calib_sched_samples,
-        "regressions": _regressions(times),
+        "regressions": _regressions(times, calib_cpu, calib_sched),
     }
     # sidecar record the driver can't truncate: BENCH_r03.json lost its
     # parsed payload to the driver's 2000-char tail cap, which silently
@@ -270,8 +270,9 @@ _CONSTITUENTS: dict[str, list[str]] = {
 }
 
 
-def _baseline_times() -> dict[str, float]:
-    """Per-query times from the newest *parseable* recorded round.
+def _baseline_record() -> dict:
+    """The newest *parseable* recorded round's payload (queries +
+    calibration rows).
 
     BENCH_r{N}.json files can have ``parsed: null`` (the driver's tail
     cap truncated the JSON line — happened in r3), which must not
@@ -293,13 +294,30 @@ def _baseline_times() -> dict[str, float]:
         try:
             with open(path) as f:
                 prior = json.load(f)
-            parsed = prior.get("parsed", prior)
-            queries = (parsed or {}).get("queries") or {}
+            parsed = prior.get("parsed", prior) or {}
+            queries = parsed.get("queries") or {}
             if isinstance(queries, dict) and queries:
-                return queries
+                return parsed
         except Exception:
             continue
     return {}
+
+
+def _baseline_times() -> dict[str, float]:
+    """Per-query times from the newest parseable recorded round."""
+    return _baseline_record().get("queries") or {}
+
+
+def _baseline_calib() -> tuple[float | None, float | None]:
+    """(calib_cpu_sec, calib_sched_sec) of the baseline record, or
+    Nones for records predating the calibration probes (<= r9)."""
+    rec = _baseline_record()
+    cpu = rec.get("calib_cpu_sec")
+    sched = rec.get("calib_sched_sec")
+    return (
+        cpu if isinstance(cpu, (int, float)) and cpu > 0 else None,
+        sched if isinstance(sched, (int, float)) and sched > 0 else None,
+    )
 
 
 def _prior_for(
@@ -347,23 +365,61 @@ def _prior_for(
     return then if then is not None and then > 0 else None
 
 
-def _regressions(times: dict[str, float | None]) -> dict[str, dict[str, float]]:
+def _regressions(
+    times: dict[str, float | None],
+    calib_cpu: float | None = None,
+    calib_sched: float | None = None,
+) -> dict[str, dict[str, float]]:
     """Compare per-query times against the latest recorded round's
     bench and report queries that got >1.5x slower — so a round can't
     silently regress performance while staying correctness-green.
-    Consolidation-aware: see :data:`_CONSTITUENTS`."""
+    Consolidation-aware: see :data:`_CONSTITUENTS`.
+
+    Calibration-normalized (r10 verdict #4): this sandbox's host has
+    noisy-neighbor windows that inflate whole sweeps up to ~60% with
+    the guest idle, and r10's two flags were both window-dominated.
+    When BOTH this run's and the baseline's constant-work calibration
+    rows exist, the prior is scaled by the window ratio
+    (this_calib / baseline_calib) before the factor+delta test —
+    streaming rows (stream_*) normalize by the scheduling probe
+    (their cost tracks per-task dispatch), everything else by the
+    cpu probe. The ratio is clamped to [0.5, 3.0]: outside that the
+    probes themselves are suspect, and an unclamped ratio could hide
+    a real regression behind a freak calibration sample. Flags carry
+    ``window_ratio`` and ``adjusted_prev_sec`` so adjudication shows
+    its work. Baselines predating the probes (<= r9) or a failed
+    calibration this run fall back to the raw-seconds gate."""
     prior_times = {
         k: v for k, v in _baseline_times().items() if isinstance(v, (int, float))
     }
     if not prior_times:
         return {}
+    base_cpu, base_sched = _baseline_calib()
     flagged = {}
     for name, now in times.items():
         then = _prior_for(name, prior_times)
         if then is None or now is None:
             continue
-        if now > max(then * _REGRESSION_FACTOR, then + _REGRESSION_MIN_DELTA):
-            flagged[name] = {"prev_sec": then, "now_sec": now}
+        cal_now, cal_then = (
+            (calib_sched, base_sched)
+            if name.startswith("stream_")
+            else (calib_cpu, base_cpu)
+        )
+        w = 1.0
+        if (
+            isinstance(cal_now, (int, float))
+            and cal_now > 0
+            and isinstance(cal_then, (int, float))
+            and cal_then > 0
+        ):
+            w = min(max(cal_now / cal_then, 0.5), 3.0)
+        adj = round(then * w, 3)
+        if now > max(adj * _REGRESSION_FACTOR, adj + _REGRESSION_MIN_DELTA):
+            entry = {"prev_sec": then, "now_sec": now}
+            if w != 1.0:
+                entry["window_ratio"] = round(w, 3)
+                entry["adjusted_prev_sec"] = adj
+            flagged[name] = entry
     return flagged
 
 

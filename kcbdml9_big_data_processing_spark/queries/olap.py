@@ -860,28 +860,40 @@ def join_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand revenue (filtered dim shrink-then-broadcast), and Q18 (IN
     over grouped HAVING -> semi-join). Each variant keeps its full
     join pipeline and plan; outputs conform to (variant, key,
-    measure)."""
-    q3 = shipping_priority(spark, sf_dir).select(
-        F.lit("q3_shipping").alias("variant"),
-        F.col("o_orderkey").cast("string").alias("key"),
-        F.col("revenue").alias("measure"),
-    )
-    q5 = local_supplier_volume(spark, sf_dir).select(
-        F.lit("q5_local_supplier").alias("variant"),
-        F.col("n_name").alias("key"),
-        F.col("revenue").alias("measure"),
-    )
-    brand = brand_revenue(spark, sf_dir).select(
-        F.lit("brand_revenue").alias("variant"),
-        F.col("p_brand").alias("key"),
-        F.col("revenue").alias("measure"),
-    )
-    q18 = large_volume_customers(spark, sf_dir).select(
-        F.lit("q18_large_volume").alias("variant"),
-        F.col("o_orderkey").cast("string").alias("key"),
-        F.col("total_qty").alias("measure"),
-    )
-    return q3.unionAll(q5).unionAll(brand).unionAll(q18)
+    measure).
+
+    r11: the union-of-four-pipelines plan is PREPARED once per
+    process (_prepared_plan) — exp_plan_vs_exec measured per-call
+    Catalyst construction+analysis at 1.2 s vs 0.88 s execution
+    (four full TPC-H pipelines re-analyzed per call, the same
+    analysis-bound shape the ngram/ann suites had). Inputs are
+    immutable per (app, sf_dir), so re-analysis buys nothing."""
+    from .similarity import _prepared_plan
+
+    def build() -> DataFrame:
+        q3 = shipping_priority(spark, sf_dir).select(
+            F.lit("q3_shipping").alias("variant"),
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.col("revenue").alias("measure"),
+        )
+        q5 = local_supplier_volume(spark, sf_dir).select(
+            F.lit("q5_local_supplier").alias("variant"),
+            F.col("n_name").alias("key"),
+            F.col("revenue").alias("measure"),
+        )
+        brand = brand_revenue(spark, sf_dir).select(
+            F.lit("brand_revenue").alias("variant"),
+            F.col("p_brand").alias("key"),
+            F.col("revenue").alias("measure"),
+        )
+        q18 = large_volume_customers(spark, sf_dir).select(
+            F.lit("q18_large_volume").alias("variant"),
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.col("total_qty").alias("measure"),
+        )
+        return q3.unionAll(q5).unionAll(brand).unionAll(q18)
+
+    return _prepared_plan(spark, "join_revenue_suite", sf_dir, build)
 
 
 @register(

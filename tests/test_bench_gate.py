@@ -73,3 +73,50 @@ def test_regressions_ignore_null_priors(monkeypatch):
         bench, "_baseline_times", lambda: {"q": None, "ok": 1.0}
     )
     assert bench._regressions({"q": 5.0, "ok": 1.1}) == {}
+
+
+def test_regressions_normalize_by_window_calibration(monkeypatch):
+    # r10 verdict #4: a slow host window must not flag queries that
+    # merely rode it. Baseline calib_cpu 0.3; this run's probe reads
+    # 0.6 (a 2x-slower window), so a batch row at 1.9x raw is within
+    # the normalized gate, while a true 4x regression still flags.
+    monkeypatch.setattr(
+        bench, "_baseline_times", lambda: {"batch_q": 2.0, "bad_q": 2.0}
+    )
+    monkeypatch.setattr(bench, "_baseline_calib", lambda: (0.3, 0.5))
+    flagged = bench._regressions(
+        {"batch_q": 3.8, "bad_q": 8.0}, calib_cpu=0.6, calib_sched=1.0
+    )
+    assert set(flagged) == {"bad_q"}
+    assert flagged["bad_q"]["window_ratio"] == 2.0
+    assert flagged["bad_q"]["adjusted_prev_sec"] == 4.0
+
+
+def test_regressions_streaming_rows_use_sched_probe(monkeypatch):
+    # streaming rows track the per-task scheduling floor, not bulk
+    # codegen throughput: with sched 2x slower but cpu unchanged, a
+    # stream_* row at 1.9x raw passes while a batch row at 1.9x flags
+    monkeypatch.setattr(
+        bench,
+        "_baseline_times",
+        lambda: {"stream_q": 3.0, "batch_q": 3.0},
+    )
+    monkeypatch.setattr(bench, "_baseline_calib", lambda: (0.3, 0.5))
+    flagged = bench._regressions(
+        {"stream_q": 5.7, "batch_q": 5.7}, calib_cpu=0.3, calib_sched=1.0
+    )
+    assert set(flagged) == {"batch_q"}
+
+
+def test_regressions_window_ratio_clamped_and_raw_fallback(monkeypatch):
+    monkeypatch.setattr(bench, "_baseline_times", lambda: {"q": 1.0})
+    # a freak 10x calibration sample is clamped to 3x — a 5x raw
+    # slowdown still flags through it
+    monkeypatch.setattr(bench, "_baseline_calib", lambda: (0.1, 0.1))
+    flagged = bench._regressions({"q": 5.0}, calib_cpu=1.0, calib_sched=1.0)
+    assert flagged["q"]["window_ratio"] == 3.0
+    # baseline predates the probes (r9 and earlier) -> raw gate,
+    # no window fields in the flag
+    monkeypatch.setattr(bench, "_baseline_calib", lambda: (None, None))
+    flagged = bench._regressions({"q": 5.0}, calib_cpu=1.0, calib_sched=1.0)
+    assert flagged == {"q": {"prev_sec": 1.0, "now_sec": 5.0}}
