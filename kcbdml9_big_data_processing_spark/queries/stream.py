@@ -40,6 +40,16 @@ from .registry import register
 #: prove it). 8 keeps headroom for parallelism at these sizes; a
 #: PRODUCTION stream sizes this to state volume / executor count at
 #: its own start — it is a per-query knob, not an engine constant.
+#:
+#: r11 (r10 verdict #6): the applyInPandasWithState runner
+#: (stream_running_totals) probed separately — its hot cost is
+#: per-key Python invocation, so more partitions buy Python-worker
+#: parallelism where the window aggs only pay more state commits.
+#: Series (exp_stream_parts.py running_totals, sf0.1 median-of-3):
+#: 4 -> 5.17, 8 -> 4.21, 16 -> 3.85, 32 -> 5.16; interleaved 8-vs-16
+#: A/B steady state ~3.9 vs ~3.6. The ~6-8% edge at 16 is inside
+#: window noise and this session is SHARED — 16 costs join_suite
+#: 1.6x — so 8 stays the pinned default for every bounded replay.
 _BOUNDED_STATE_PARTITIONS = 8
 
 
