@@ -590,9 +590,24 @@ class TrainingDataCurator:
         hashed = q_pass.withColumn("content_hash", content_hash_expr())
         stored = dedup_index_hashes(spark, dedup_index_path)
         if stored is not None:
-            arch_canon = stored.select(
-                "content_hash",
-                F.col("canonical_id").alias("archive_canonical"),
+            # prune the stored map to the batch's hashes BEFORE any
+            # aggregation: the map is scanned (embarrassingly
+            # parallel, ~40 bytes/doc) but never shuffled — the
+            # broadcast semi-join keeps per-batch shuffle work at
+            # batch scale, and the survivor set is small enough that
+            # the later left join broadcasts it. At extreme batch
+            # sizes the broadcast of batch hashes is the bound
+            # (40 B/doc -> ~400 MB at 10M docs/day); past that, lay
+            # the hashes table out bucketed by content_hash
+            # (sinks/bucketed.py) so the semi-join co-locates instead.
+            arch_canon = (
+                stored.join(
+                    F.broadcast(hashed.select("content_hash")),
+                    "content_hash",
+                    "left_semi",
+                )
+                .groupBy("content_hash")
+                .agg(F.min("canonical_id").alias("archive_canonical"))
             )
             if cleanup is not None:
                 # cleanup materializes anyway — cheaply assert the

@@ -434,19 +434,23 @@ def _write_hashes(docs: DataFrame, path: str, mode: str) -> None:
 
 
 def dedup_index_hashes(spark: SparkSession, path: str) -> DataFrame | None:
-    """The stored exact-dedup map of a persisted index: (content_hash,
-    canonical_id = min doc_id with that normalized content among the
-    indexed docs), or None for a legacy index built before the
-    ``hashes`` artifact existed. Aggregated over the append tail so
-    extend-time appends need no read-modify-write."""
+    """The stored exact-dedup map of a persisted index as its RAW
+    appended rows (content_hash, canonical_id), or None for a legacy
+    index built before the ``hashes`` artifact existed.
+
+    Raw on purpose: a reader must aggregate ``min(canonical_id)`` per
+    hash (a crash-retried extend can re-append a row), but WHERE that
+    aggregation runs is the scale decision — aggregating the whole map
+    first would shuffle O(archive) rows per batch. The incremental
+    curator instead prunes the scan to the batch's hashes with a
+    broadcast semi-join (no shuffle of the stored side, the same
+    prune-before-join shape as dedup_against_index's postings
+    semi-join) and aggregates the batch-sized survivor set. Under the
+    extend contract each hash appears once, so scan-level aggregates
+    (the monotonic-id guard's max) are exact on the raw rows."""
     if not _dir_has_parquet(spark, f"{path}/hashes"):
         return None
-    return (
-        spark.read.schema(_HASHES_SCHEMA)
-        .parquet(f"{path}/hashes")
-        .groupBy("content_hash")
-        .agg(F.min("canonical_id").alias("canonical_id"))
-    )
+    return spark.read.schema(_HASHES_SCHEMA).parquet(f"{path}/hashes")
 
 
 def build_dedup_index(docs: DataFrame, path: str) -> None:

@@ -501,23 +501,45 @@ _GEN_META_SCHEMA = "dir string, version int"
 #: per-process cache of resolved current-generation dirs, keyed by
 #: (applicationId, index root). _gen_commit updates it, so rebuilds
 #: within one process are seen immediately; concurrent cross-process
-#: writers coordinate via gen_meta itself (max-version read), and a
+#: READERS coordinate via gen_meta itself (max-version read), and a
 #: process that cached generation N keeps serving N until its next
 #: build — the same retention-not-locking posture as
 #: vacuum_dedup_index.
+#:
+#: Writer contract (ADVICE r10): ONE writer per index root at a time.
+#: The generation layer gives crash-atomicity, not writer mutual
+#: exclusion — two concurrent builds would compute the same next
+#: version in _gen_begin, interleave writes into the same g{N}
+#: staging dir, and both append gen_meta rows, so the committed
+#: generation could mix files from both builds. Production index
+#: maintenance is a scheduled single job per index (the same posture
+#: as compact_dedup_index); a deployment that can't guarantee that
+#: needs an external lock around build/extend, not this layer.
 _GEN_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _gen_meta_row(spark: SparkSession, path: str):
-    try:
-        return (
-            spark.read.schema(_GEN_META_SCHEMA)
-            .parquet(f"{path}/gen_meta")
-            .orderBy(F.col("version").desc())
-            .first()
-        )
-    except Exception:
+    """Newest committed gen_meta row, or None when the sidecar does
+    not exist (legacy flat or not-yet-built root). Absence is decided
+    by a driver-side FS existence check, NOT by catching the read
+    error (ADVICE r10): a transient read failure now propagates
+    instead of misclassifying a generational index as legacy — which
+    _gen_current would then cache as the root path for the process
+    lifetime, quietly serving stale pre-migration tables. An existing
+    but empty sidecar (nothing ever committed) reads as None through
+    the explicit schema, which is the correct legacy answer."""
+    meta_dir = f"{path}/gen_meta"
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(meta_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
         return None
+    return (
+        spark.read.schema(_GEN_META_SCHEMA)
+        .parquet(meta_dir)
+        .orderBy(F.col("version").desc())
+        .first()
+    )
 
 
 def _gen_current(spark: SparkSession, path: str) -> str:
@@ -538,7 +560,9 @@ def _gen_begin(spark: SparkSession, path: str) -> tuple[str, int]:
     """Staging dir + version for a new build. Reads gen_meta directly
     (not the cache): a crashed build's staging dir is re-used by the
     retry, because the version after the last COMMITTED one is the
-    same both times."""
+    same both times. Single-writer-per-root assumed (see _GEN_CACHE
+    note): a concurrent second builder would stage into the SAME
+    dir."""
     row = _gen_meta_row(spark, path)
     v = 1 if row is None else row["version"] + 1
     return f"{path}/g{v}", v
@@ -1057,7 +1081,13 @@ def build_semantic_index(
     measured flat as the corpus grows — SCALE_PROBE.json
     semantic_vs_index exponent −0.01 vs 0.53 for ``label`` — so the
     naive caller gets the shape that survives 100 TB; ``label`` is
-    the opt-in for corpora whose labels already partition finely):
+    the opt-in for corpora whose labels already partition finely.
+    r11, ADVICE: a default build over a corpus no larger than ONE
+    target cell (count <= ``target_cell_pop``) resolves to ``label``
+    — at that size cell blocking bounds nothing and only costs
+    boundary-pair recall; the stored meta records the resolved
+    policy, which the CLI build report prints. Passing ``n_cells``
+    explicitly keeps ``label_ivf`` at any size):
 
     - ``"label"``: block on the corpus's own label column. Fine when
       labels partition the corpus finely; degenerate when one label
@@ -1086,6 +1116,18 @@ def build_semantic_index(
     spark = corpus.sparkSession
     if blocking not in ("label", "label_ivf"):
         raise ValueError(f"unknown blocking: {blocking!r}")
+    if blocking == "label_ivf" and n_cells is None:
+        # small-corpus recall guard (ADVICE r10): cell blocking exists
+        # to BOUND bucket population as the corpus grows; below one
+        # target cell's population it bounds nothing and only loses
+        # the near-dup pairs that straddle a cell boundary, while
+        # label blocking (a strict superset of candidate pairs) is
+        # already cheap. Resolve to "label" and store THAT in the
+        # meta — the CLI's build report prints the stored policy, so
+        # the resolution is visible. An explicit ``n_cells`` opts out
+        # (the caller pinned the quantizer, e.g. for an oracle twin).
+        if corpus.count() <= target_cell_pop:
+            blocking = "label"
     # crash-safe (r10): all four tables land in a fresh generation
     # dir; the index goes live only at the single gen_meta commit at
     # the end — see the generation-layer comment above _gen_current

@@ -1487,3 +1487,62 @@ def test_train_classifier_bit_matches_python_twin_and_learns(spark):
         (scored[i] > 0) == bool(y) for i, (_, y) in enumerate(rows)
     ) / len(rows)
     assert acc >= 0.9, acc
+
+
+def test_semantic_index_default_resolves_label_for_small_corpus(
+    spark, tmp_path
+):
+    """ADVICE r11: a DEFAULT label_ivf build over a corpus no larger
+    than one target cell resolves to plain label blocking (cell
+    blocking bounds nothing at that size and only loses boundary-pair
+    recall); the stored meta records the resolved policy. An explicit
+    n_cells keeps label_ivf at any size."""
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _sem_meta,
+        build_semantic_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    corpus = read_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.lit("all").alias("label"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    n = corpus.count()
+
+    resolved = str(tmp_path / "small_default")
+    build_semantic_index(corpus, resolved, target_cell_pop=n)
+    assert _sem_meta(spark, resolved)["blocking"] == "label"
+
+    pinned = str(tmp_path / "small_pinned")
+    build_semantic_index(corpus, pinned, n_cells=16, target_cell_pop=n)
+    assert _sem_meta(spark, pinned)["blocking"] == "label_ivf"
+
+    # above one cell's population the default keeps label_ivf
+    adaptive = str(tmp_path / "adaptive")
+    build_semantic_index(corpus, adaptive, target_cell_pop=8)
+    assert _sem_meta(spark, adaptive)["blocking"] == "label_ivf"
+
+
+def test_gen_meta_absence_is_fs_checked(spark, tmp_path):
+    """ADVICE r11: _gen_meta_row decides legacy-vs-generational by a
+    driver-side existence check, not by swallowing read errors — a
+    root with NO gen_meta reads as legacy (None), an existing but
+    empty sidecar too, and the resolution isn't poisoned into the
+    per-process cache by a transient failure path."""
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _gen_current,
+        _gen_meta_row,
+    )
+
+    root = str(tmp_path / "idx_root")
+    assert _gen_meta_row(spark, root) is None
+    # empty sidecar dir (created, nothing committed) -> still legacy
+    import os
+
+    os.makedirs(f"{root}/gen_meta", exist_ok=True)
+    assert _gen_meta_row(spark, root) is None
+    assert _gen_current(spark, root) == root

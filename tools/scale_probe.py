@@ -200,8 +200,11 @@ def main() -> None:
         path = scratch_dir(f"probe_dedup_idx_{mult}_")
         build_dedup_index(corpus, path)
         toks = F.split(F.trim(F.col("text")), r"\s+")
+        # batch ids above every inflated-archive id (1e8 * mult +
+        # 65M), matching the incremental runners' monotonic layout;
+        # 1e9 stays under the packed-pair 2^31 id bound.
         batch = base.where(F.col("doc_id") % 16 == 1).select(
-            (F.col("doc_id") + 90_000_000).alias("doc_id"),
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
             F.array_join(
                 F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
             ).alias("text"),
@@ -250,8 +253,12 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
         toks = F.split(F.trim(F.col("text")), r"\s+")
+        # batch ids must EXCEED every inflated-archive id (1e8 * mult
+        # + 65M): run_incremental's monotonic-id guard now enforces
+        # the contract the probe previously violated silently. 1e9
+        # stays under the packed-pair 2^31 id bound.
         batch = base.where(F.col("doc_id") % 16 == 1).select(
-            (F.col("doc_id") + 90_000_000).alias("doc_id"),
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
             F.array_join(
                 F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
             ).alias("text"),
@@ -263,6 +270,60 @@ def main() -> None:
             dec.write.mode("overwrite").format("noop").save()
             for f in cleanup:
                 f.unpersist()
+
+        return n, one, lambda: None
+
+    def inc_exact_stage_runner(mult):
+        """Fixed batch through ONLY the incremental exact-dedup stage
+        vs a growing archive's stored ``hashes`` map (r10 verdict #1):
+        the stage that used to rehash the full archive's text per
+        batch. Mirrors training_data.run_incremental's exact stage
+        1:1 — batch hashed, stored map pruned to the batch's hashes
+        by broadcast semi-join (map scanned, never shuffled),
+        batch-vs-archive canonical resolution. Must be ~flat: the
+        only archive-proportional term left is the 40-byte-per-doc
+        map scan."""
+        from kcbdml9_big_data_processing_spark.queries.dedup import (
+            content_hash_expr,
+            dedup_index_hashes,
+        )
+
+        corpus = _inflate(base, mult).persist()
+        n = corpus.count()
+        path = scratch_dir(f"probe_inc_exact_{mult}_")
+        build_dedup_index(corpus, path)
+        corpus.unpersist()
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        # batch ids must EXCEED every inflated-archive id (1e8 * mult
+        # + 65M): run_incremental's monotonic-id guard now enforces
+        # the contract the probe previously violated silently. 1e9
+        # stays under the packed-pair 2^31 id bound.
+        batch = base.where(F.col("doc_id") % 16 == 1).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))), " "
+            ).alias("text"),
+        )
+
+        def one():
+            hashed = batch.withColumn("content_hash", content_hash_expr())
+            stored = dedup_index_hashes(spark, path)
+            arch_canon = (
+                stored.join(
+                    F.broadcast(hashed.select("content_hash")),
+                    "content_hash",
+                    "left_semi",
+                )
+                .groupBy("content_hash")
+                .agg(F.min("canonical_id").alias("archive_canonical"))
+            )
+            batch_canon = hashed.groupBy("content_hash").agg(
+                F.min("doc_id").alias("batch_canonical")
+            )
+            tagged = hashed.join(batch_canon, "content_hash").join(
+                arch_canon, "content_hash", "left"
+            )
+            tagged.write.mode("overwrite").format("noop").save()
 
         return n, one, lambda: None
 
@@ -540,6 +601,7 @@ def main() -> None:
         "curation_run_scrub": docs_op(curator_scrub),
         "dedup_vs_index": vs_index_runner,
         "curator_vs_archive": curator_vs_archive_runner,
+        "inc_exact_stage": inc_exact_stage_runner,
         "semantic_vs_index": semantic_vs_index_runner,
         "ivf_index_search": ivf_search_runner,
         "pq_adc_search": pq_search_runner,
