@@ -383,9 +383,14 @@ def _regressions(
     (this_calib / baseline_calib) before the factor+delta test —
     streaming rows (stream_*) normalize by the scheduling probe
     (their cost tracks per-task dispatch), everything else by the
-    cpu probe. The ratio is clamped to [0.5, 3.0]: outside that the
-    probes themselves are suspect, and an unclamped ratio could hide
-    a real regression behind a freak calibration sample. Flags carry
+    cpu probe. The ratio is clamped to [1.0, 3.0]: above 3.0 the
+    probes themselves are suspect (an unclamped ratio could hide a
+    real regression behind a freak calibration sample), and below
+    1.0 the adjustment only ever RELAXES — a faster-than-baseline
+    window must not TIGHTEN the prior, because not every baseline
+    row rode its window's slowdown uniformly (first live run: a
+    0.82 ratio manufactured flags on rows 1.26x raw, inside the
+    cushion the raw gate deliberately allows). Flags carry
     ``window_ratio`` and ``adjusted_prev_sec`` so adjudication shows
     its work. Baselines predating the probes (<= r9) or a failed
     calibration this run fall back to the raw-seconds gate."""
@@ -412,7 +417,7 @@ def _regressions(
             and isinstance(cal_then, (int, float))
             and cal_then > 0
         ):
-            w = min(max(cal_now / cal_then, 0.5), 3.0)
+            w = min(max(cal_now / cal_then, 1.0), 3.0)
         adj = round(then * w, 3)
         if now > max(adj * _REGRESSION_FACTOR, adj + _REGRESSION_MIN_DELTA):
             entry = {"prev_sec": then, "now_sec": now}

@@ -123,7 +123,7 @@ _CDC_ORACLE = f"""
 """
 
 
-@register("cdc_orders_suite", oracle=_CDC_ORACLE, headline=True)
+@register("cdc_orders_suite", oracle=_CDC_ORACLE, headline=True, prepare=True)
 def cdc_orders_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge + SCD2 history in one registration: the latest-wins
     snapshot (operators/cdc.merge_changes) and the validity-interval

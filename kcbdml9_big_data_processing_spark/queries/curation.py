@@ -167,7 +167,7 @@ def _clf_sql() -> str:
     """
 
 
-@register("quality_clf", oracle=_clf_sql())
+@register("quality_clf", oracle=_clf_sql(), prepare=True)
 def quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fasttext-style linear quality-classifier INFERENCE
     (operators/quality_model.classifier_score) as a driver row: every
@@ -700,7 +700,7 @@ def _span_scrub_oracle() -> str:
     """
 
 
-@register("span_scrub", oracle=_span_scrub_oracle(), headline=True)
+@register("span_scrub", oracle=_span_scrub_oracle(), headline=True, prepare=True)
 def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span REMOVAL as a driver row — the Lee
     et al. (2022) exact-substring-dedup TRANSFORM

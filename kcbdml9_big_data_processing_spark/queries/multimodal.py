@@ -30,6 +30,7 @@ from .registry import register
                CAST((octet_length(encode(text)) % 480) + 1 AS BIGINT) AS height
         FROM documents
     """,
+    prepare=True,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-asset featurization: documents.text UTF-8-encoded as the
@@ -56,6 +57,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                  0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) u(k)
         WHERE u.k % 2 = 0
     """,
+    prepare=True,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (the video shape): decode each asset's payload,

@@ -37,6 +37,7 @@ from .registry import register
         GROUP BY l_returnflag, l_linestatus
     """,
     headline=True,
+    prepare=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate with multiple measures.
@@ -174,6 +175,7 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY user_id
     """,
+    prepare=True,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a session break is a >1 h gap between a user's
@@ -209,6 +211,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events p
         WHERE p.event_type = 'purchase'
     """,
+    prepare=True,
 )
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one): for each purchase, the
@@ -316,6 +319,7 @@ def user_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                l.event_type AS last_event_type
         FROM p JOIN l ON p.user_id = l.user_id
     """,
+    prepare=True,
 )
 def user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user summary in one registration (r6 reshuffle freeing a
@@ -456,7 +460,7 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate distinct (HLL) -------------------------------------------
 
 
-@register("user_reach_approx")  # approximation differs per engine -> rows-only
+@register("user_reach_approx", prepare=True)  # approximation differs per engine -> rows-only
 def user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event_type via HyperLogLog++
     (approx_count_distinct, 1% relative error). The 100 TB path for
@@ -575,6 +579,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
         )
     """,
+    prepare=True,
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass profiling of three orders columns (nulls, exact
@@ -605,6 +610,7 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         WHERE rn % 10 = 1
     """,
+    prepare=True,
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% stratified sample: every 10th event per
@@ -653,6 +659,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         )
     """,
+    prepare=True,
 )
 def membership_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-membership family in one result: left-anti join (NOT
@@ -686,6 +693,7 @@ def membership_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
+    prepare=True,
 )
 def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets family: ROLLUP hierarchy totals (measure =
@@ -740,6 +748,7 @@ def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
                AND l.l_quantity >= 10.0 AND l.l_quantity <= 40.0)
     """,
+    prepare=True,
 )
 def filtered_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-filter-global-aggregate family: TPC-H Q6 (pure pushed-down
@@ -785,6 +794,7 @@ def filtered_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             LIMIT 100
         )
     """,
+    prepare=True,
 )
 def ranked_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking family: top-5 per group (ROW_NUMBER with partial
@@ -977,33 +987,42 @@ def grouped_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-representable doubles (counts < 2^53, fixed-point
     averages, rank-selected raw values), so the cross-engine hash
     stays bit-exact."""
-    ets = event_type_stats(spark, sf_dir).select(
-        F.lit("event_type_stats").alias("variant"),
-        F.col("event_type").alias("key"),
-        F.expr(
-            "stack(5,"
-            " 'n_events', CAST(n_events AS DOUBLE),"
-            " 'n_users', CAST(n_users AS DOUBLE),"
-            " 'min_value', min_value,"
-            " 'max_value', max_value,"
-            " 'avg_value', avg_value) AS (metric, value)"
-        ),
-    ).select("variant", "key", "metric", "value")
-    pct = value_percentiles(spark, sf_dir).select(
-        F.lit("value_percentiles").alias("variant"),
-        F.col("event_type").alias("key"),
-        F.expr("stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (metric, value)"),
-    ).select("variant", "key", "metric", "value")
-    cod = customer_order_distribution(spark, sf_dir).select(
-        F.lit("customer_order_distribution").alias("variant"),
-        F.col("c_count").cast("string").alias("key"),
-        F.lit("custdist").alias("metric"),
-        F.col("custdist").cast("double").alias("value"),
-    )
-    late = late_shipped_priority_counts(spark, sf_dir).select(
-        F.lit("late_shipped").alias("variant"),
-        F.col("o_orderpriority").alias("key"),
-        F.lit("n_orders").alias("metric"),
-        F.col("n_orders").cast("double").alias("value"),
-    )
-    return ets.unionAll(pct).unionAll(cod).unionAll(late)
+    from .similarity import _prepared_plan
+
+    def build() -> DataFrame:
+        ets = event_type_stats(spark, sf_dir).select(
+            F.lit("event_type_stats").alias("variant"),
+            F.col("event_type").alias("key"),
+            F.expr(
+                "stack(5,"
+                " 'n_events', CAST(n_events AS DOUBLE),"
+                " 'n_users', CAST(n_users AS DOUBLE),"
+                " 'min_value', min_value,"
+                " 'max_value', max_value,"
+                " 'avg_value', avg_value) AS (metric, value)"
+            ),
+        ).select("variant", "key", "metric", "value")
+        pct = value_percentiles(spark, sf_dir).select(
+            F.lit("value_percentiles").alias("variant"),
+            F.col("event_type").alias("key"),
+            F.expr(
+                "stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (metric, value)"
+            ),
+        ).select("variant", "key", "metric", "value")
+        cod = customer_order_distribution(spark, sf_dir).select(
+            F.lit("customer_order_distribution").alias("variant"),
+            F.col("c_count").cast("string").alias("key"),
+            F.lit("custdist").alias("metric"),
+            F.col("custdist").cast("double").alias("value"),
+        )
+        late = late_shipped_priority_counts(spark, sf_dir).select(
+            F.lit("late_shipped").alias("variant"),
+            F.col("o_orderpriority").alias("key"),
+            F.lit("n_orders").alias("metric"),
+            F.col("n_orders").cast("double").alias("value"),
+        )
+        return ets.unionAll(pct).unionAll(cod).unionAll(late)
+
+    # r11: four static pipelines over immutable inputs — prepared once
+    # per process (exp_plan_vs_exec: 0.64 s construction vs 0.79 exec)
+    return _prepared_plan(spark, "grouped_stats_suite", sf_dir, build)

@@ -2,12 +2,39 @@
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: per-process cache of CONSTRUCTED + ANALYZED query plans, keyed by
+#: (applicationId, query name, sf_dir). Registered query inputs are
+#: immutable per (app, sf_dir) — driver testdata parquet — so
+#: re-running DataFrame construction + Catalyst analysis per call
+#: buys nothing; exp_plan_vs_exec measured it at 0.2-1.2 s/call on
+#: the suite rows (four TPC-H pipelines re-analyzed per
+#: join_revenue_suite call was the worst). Execution is NOT cached:
+#: every call's action still scans, shuffles, and aggregates the
+#: real data — only the plan object is reused. Lived in
+#: queries/similarity.py through r10; hoisted here in r11 so the
+#: registry can apply it declaratively (``register(prepare=True)``).
+_PREPARED_PLANS: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _prepared_plan(spark: SparkSession, name: str, sf_dir: str, build) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PREPARED_PLANS if k[0] != app_id]:
+        del _PREPARED_PLANS[k]
+    key = (app_id, name, sf_dir)
+    df = _PREPARED_PLANS.get(key)
+    if df is None:
+        df = build()
+        df.schema  # force analysis at preparation time
+        _PREPARED_PLANS[key] = df
+    return df
 
 
 @dataclass(frozen=True)
@@ -26,13 +53,35 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None = None, headline: bool = False
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    prepare: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
+    """Register a query. ``prepare=True`` routes it through the
+    per-process prepared-plan cache: construction + analysis run once
+    per (app, sf_dir), every call executes the same analyzed plan.
+    ONLY for functions whose body is pure plan construction over the
+    immutable sf_dir inputs — no writes, no driver-side actions, no
+    per-call persist lifecycle (a cached plan pins its first call's
+    physical plan, so per-call persist/unpersist cycles would silently
+    detach from the cache manager). Functions that need preparation
+    around internal stores/actions call _prepared_plan themselves."""
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
+        run = fn
+        if prepare:
+
+            @functools.wraps(fn)
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return _prepared_plan(
+                    spark, name, sf_dir, lambda: fn(spark, sf_dir)
+                )
+
         QUERIES[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, headline=headline, doc=fn.__doc__ or ""
+            name=name, fn=run, oracle=oracle, headline=headline, doc=fn.__doc__ or ""
         )
         return fn
 

@@ -35,6 +35,7 @@ _P = float(10**DEFAULT_SCALE)
         FROM events
         GROUP BY event_type
     """,
+    prepare=True,
 )
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key aggregation through the two-phase salted aggregate:

@@ -76,6 +76,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         GROUP BY lang
     """,
+    prepare=True,
 )
 def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile per language tag: doc/source counts, average
@@ -581,6 +582,7 @@ register(
                JOIN r ON m.doc_id = r.doc_id
     """,
     headline=True,
+    prepare=True,
 )(doc_profile)
 
 
@@ -695,18 +697,25 @@ def term_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``bigram_lift``: corpus top bigrams by collocation lift (see
       :func:`bigram_lift`); doc_id is NULL, n = bigram count,
       value = lift."""
-    tf = tfidf_top_terms(spark, sf_dir).select(
-        F.lit("tfidf").alias("variant"),
-        "doc_id",
-        "term",
-        F.col("rank").cast("long").alias("n"),
-        F.col("score").alias("value"),
-    )
-    bg = bigram_lift(spark, sf_dir).select(
-        F.lit("bigram_lift").alias("variant"),
-        F.lit(None).cast("long").alias("doc_id"),
-        F.col("bigram").alias("term"),
-        F.col("c_xy").alias("n"),
-        F.col("lift").alias("value"),
-    )
-    return tf.unionAll(bg)
+    from .similarity import _prepared_plan
+
+    def build():
+        tf = tfidf_top_terms(spark, sf_dir).select(
+            F.lit("tfidf").alias("variant"),
+            "doc_id",
+            "term",
+            F.col("rank").cast("long").alias("n"),
+            F.col("score").alias("value"),
+        )
+        bg = bigram_lift(spark, sf_dir).select(
+            F.lit("bigram_lift").alias("variant"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.col("bigram").alias("term"),
+            F.col("c_xy").alias("n"),
+            F.col("lift").alias("value"),
+        )
+        return tf.unionAll(bg)
+
+    # r11: static union over immutable inputs — prepared once per
+    # process (exp_plan_vs_exec: 0.46 s construction vs 0.73 exec)
+    return _prepared_plan(spark, "term_stats_suite", sf_dir, build)

@@ -115,6 +115,13 @@ def test_regressions_window_ratio_clamped_and_raw_fallback(monkeypatch):
     monkeypatch.setattr(bench, "_baseline_calib", lambda: (0.1, 0.1))
     flagged = bench._regressions({"q": 5.0}, calib_cpu=1.0, calib_sched=1.0)
     assert flagged["q"]["window_ratio"] == 3.0
+    # a FASTER-than-baseline window must not tighten the prior: at a
+    # raw 1.3x (inside the 1.5x cushion) nothing flags even though
+    # the naive ratio (0.5) would have shrunk the prior to 0.5 s
+    monkeypatch.setattr(bench, "_baseline_calib", lambda: (1.0, 1.0))
+    assert (
+        bench._regressions({"q": 1.3}, calib_cpu=0.5, calib_sched=0.5) == {}
+    )
     # baseline predates the probes (r9 and earlier) -> raw gate,
     # no window fields in the flag
     monkeypatch.setattr(bench, "_baseline_calib", lambda: (None, None))
