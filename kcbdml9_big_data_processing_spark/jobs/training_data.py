@@ -226,10 +226,9 @@ class TrainingDataCurator:
         filters, and every downstream consumer (shingling, the kept
         join, the decision branches) would otherwise re-run the sha256
         scan + canonical-hash join per consumer."""
-        norm = F.sha2(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
-        )
-        hashed = docs.withColumn("content_hash", norm)
+        from ..queries.dedup import content_hash_expr
+
+        hashed = docs.withColumn("content_hash", content_hash_expr())
         canon = hashed.groupBy("content_hash").agg(
             F.min("doc_id").alias("canonical_id")
         )
@@ -588,6 +587,24 @@ class TrainingDataCurator:
         # side is the index's STORED map — O(index-rows of 40-byte
         # hashes), not O(archive text).
         hashed = q_pass.withColumn("content_hash", content_hash_expr())
+        batch_canon = hashed.groupBy("content_hash").agg(
+            F.min("doc_id").alias("batch_canonical")
+        )
+
+        def _assert_monotonic(arch_max, batch_min) -> None:
+            if (
+                arch_max is not None
+                and batch_min is not None
+                and arch_max >= batch_min
+            ):
+                raise ValueError(
+                    "monotonic-id precondition violated: archive max"
+                    f" doc_id {arch_max} >= batch min doc_id"
+                    f" {batch_min}; run_incremental's full-run"
+                    " equivalence requires every archive id to"
+                    " precede every batch id"
+                )
+
         stored = dedup_index_hashes(spark, dedup_index_path)
         if stored is not None:
             # prune the stored map to the batch's hashes BEFORE any
@@ -613,23 +630,28 @@ class TrainingDataCurator:
                 # cleanup materializes anyway — cheaply assert the
                 # load-bearing monotonic-id precondition from the
                 # stored map (archive is exact-dup-free, so every
-                # archive id IS some hash's canonical) vs the batch
-                arch_max = stored.agg(
-                    F.max("canonical_id").alias("m")
-                ).first()["m"]
-                batch_min = batch.agg(F.min("doc_id").alias("m")).first()["m"]
-                if (
-                    arch_max is not None
-                    and batch_min is not None
-                    and arch_max >= batch_min
-                ):
-                    raise ValueError(
-                        "monotonic-id precondition violated: archive max"
-                        f" doc_id {arch_max} >= batch min doc_id"
-                        f" {batch_min}; run_incremental's full-run"
-                        " equivalence requires every archive id to"
-                        " precede every batch id"
+                # archive id IS some hash's canonical) vs the batch.
+                # The batch's OWN (hash, min-id) pairs are anti-joined
+                # out first: a crashed run that already extended the
+                # index appends exactly those pairs, and a retry must
+                # not read its own appends as a violating archive
+                # (r11 review). Broadcast anti-join — the map is
+                # scanned in parallel, never shuffled.
+                own = batch_canon.select(
+                    "content_hash",
+                    F.col("batch_canonical").alias("canonical_id"),
+                )
+                arch_max = (
+                    stored.join(
+                        F.broadcast(own),
+                        ["content_hash", "canonical_id"],
+                        "left_anti",
                     )
+                    .agg(F.max("canonical_id").alias("m"))
+                    .first()["m"]
+                )
+                batch_min = batch.agg(F.min("doc_id").alias("m")).first()["m"]
+                _assert_monotonic(arch_max, batch_min)
         else:
             arch_canon = (
                 archive.select(
@@ -639,11 +661,35 @@ class TrainingDataCurator:
                 .groupBy("content_hash")
                 .agg(F.min("arch_id").alias("archive_canonical"))
             )
-        batch_canon = hashed.groupBy("content_hash").agg(
-            F.min("doc_id").alias("batch_canonical")
-        )
+            if cleanup is not None:
+                # same guard on the legacy path (r11 review): the
+                # caller's archive frame is in hand — one agg rides
+                # the same scan the fallback map derivation pays
+                arch_max = archive.agg(F.max("doc_id").alias("m")).first()["m"]
+                batch_min = batch.agg(F.min("doc_id").alias("m")).first()["m"]
+                _assert_monotonic(arch_max, batch_min)
         tagged = hashed.join(batch_canon, "content_hash").join(
             arch_canon, "content_hash", "left"
+        )
+        # self-append defense (r11 review): a stored-map entry at or
+        # after this batch's own within-batch canonical can only be
+        # this batch's append from an out-of-order run that extended
+        # the index before committing decisions — under the monotonic
+        # contract every TRUE archive canonical precedes every batch
+        # id. Nulling it re-resolves those hashes within the batch,
+        # so the exact stage reproduces the first run's decisions
+        # instead of marking every kept doc an exact-dup of ITSELF.
+        # Defense in depth, not a retry guarantee: the near stage is
+        # not safe against re-curating an already-extended batch (see
+        # extend_dedup_index's orchestration-order docstring — commit
+        # decisions FIRST). Pure expression — nothing extra scans or
+        # shuffles.
+        tagged = tagged.withColumn(
+            "archive_canonical",
+            F.when(
+                F.col("archive_canonical") < F.col("batch_canonical"),
+                F.col("archive_canonical"),
+            ),
         )
         if cleanup is not None:
             tagged = tagged.persist()

@@ -61,9 +61,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionAll(
         docs.select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text")
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
     return (
-        corpus.withColumn("content_hash", F.sha2(norm, 256))
+        corpus.withColumn("content_hash", content_hash_expr())
         .groupBy("content_hash")
         .agg(
             F.min("doc_id").alias("canonical_id"),
@@ -474,7 +473,18 @@ def build_dedup_index(docs: DataFrame, path: str) -> None:
     exact-dedup (content_hash, canonical_id) map over the same docs —
     so the incremental curator's exact stage joins a stored 40-byte-
     per-doc map instead of re-hashing archive text per batch
-    (:func:`dedup_index_hashes`)."""
+    (:func:`dedup_index_hashes`).
+
+    Build posture (r11 review): build targets a FRESH root (or an
+    offline one) — its tables land via mode("overwrite") at fixed
+    paths, which on a LIVE index would delete files under a
+    concurrent reader's open plan. Live maintenance is the
+    extend/compact/vacuum cycle, whose versioned base+tail dirs and
+    append-only bucket_meta commit exist precisely for that; a
+    periodic full re-freeze of a live index therefore builds into a
+    NEW root and flips consumers to the new path (the same
+    new-generation-new-dir recipe gen_meta gives the vector
+    indexes)."""
     spark = docs.sparkSession
     prepped = shingle_docs(docs).persist()
     prepped.count()
@@ -527,7 +537,25 @@ def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
     caller contract, and readers take min anyway). A legacy index
     without the artifact stays legacy (appending only the batch's
     hashes would masquerade as a COMPLETE map and mis-answer "seen
-    before?" for every archived doc) until a rebuild creates it."""
+    before?" for every archived doc) until a rebuild creates it.
+
+    Orchestration order (r11 review): COMMIT THE BATCH'S DECISIONS
+    FIRST, then extend — extend's input is the kept set, so this is
+    the natural order, and it makes the common crash retryable: a
+    crash before (or mid-) decision-commit leaves the index unchanged
+    and the batch re-curates identically. Once extend has run, the
+    batch IS the standing corpus — re-curating it through
+    run_incremental is outside the contract: the exact stage
+    tolerates it (it ignores the batch's own stored hash entries —
+    defense in depth, see run_incremental), but the near stage would
+    see the batch's own postings on the corpus side and double-count
+    batch-batch co-occurrences across the self and vs-corpus join
+    branches, inflating those Jaccards. A crash MID-extend (partial
+    postings) additionally requires a compaction/rebuild before any
+    further extend — same posture as extend_semantic_index. Each
+    parquet append is committer-atomic per table; the ``hashes``
+    append runs first because an extra hash row is inert (readers
+    take min)."""
     spark = new_docs.sparkSession
     if _dir_has_parquet(spark, f"{path}/hashes"):
         _write_hashes(new_docs, path, "append")
@@ -1669,10 +1697,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of anything data-sized). Within-batch dedup is the same
     single-shuffle groupBy as dedup_exact."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
     archive = (
         docs.where(F.col("doc_id") % 2 == 0)
-        .select(F.sha2(norm, 256).alias("content_hash"))
+        .select(content_hash_expr().alias("content_hash"))
         .distinct()
     )
     incoming = docs.where(F.col("doc_id") % 2 == 1).unionAll(
@@ -1681,7 +1708,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     batch = (
-        incoming.withColumn("content_hash", F.sha2(norm, 256))
+        incoming.withColumn("content_hash", content_hash_expr())
         .groupBy("content_hash")
         .agg(
             F.min("doc_id").alias("canonical_id"),

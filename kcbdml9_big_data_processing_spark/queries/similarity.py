@@ -1108,7 +1108,12 @@ def build_semantic_index(
     spark = corpus.sparkSession
     if blocking not in ("label", "label_ivf"):
         raise ValueError(f"unknown blocking: {blocking!r}")
+    corpus_n = None
     if blocking == "label_ivf" and n_cells is None:
+        # ONE count serves both the small-corpus guard and the
+        # adaptive cell sizing below (r11 review: two counts was a
+        # redundant full-corpus pass per default build).
+        corpus_n = corpus.count()
         # small-corpus recall guard (ADVICE r10): cell blocking exists
         # to BOUND bucket population as the corpus grows; below one
         # target cell's population it bounds nothing and only loses
@@ -1118,7 +1123,7 @@ def build_semantic_index(
         # meta — the CLI's build report prints the stored policy, so
         # the resolution is visible. An explicit ``n_cells`` opts out
         # (the caller pinned the quantizer, e.g. for an oracle twin).
-        if corpus.count() <= target_cell_pop:
+        if corpus_n <= target_cell_pop:
             blocking = "label"
     # crash-safe (r10): all four tables land in a fresh generation
     # dir; the index goes live only at the single gen_meta commit at
@@ -1129,7 +1134,7 @@ def build_semantic_index(
         if n_cells is None:
             import math
 
-            n_cells = max(_IVF_K, math.ceil(corpus.count() / target_cell_pop))
+            n_cells = max(_IVF_K, math.ceil(corpus_n / target_cell_pop))
         cents = _sem_train(corpus, n_cells)
         cents.write.mode("overwrite").parquet(f"{gdir}/cents")
         # relabel against the WRITTEN centroids (re-read, not the

@@ -1209,3 +1209,60 @@ def test_run_incremental_monotonic_id_guard(spark, tmp_path):
         TrainingDataCurator().run_incremental(
             bad_batch, archive, idx, cleanup=[]
         )
+
+
+def test_run_incremental_ignores_batchs_own_index_appends(spark, tmp_path):
+    """r11 review: an out-of-order orchestrator that extends the index
+    BEFORE committing decisions and then re-runs the batch must not
+    see the batch's own appended hash entries as archive — the old
+    behavior marked every kept doc an exact_dup of ITSELF (canonical
+    == doc_id) and the monotonic guard hard-failed the cleanup path.
+    The exact stage's decisions must reproduce the first run's, and
+    genuine archive redeliveries must still resolve to the archive."""
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    archive = spark.createDataFrame(
+        [(1, words("a1")), (2, words("a2"))], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "retry_idx")
+    build_dedup_index(archive, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (101, words("b101")),  # genuinely new
+            (102, words("a2")),  # exact redelivery of archived 2
+            (103, words("b101")),  # exact dup within batch
+        ],
+        "doc_id long, text string",
+    )
+    curator = TrainingDataCurator()
+    first = {
+        r["doc_id"]: (r["reason"], r["canonical_id"])
+        for r in curator.run_incremental(batch, archive, idx)[1].collect()
+    }
+    assert first == {
+        101: (REASON_KEPT, None),
+        102: (REASON_EXACT_DUP, 2),
+        103: (REASON_EXACT_DUP, 101),
+    }
+
+    # crashed-before-commit orchestrator already extended with kept
+    extend_dedup_index(
+        batch.where(F.col("doc_id") == 101), idx
+    )
+    cleanup = []
+    retry = {
+        r["doc_id"]: (r["reason"], r["canonical_id"])
+        for r in curator.run_incremental(
+            batch, archive, idx, cleanup=cleanup
+        )[1].collect()
+    }
+    assert retry == first  # no self-dup rows, no guard false-positive
+    for f in cleanup:
+        f.unpersist()
