@@ -209,7 +209,12 @@ def _index_stats(spark, family: str, path: str) -> int:
             _bucket_meta,
             _tail_dir,
         )
+        from .queries.similarity import _gen_current
 
+        # r11: ngram builds are generational too — resolve like the
+        # vector families below
+        path = _gen_current(spark, path)
+        print(f"generation_dir={path}")
         meta = _bucket_meta(spark, path)
         tail = _tail_dir(meta, path)
         print(f"stop_shingles={rows(f'{path}/stop', _STOP_SCHEMA)}")

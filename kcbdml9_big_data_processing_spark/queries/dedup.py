@@ -447,6 +447,9 @@ def dedup_index_hashes(spark: SparkSession, path: str) -> DataFrame | None:
     semi-join) and aggregates the batch-sized survivor set. Under the
     extend contract each hash appears once, so scan-level aggregates
     (the monotonic-id guard's max) are exact on the raw rows."""
+    from .similarity import _gen_current
+
+    path = _gen_current(spark, path)
     if not _dir_has_parquet(spark, f"{path}/hashes"):
         return None
     return spark.read.schema(_HASHES_SCHEMA).parquet(f"{path}/hashes")
@@ -475,21 +478,28 @@ def build_dedup_index(docs: DataFrame, path: str) -> None:
     per-doc map instead of re-hashing archive text per batch
     (:func:`dedup_index_hashes`).
 
-    Build posture (r11 review): build targets a FRESH root (or an
-    offline one) — its tables land via mode("overwrite") at fixed
-    paths, which on a LIVE index would delete files under a
-    concurrent reader's open plan. Live maintenance is the
-    extend/compact/vacuum cycle, whose versioned base+tail dirs and
-    append-only bucket_meta commit exist precisely for that; a
-    periodic full re-freeze of a live index therefore builds into a
-    NEW root and flips consumers to the new path (the same
-    new-generation-new-dir recipe gen_meta gives the vector
-    indexes)."""
+    Crash-safe generations (r11, completing the r10 recipe for EVERY
+    index family): the build stages all three tables into a fresh
+    ``{path}/g{N}`` dir and goes live only at the single gen_meta
+    commit append — a periodic full re-freeze over a LIVE root is
+    therefore safe (a crash anywhere before the commit leaves the
+    previous generation fully current, a retry restages the same
+    dir), and readers planned against the previous generation finish
+    against its intact files (delete only via
+    similarity.vacuum_index_generations, retention-not-locking).
+    Every reader/extender resolves the root through the committed
+    generation first; pre-generation indexes (no gen_meta) resolve to
+    the root itself — fully backward compatible. Single writer per
+    root, as for the vector indexes (see similarity._GEN_CACHE)."""
+    from .similarity import _gen_begin, _gen_commit
+
     spark = docs.sparkSession
+    root = path
+    gdir, v = _gen_begin(spark, root)
     prepped = shingle_docs(docs).persist()
     prepped.count()
     try:
-        _write_hashes(docs, path, "overwrite")
+        _write_hashes(docs, gdir, "overwrite")
         (
             prepped.select(F.explode("sh").alias("k"))
             .groupBy("k")
@@ -497,13 +507,13 @@ def build_dedup_index(docs: DataFrame, path: str) -> None:
             .where(F.col("df") > _DF_CAP)
             .select("k")
             .write.mode("overwrite")
-            .parquet(f"{path}/stop")
+            .parquet(f"{gdir}/stop")
         )
         # cap against the WRITTEN stop set (re-read, not the lineage):
         # the stored index is the source of truth searches will read
         stop_arr = (
             spark.read.schema(_STOP_SCHEMA)
-            .parquet(f"{path}/stop")
+            .parquet(f"{gdir}/stop")
             .agg(F.collect_list("k").alias("stop"))
         )
         (
@@ -515,8 +525,10 @@ def build_dedup_index(docs: DataFrame, path: str) -> None:
                 F.explode("sh").alias("k"),
             )
             .write.mode("overwrite")
-            .parquet(f"{path}/postings")
+            .parquet(f"{gdir}/postings")
         )
+        # COMMIT: the index flips to this generation atomically
+        _gen_commit(spark, root, gdir, v)
     finally:
         prepped.unpersist()
 
@@ -556,7 +568,10 @@ def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
     parquet append is committer-atomic per table; the ``hashes``
     append runs first because an extra hash row is inert (readers
     take min)."""
+    from .similarity import _gen_current
+
     spark = new_docs.sparkSession
+    path = _gen_current(spark, path)
     if _dir_has_parquet(spark, f"{path}/hashes"):
         _write_hashes(new_docs, path, "append")
     stop_arr = (
@@ -610,7 +625,15 @@ def compact_dedup_index(
     garbage-collected by :func:`vacuum_dedup_index` with ``retain``
     generations kept, so an in-flight reader of the previous version
     finishes safely (delete happens >= one full compaction cycle
-    later)."""
+    later).
+
+    Under a generational root (r11) the compaction operates INSIDE
+    the current committed generation dir — its versioned base+tail
+    and bucket_meta are per-generation; a rebuild starts the next
+    generation fresh and unbucketed."""
+    from .similarity import _gen_current
+
+    path = _gen_current(spark, path)
     meta = _bucket_meta(spark, path)
     post = spark.read.schema(_POSTINGS_SCHEMA).parquet(_tail_dir(meta, path))
     version = 1
@@ -657,7 +680,12 @@ def vacuum_dedup_index(spark: SparkSession, path: str, retain: int = 2) -> None:
     creates N+1 (with the default ``retain=2``, N's dirs are deleted
     only when N+2 is committed — a full maintenance cycle later).
     Meta rows are never pruned: they are one skinny row per
-    compaction and the max-version read ignores stale ones."""
+    compaction and the max-version read ignores stale ones. Whole
+    superseded BUILD generations are vacuumed separately by
+    similarity.vacuum_index_generations."""
+    from .similarity import _gen_current
+
+    path = _gen_current(spark, path)
     meta = _bucket_meta(spark, path)
     if meta is None:
         return
@@ -793,6 +821,9 @@ def dedup_against_index(
     append tail joins as a (small) third branch. Counts stay complete
     per branch: a corpus doc's postings live entirely in the base or
     entirely in the tail (extends append whole documents)."""
+    from .similarity import _gen_current
+
+    path = _gen_current(spark, path)
     threshold = _JACCARD_MIN if jaccard_min is None else jaccard_min
     stop_arr = (
         spark.read.schema(_STOP_SCHEMA)

@@ -797,6 +797,13 @@ def test_dedup_index_compaction_bucketed_base(spark, tmp_path):
 
     path = str(tmp_path / "idx")
     build_dedup_index(archive, path)
+    # white-box internals below read fixed paths — resolve the build's
+    # committed generation dir once (r11 generational builds)
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _gen_current,
+    )
+
+    path = _gen_current(spark, path)
 
     def results(batch):
         return {
@@ -942,6 +949,13 @@ def test_dedup_index_crash_recovery_and_vacuum(spark, tmp_path):
 
     try:
         build_dedup_index(archive, path)
+        # white-box file surgery below targets fixed paths — pin the
+        # committed generation dir (r11 generational builds)
+        from kcbdml9_big_data_processing_spark.queries.similarity import (
+            _gen_current,
+        )
+
+        path = _gen_current(spark, path)
         compact_dedup_index(spark, path, n_buckets=4)  # v1
         extend_dedup_index(batch1, path)  # lands in tail_v1
         pre_v2 = results()
@@ -1546,3 +1560,78 @@ def test_gen_meta_absence_is_fs_checked(spark, tmp_path):
     os.makedirs(f"{root}/gen_meta", exist_ok=True)
     assert _gen_meta_row(spark, root) is None
     assert _gen_current(spark, root) == root
+
+
+def test_dedup_index_build_generations_crash_safe(spark, tmp_path):
+    """r11: the ngram/hashes index family gets the same crash-safe
+    BUILD generations as the vector indexes — a full re-freeze over a
+    LIVE root stages into g{N} and flips atomically at the gen_meta
+    commit; an uncommitted staging dir (crash-sim) is invisible to
+    readers; superseded generations vacuum with retention."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_index_hashes,
+        extend_dedup_index,
+    )
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _gen_begin,
+        vacuum_index_generations,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    root = str(tmp_path / "gen_root")
+    v1 = spark.createDataFrame(
+        [(1, words("a1")), (2, words("a2"))], "doc_id long, text string"
+    )
+    build_dedup_index(v1, root)
+    assert os.path.isdir(f"{root}/g1")
+    # extend resolves into the committed generation
+    extend_dedup_index(
+        spark.createDataFrame([(50, words("e50"))], "doc_id long, text string"),
+        root,
+    )
+    stored = dedup_index_hashes(spark, root)
+    assert {r["canonical_id"] for r in stored.collect()} == {1, 2, 50}
+
+    # REBUILD over the live root: new generation, readers flip
+    v2 = spark.createDataFrame(
+        [(1, words("a1")), (2, words("a2")), (3, words("a3"))],
+        "doc_id long, text string",
+    )
+    build_dedup_index(v2, root)
+    assert os.path.isdir(f"{root}/g2")
+    assert {
+        r["canonical_id"] for r in dedup_index_hashes(spark, root).collect()
+    } == {1, 2, 3}
+    batch = spark.createDataFrame(
+        [(101, " ".join(words("a3").split()[:-1]))], "doc_id long, text string"
+    )
+    pairs = dedup_against_index(spark, root, batch)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs.collect()} == {(3, 101)}
+
+    # crash-sim: a staging dir written but never committed is invisible
+    gdir, v = _gen_begin(spark, root)
+    assert (gdir, v) == (f"{root}/g3", 3)
+    os.makedirs(gdir, exist_ok=True)
+    spark.createDataFrame(
+        [("deadbeef", 999)], "content_hash string, canonical_id long"
+    ).write.mode("overwrite").parquet(f"{gdir}/hashes")
+    assert {
+        r["canonical_id"] for r in dedup_index_hashes(spark, root).collect()
+    } == {1, 2, 3}
+
+    # a third committed build supersedes; vacuum retains the last two
+    build_dedup_index(v1, root)  # commits g3 (restages the crashed dir)
+    vacuum_index_generations(spark, root, retain=2)
+    assert not os.path.isdir(f"{root}/g1")
+    assert os.path.isdir(f"{root}/g2") and os.path.isdir(f"{root}/g3")
+    assert {
+        r["canonical_id"] for r in dedup_index_hashes(spark, root).collect()
+    } == {1, 2}

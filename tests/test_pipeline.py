@@ -1130,7 +1130,11 @@ def test_run_incremental_legacy_index_falls_back_to_archive(
     )
     idx = str(tmp_path / "legacy_idx")
     build_dedup_index(archive, idx)
-    shutil.rmtree(f"{idx}/hashes")
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _gen_current,
+    )
+
+    shutil.rmtree(f"{_gen_current(spark, idx)}/hashes")
     assert dedup_index_hashes(spark, idx) is None
 
     batch = spark.createDataFrame(
