@@ -121,7 +121,11 @@ def _index_main(argv: list[str], spark=None) -> int:
             elif args.action == "compact":
                 D.compact_dedup_index(spark, path)
             elif args.action == "vacuum":
+                # both GC layers (r11): superseded compaction dirs
+                # inside the current generation, then whole superseded
+                # build generations
                 D.vacuum_dedup_index(spark, path)
+                S.vacuum_index_generations(spark, path)
             else:
                 result = D.dedup_against_index(spark, path, docs())
         elif args.family == "semantic":

@@ -662,10 +662,18 @@ class TrainingDataCurator:
                 .agg(F.min("arch_id").alias("archive_canonical"))
             )
             if cleanup is not None:
-                # same guard on the legacy path (r11 review): the
-                # caller's archive frame is in hand — one agg rides
-                # the same scan the fallback map derivation pays
-                arch_max = archive.agg(F.max("doc_id").alias("m")).first()["m"]
+                # same guard on the legacy path (r11 review). The map
+                # derivation is persisted so the guard's max and the
+                # exact-stage join share ONE archive scan (an agg on
+                # the raw frame would be a second full pass); max of
+                # min-per-hash equals max doc_id because the archive
+                # precondition (a prior run's kept set) makes it
+                # exact-dup-free — every id is its own hash's min.
+                arch_canon = arch_canon.persist()
+                cleanup.append(arch_canon)
+                arch_max = arch_canon.agg(
+                    F.max("archive_canonical").alias("m")
+                ).first()["m"]
                 batch_min = batch.agg(F.min("doc_id").alias("m")).first()["m"]
                 _assert_monotonic(arch_max, batch_min)
         tagged = hashed.join(batch_canon, "content_hash").join(
@@ -683,7 +691,15 @@ class TrainingDataCurator:
         # not safe against re-curating an already-extended batch (see
         # extend_dedup_index's orchestration-order docstring — commit
         # decisions FIRST). Pure expression — nothing extra scans or
-        # shuffles.
+        # shuffles. Known residual (r11 review, accepted): a caller
+        # that redelivers an ARCHIVED doc with its ORIGINAL archive id
+        # as "batch" input is indistinguishable from a legit retry at
+        # this layer — the doc re-keeps instead of raising. The guard
+        # still catches every such replay whose batch also contains
+        # ids below some other true-archive id; only a replay of the
+        # max-id region masks fully. Both inputs breach the monotonic
+        # contract; the retry is the operationally common one, so the
+        # trade goes to idempotence.
         tagged = tagged.withColumn(
             "archive_canonical",
             F.when(

@@ -571,7 +571,7 @@ def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
     from .similarity import _gen_current
 
     spark = new_docs.sparkSession
-    path = _gen_current(spark, path)
+    path = _gen_current(spark, path, cached=False)
     if _dir_has_parquet(spark, f"{path}/hashes"):
         _write_hashes(new_docs, path, "append")
     stop_arr = (
@@ -633,7 +633,7 @@ def compact_dedup_index(
     generation fresh and unbucketed."""
     from .similarity import _gen_current
 
-    path = _gen_current(spark, path)
+    path = _gen_current(spark, path, cached=False)
     meta = _bucket_meta(spark, path)
     post = spark.read.schema(_POSTINGS_SCHEMA).parquet(_tail_dir(meta, path))
     version = 1
@@ -685,7 +685,7 @@ def vacuum_dedup_index(spark: SparkSession, path: str, retain: int = 2) -> None:
     similarity.vacuum_index_generations."""
     from .similarity import _gen_current
 
-    path = _gen_current(spark, path)
+    path = _gen_current(spark, path, cached=False)
     meta = _bucket_meta(spark, path)
     if meta is None:
         return

@@ -534,14 +534,23 @@ def _gen_meta_row(spark: SparkSession, path: str):
     )
 
 
-def _gen_current(spark: SparkSession, path: str) -> str:
+def _gen_current(spark: SparkSession, path: str, cached: bool = True) -> str:
     """The current committed generation dir of an index root —
     ``{path}/g{N}`` for the max committed N, or ``path`` itself for a
-    legacy flat (pre-r10) or not-yet-built index."""
+    legacy flat (pre-r10) or not-yet-built index.
+
+    ``cached=False`` re-reads gen_meta — for WRITERS (extend, compact,
+    vacuum): a long-lived worker holding the process cache must not
+    keep appending into a generation another process's rebuild has
+    superseded (r11 review — the appends would land in a dir the next
+    generation-vacuum deletes). Readers keep the cache: serving the
+    generation they planned against until their next resolution is
+    exactly the retention posture vacuum assumes."""
     key = (spark.sparkContext.applicationId, path)
-    hit = _GEN_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if cached:
+        hit = _GEN_CACHE.get(key)
+        if hit is not None:
+            return hit
     row = _gen_meta_row(spark, path)
     cur = path if row is None else row["dir"]
     _GEN_CACHE[key] = cur
@@ -567,22 +576,47 @@ def _gen_commit(spark: SparkSession, path: str, gdir: str, version: int) -> None
     _GEN_CACHE[(spark.sparkContext.applicationId, path)] = gdir
 
 
+#: root-level artifact dirs a pre-generation (legacy flat) index may
+#: carry, across every family — what ``drop_legacy_root`` reclaims.
+_LEGACY_ARTIFACT_RE = (
+    r"hashes|stop|postings|postings_(?:bucketed|tail)_v\d+|bucket_meta"
+    r"|centroids|cells|book|codes|vecs|bands|meta|cents"
+)
+
+
 def vacuum_index_generations(
-    spark: SparkSession, path: str, retain: int = 2
+    spark: SparkSession, path: str, retain: int = 2, drop_legacy_root: bool = False
 ) -> None:
     """Delete superseded index generations, keeping the ``retain``
-    most recent (current included) — the IVF/PQ/semantic sibling of
-    vacuum_dedup_index, with the same retention-not-locking safety: a
-    reader planned against generation N survives the rebuild that
-    commits N+1, and N's dir is deleted only once N+retain exists.
-    Meta rows are never pruned (one skinny row per rebuild; the
-    max-version read ignores stale ones). A legacy flat layout at the
-    root is left untouched."""
+    most recent (current included) — the generational sibling of
+    vacuum_dedup_index (which prunes compaction dirs INSIDE a
+    generation), with the same retention-not-locking safety: a reader
+    planned against generation N survives the rebuild that commits
+    N+1, and N's dir is deleted only once N+retain exists. Meta rows
+    are never pruned (one skinny row per rebuild; the max-version
+    read ignores stale ones).
+
+    r11: deleting a generation also drops the ngram family's
+    per-generation bucketed catalog table (compact_dedup_index
+    registers one per generation dir — without the drop, a persistent
+    metastore leaks a stale table pointing at a deleted location per
+    rebuild+compact cycle).
+
+    A legacy flat layout at the root is left untouched by default —
+    after the first generational rebuild over a pre-r11 root those
+    files are superseded but nothing references them, and at corpus
+    scale they are the largest artifact on disk. Pass
+    ``drop_legacy_root=True`` to reclaim them (deletes the known
+    artifact dirs listed in _LEGACY_ARTIFACT_RE and drops the legacy
+    root's bucketed table; only acts when a committed generation
+    exists, so a pure legacy index can never delete itself)."""
     row = _gen_meta_row(spark, path)
     if row is None:
         return
     cutoff = row["version"] - retain + 1
     import re
+
+    from .dedup import _bucketed_table_name
 
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
@@ -591,8 +625,17 @@ def vacuum_index_generations(
     for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
         name = status.getPath().getName()
         m = re.fullmatch(r"g(\d+)", name)
-        if m is not None and int(m.group(1)) < cutoff:
+        doomed = m is not None and int(m.group(1)) < cutoff
+        if drop_legacy_root and re.fullmatch(_LEGACY_ARTIFACT_RE, name):
+            doomed = True
+        if doomed:
+            tbl = _bucketed_table_name(str(status.getPath().toUri().getPath()))
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             fs.delete(status.getPath(), True)
+    if drop_legacy_root:
+        # the legacy root's own bucketed table (if it was compacted
+        # pre-generations) hashes the ROOT path
+        spark.sql(f"DROP TABLE IF EXISTS {_bucketed_table_name(path)}")
 
 
 def ivf_ann_cosine(
@@ -1200,7 +1243,7 @@ def extend_semantic_index(new_corpus: DataFrame, path: str) -> None:
     re-run, would duplicate vec rows — rebuild (build_semantic_index)
     instead, exactly as for a lost batch."""
     spark = new_corpus.sparkSession
-    path = _gen_current(spark, path)
+    path = _gen_current(spark, path, cached=False)
     new_corpus = _block_label_for_index(spark, path, new_corpus)
     planes = _planes()
     band_w = _N_PLANES // _N_BANDS
@@ -2164,7 +2207,7 @@ def extend_pq_index(new_emb: DataFrame, path: str) -> None:
     argmin assignment under the stored book, extension is
     batch-split invariant, and searches see the new vectors."""
     spark = new_emb.sparkSession
-    path = _gen_current(spark, path)
+    path = _gen_current(spark, path, cached=False)
     book = spark.read.parquet(f"{path}/book")
     codes = _pq_assign(_pq_explode(new_emb), book)
     w = Window.partitionBy("vec_id", "m").orderBy("dist_f", "code")
@@ -2190,7 +2233,7 @@ def extend_ivf_index(new_emb: DataFrame, path: str) -> None:
     answer probes identically) and the appended rows are exactly the
     argmin assignment against the stored centroids."""
     spark = new_emb.sparkSession
-    path = _gen_current(spark, path)
+    path = _gen_current(spark, path, cached=False)
     stored = spark.read.parquet(f"{path}/centroids")
     d = _sqdist_cells(_ivf_explode(new_emb), stored)
     w = Window.partitionBy("vec_id").orderBy("dist_f", "cell")

@@ -1635,3 +1635,85 @@ def test_dedup_index_build_generations_crash_safe(spark, tmp_path):
     assert {
         r["canonical_id"] for r in dedup_index_hashes(spark, root).collect()
     } == {1, 2}
+
+
+def test_gen_writers_resolve_uncached_and_legacy_vacuum(spark, tmp_path):
+    """r11 review hardening: (a) WRITERS re-read gen_meta instead of
+    trusting the process-lifetime cache — a rebuild committed by
+    another process must not leave a long-lived extend worker
+    appending into the superseded generation; (b)
+    vacuum_index_generations(drop_legacy_root=True) reclaims a
+    pre-generation root's artifact dirs once a committed generation
+    exists, and never acts on a pure legacy root."""
+    import os
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+        dedup_index_hashes,
+        extend_dedup_index,
+    )
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _GEN_CACHE,
+        _GEN_META_SCHEMA,
+        vacuum_index_generations,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    root = str(tmp_path / "writer_root")
+    build_dedup_index(
+        spark.createDataFrame([(1, words("a1"))], "doc_id long, text string"),
+        root,
+    )
+    # reader caches g1
+    assert dedup_index_hashes(spark, root).count() == 1
+
+    # simulate ANOTHER PROCESS committing g2: stage + meta append
+    # without touching this process's cache
+    g2 = f"{root}/g2"
+    spark.createDataFrame(
+        [("h2", 2)], "content_hash string, canonical_id long"
+    ).write.mode("overwrite").parquet(f"{g2}/hashes")
+    spark.read.parquet(f"{root}/g1/stop").write.mode("overwrite").parquet(
+        f"{g2}/stop"
+    )
+    spark.read.schema("doc_id long, n int, k long").parquet(
+        f"{root}/g1/postings"
+    ).write.mode("overwrite").parquet(f"{g2}/postings")
+    spark.createDataFrame([(g2, 2)], _GEN_META_SCHEMA).write.mode(
+        "append"
+    ).parquet(f"{root}/gen_meta")
+    assert _GEN_CACHE[(spark.sparkContext.applicationId, root)] == f"{root}/g1"
+
+    # the WRITER must land in g2 despite the stale cache
+    extend_dedup_index(
+        spark.createDataFrame([(10, words("e10"))], "doc_id long, text string"),
+        root,
+    )
+    g2_hashes = {
+        r["canonical_id"]
+        for r in spark.read.schema("content_hash string, canonical_id long")
+        .parquet(f"{g2}/hashes")
+        .collect()
+    }
+    assert g2_hashes == {2, 10}
+
+    # (b) legacy-root reclamation: plant legacy artifact dirs at root
+    _GEN_CACHE.pop((spark.sparkContext.applicationId, root), None)
+    for name in ("hashes", "stop", "postings"):
+        spark.createDataFrame([(1,)], "x long").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{name}")
+    vacuum_index_generations(spark, root, retain=2)  # default: untouched
+    assert os.path.isdir(f"{root}/stop")
+    vacuum_index_generations(spark, root, retain=2, drop_legacy_root=True)
+    for name in ("hashes", "stop", "postings"):
+        assert not os.path.isdir(f"{root}/{name}")
+    assert os.path.isdir(f"{root}/g1") and os.path.isdir(g2)
+
+    # a PURE legacy root (no gen_meta) is never touched
+    legacy = str(tmp_path / "pure_legacy")
+    spark.createDataFrame([(1,)], "x long").write.parquet(f"{legacy}/postings")
+    vacuum_index_generations(spark, legacy, drop_legacy_root=True)
+    assert os.path.isdir(f"{legacy}/postings")
