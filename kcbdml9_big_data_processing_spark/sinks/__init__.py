@@ -1,6 +1,18 @@
-"""Batch sinks: JDBC append, partitioned parquet archive."""
+"""Batch sinks: JDBC append, partitioned parquet archive, training
+shards."""
 
 from .jdbc import write_jdbc
 from .parquet import write_partitioned_archive
+from .shards import (
+    read_training_shards,
+    shard_assignments,
+    write_training_shards,
+)
 
-__all__ = ["write_jdbc", "write_partitioned_archive"]
+__all__ = [
+    "write_jdbc",
+    "write_partitioned_archive",
+    "shard_assignments",
+    "write_training_shards",
+    "read_training_shards",
+]

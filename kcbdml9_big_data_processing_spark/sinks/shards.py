@@ -1,0 +1,98 @@
+"""Deterministic training-shard export — the last step of the
+curation pipeline: materialize a curated (and optionally packed)
+corpus as N pseudo-randomly shuffled shards a training job streams.
+
+Why an explicit operator: pre-training data loaders consume SHARDS
+(fixed-count file groups read round-robin by data-parallel workers),
+and the global document order inside them must be (a) shuffled — long
+runs of same-source documents bias gradients — and (b) DETERMINISTIC,
+so a re-run of the export (or of one failed shard) reproduces the
+exact byte stream and a training run is replayable from (corpus,
+salt). ``df.orderBy(rand())`` fails both: non-reproducible and a full
+global sort. The standard recipe (used by large-corpus pipelines and
+matched here) is a keyed-hash permutation:
+
+    shard(id) = xxhash64(id, salt)  mod n_shards
+    pos(id)   = (xxhash64(id, salt + 1), id)    -- order within shard
+
+Both are pure per-row expressions of the stable document id, so shard
+membership and order are independent of the input's partitioning,
+file layout, or cluster size — the property the determinism test pins
+by re-deriving assignments under a hostile repartition. A different
+``salt`` yields a decorrelated permutation: the multi-epoch reshuffle
+is ``salt=epoch`` with no extra machinery (same decorrelation trick
+as operators/sampling.split_and_sample).
+
+Scale shape: one hash-partitioned exchange on ``shard`` (every row
+moves once — the unavoidable cost of a global shuffle), a
+within-partition sort (Tungsten external sort, spills if a shard
+exceeds memory), and a partitioned write. All rows of one shard land
+in ONE task (same key, same partition), so each ``shard=K`` dir holds
+one parquet file whose ROW ORDER is the shard's document order —
+readers stream it without re-sorting. Size ``n_shards`` so a shard
+fits a loader worker's appetite (corpus_bytes / n_shards), the same
+sizing rule as every other partitioned sink here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """The input plus ``shard`` (0..n_shards-1) and ``pos`` (the
+    within-shard sort key). Pure per-row expressions of ``id_col`` —
+    deterministic for any partitioning of ``df``; ties in the 64-bit
+    position hash (collisions across distinct ids) are broken by the
+    id itself, so the total order is exact, not probabilistic."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return df.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(n_shards)).cast(
+            "int"
+        ),
+    ).withColumn("pos", F.xxhash64(F.col(id_col), F.lit(salt + 1)))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    mode: str = "error",
+) -> None:
+    """Export ``df`` as ``{path}/shard=K/`` parquet dirs, one file per
+    shard, rows in the shard's deterministic shuffled order. Every
+    column of ``df`` rides along; ``pos`` is kept in the output so a
+    reader (or a resumed loader) can verify/re-establish order without
+    recomputing hashes."""
+    assigned = shard_assignments(df, n_shards, id_col=id_col, salt=salt)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, shard: int | None = None
+) -> DataFrame:
+    """Read the exported shards (all, or one by number). Within one
+    shard's single file, parquet row order IS the export order; a
+    consumer that concatenates shards re-sorts by (shard, pos) if it
+    needs the global order (loaders normally interleave shards
+    round-robin instead)."""
+    df = spark.read.parquet(path)
+    if shard is not None:
+        df = df.where(F.col("shard") == shard)
+    return df

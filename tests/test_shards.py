@@ -1,0 +1,108 @@
+"""Deterministic training-shard export (sinks/shards.py): shard
+membership and within-shard order are pure functions of (doc_id,
+salt) — partition-layout-independent, replayable, salt-decorrelated —
+and the written layout is one ordered file per shard that reconstructs
+the input exactly.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from kcbdml9_big_data_processing_spark.sinks.shards import (
+    read_training_shards,
+    shard_assignments,
+    write_training_shards,
+)
+from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return read_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_assignments_partition_layout_independent(spark):
+    docs = _docs(spark)
+    base = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assignments(docs, 8, salt=3).collect()
+    }
+    hostile = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assignments(
+            docs.repartition(13).sortWithinPartitions("text"), 8, salt=3
+        ).collect()
+    }
+    assert base == hostile and len(base) == docs.count()
+    shards = {s for s, _ in base.values()}
+    assert shards == set(range(8))  # every shard populated
+    # balance: keyed-hash assignment keeps shards within ~3x of the
+    # mean at this corpus size (a gross skew means a broken hash)
+    from collections import Counter
+
+    counts = Counter(s for s, _ in base.values())
+    assert max(counts.values()) < 3 * (len(base) / 8)
+
+
+def test_salt_decorrelates_epochs(spark):
+    docs = _docs(spark)
+    e0 = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assignments(docs, 8, salt=0).collect()
+    }
+    e1 = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assignments(docs, 8, salt=1).collect()
+    }
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    # a fresh permutation reassigns ~7/8 of docs; anything above half
+    # proves the epochs are decorrelated, not a shifted copy
+    assert moved > len(e0) / 2
+
+
+def test_written_shards_ordered_and_reconstruct(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4, salt=7)
+
+    # one data file per shard: all of a shard's rows land in one task
+    for k in range(4):
+        files = [
+            f
+            for f in glob.glob(f"{path}/shard={k}/*")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (k, files)
+
+    back = read_training_shards(spark, path)
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.collect()} == {
+        r["doc_id"] for r in docs.collect()
+    }
+    # text survives byte-for-byte
+    joined = back.alias("b").join(docs.alias("d"), "doc_id")
+    assert (
+        joined.where(F.col("b.text") != F.col("d.text")).count() == 0
+    )
+    # within one shard, parquet row order IS the export order
+    rows = read_training_shards(spark, path, shard=2).collect()
+    assert rows == sorted(rows, key=lambda r: (r["pos"], r["doc_id"]))
+    # and the order matches the pure assignment function
+    want = [
+        r["doc_id"]
+        for r in shard_assignments(docs, 4, salt=7)
+        .where(F.col("shard") == 2)
+        .orderBy("pos", "doc_id")
+        .collect()
+    ]
+    assert [r["doc_id"] for r in rows] == want
+
+
+def test_rejects_bad_shard_count(spark):
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_assignments(_docs(spark), 0)
