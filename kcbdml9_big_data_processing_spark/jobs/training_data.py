@@ -579,6 +579,17 @@ class TrainingDataCurator:
             )
         null_canon = F.lit(None).cast("long")
         spark = batch.sparkSession
+        # pin ONE index generation for the whole run (r11 review):
+        # the exact stage (stored hash map) and the near stage
+        # (postings search) must read the SAME committed generation —
+        # resolved fresh here (uncached, the writer posture), then
+        # identity-resolved by the index readers below. The caller's
+        # post-decision extend resolves fresh too; a rebuild committing
+        # BETWEEN this run and that extend is two concurrent writers —
+        # outside the single-writer-per-root contract.
+        from ..queries.similarity import _gen_current
+
+        dedup_index_path = _gen_current(spark, dedup_index_path, cached=False)
         q_pass, q_fail = self.quality_gate(batch, cleanup=cleanup)
 
         # exact: within-batch min-id canonical, then archive wins any
@@ -653,29 +664,34 @@ class TrainingDataCurator:
                 batch_min = batch.agg(F.min("doc_id").alias("m")).first()["m"]
                 _assert_monotonic(arch_max, batch_min)
         else:
+            # the per-hash MAX raw id rides the same aggregation as the
+            # canonical min, so the guard below polices the true raw
+            # maximum (a dup-carrying archive — itself a precondition
+            # breach — can hide a violating id behind a small
+            # canonical; max-of-min would miss it, r11 review) without
+            # a second archive pass.
             arch_canon = (
                 archive.select(
                     content_hash_expr().alias("content_hash"),
                     F.col("doc_id").alias("arch_id"),
                 )
                 .groupBy("content_hash")
-                .agg(F.min("arch_id").alias("archive_canonical"))
+                .agg(
+                    F.min("arch_id").alias("archive_canonical"),
+                    F.max("arch_id").alias("_arch_max_id"),
+                )
             )
             if cleanup is not None:
-                # same guard on the legacy path (r11 review). The map
-                # derivation is persisted so the guard's max and the
-                # exact-stage join share ONE archive scan (an agg on
-                # the raw frame would be a second full pass); max of
-                # min-per-hash equals max doc_id because the archive
-                # precondition (a prior run's kept set) makes it
-                # exact-dup-free — every id is its own hash's min.
+                # persisted so the guard's max and the exact-stage
+                # join share ONE archive scan
                 arch_canon = arch_canon.persist()
                 cleanup.append(arch_canon)
                 arch_max = arch_canon.agg(
-                    F.max("archive_canonical").alias("m")
+                    F.max("_arch_max_id").alias("m")
                 ).first()["m"]
                 batch_min = batch.agg(F.min("doc_id").alias("m")).first()["m"]
                 _assert_monotonic(arch_max, batch_min)
+            arch_canon = arch_canon.drop("_arch_max_id")
         tagged = hashed.join(batch_canon, "content_hash").join(
             arch_canon, "content_hash", "left"
         )

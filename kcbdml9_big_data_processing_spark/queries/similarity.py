@@ -609,7 +609,12 @@ def vacuum_index_generations(
     ``drop_legacy_root=True`` to reclaim them (deletes the known
     artifact dirs listed in _LEGACY_ARTIFACT_RE and drops the legacy
     root's bucketed table; only acts when a committed generation
-    exists, so a pure legacy index can never delete itself)."""
+    exists, so a pure legacy index can never delete itself). Unlike
+    g{N} dirs, the legacy root gets NO automatic retention window —
+    the operator supplies it: run the flag one maintenance cycle
+    AFTER the first generational rebuild, once every long-lived
+    process has re-resolved (a process still cached on the root would
+    lose its files mid-plan, r11 review)."""
     row = _gen_meta_row(spark, path)
     if row is None:
         return
@@ -629,7 +634,13 @@ def vacuum_index_generations(
         if drop_legacy_root and re.fullmatch(_LEGACY_ARTIFACT_RE, name):
             doomed = True
         if doomed:
-            tbl = _bucketed_table_name(str(status.getPath().toUri().getPath()))
+            # table names hash the PATH STRING compact registered —
+            # which was built as f"{root}/g{N}" from the caller's own
+            # root string. Reconstruct it the same way rather than
+            # from the Hadoop URI (toUri().getPath() strips scheme and
+            # absolutizes, so it mismatches s3a:// or relative roots —
+            # r11 review).
+            tbl = _bucketed_table_name(f"{path}/{name}")
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             fs.delete(status.getPath(), True)
     if drop_legacy_root:

@@ -12,26 +12,36 @@ salt). ``df.orderBy(rand())`` fails both: non-reproducible and a full
 global sort. The standard recipe (used by large-corpus pipelines and
 matched here) is a keyed-hash permutation:
 
-    shard(id) = xxhash64(id, salt)  mod n_shards
-    pos(id)   = (xxhash64(id, salt + 1), id)    -- order within shard
+    shard(id) = xxhash64(id, salt, 0)  mod n_shards
+    pos(id)   = (xxhash64(id, salt, 1), id)    -- order within shard
 
 Both are pure per-row expressions of the stable document id, so shard
 membership and order are independent of the input's partitioning,
 file layout, or cluster size — the property the determinism test pins
-by re-deriving assignments under a hostile repartition. A different
-``salt`` yields a decorrelated permutation: the multi-epoch reshuffle
-is ``salt=epoch`` with no extra machinery (same decorrelation trick
-as operators/sampling.split_and_sample).
+by re-deriving assignments under a hostile repartition. The two
+hashes are DOMAIN-SEPARATED by the trailing 0/1 column (not derived
+as salt and salt+1 — that would make epoch e's sort key byte-equal to
+epoch e+1's shard hash, coupling consecutive epochs). A different
+``salt`` therefore yields an independent permutation: the multi-epoch
+reshuffle is ``salt=epoch`` with no extra machinery — the same
+decorrelation posture as operators/sampling.split_assign vs
+deterministic_sample (decorrelated by salting one of two otherwise
+identical bucket hashes).
 
 Scale shape: one hash-partitioned exchange on ``shard`` (every row
 moves once — the unavoidable cost of a global shuffle), a
 within-partition sort (Tungsten external sort, spills if a shard
 exceeds memory), and a partitioned write. All rows of one shard land
 in ONE task (same key, same partition), so each ``shard=K`` dir holds
-one parquet file whose ROW ORDER is the shard's document order —
-readers stream it without re-sorting. Size ``n_shards`` so a shard
-fits a loader worker's appetite (corpus_bytes / n_shards), the same
-sizing rule as every other partitioned sink here.
+one parquet file whose ROW ORDER is the shard's document order. The
+exchange over-provisions partitions (16x the shard count): Spark
+hash-partitions on murmur3(shard) mod P, and with P == n_shards
+distinct shard values collide into shared tasks (~2-3x skew on the
+unlucky task's external sort); at 16x the expected colliding pairs
+are n/32 and empty partitions cost nothing (AQE coalesces them).
+Size ``n_shards`` so a shard fits a loader worker's appetite
+(corpus_bytes / n_shards), the same sizing rule as every other
+partitioned sink here.
 """
 
 from __future__ import annotations
@@ -55,10 +65,11 @@ def shard_assignments(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     return df.withColumn(
         "shard",
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(n_shards)).cast(
-            "int"
-        ),
-    ).withColumn("pos", F.xxhash64(F.col(id_col), F.lit(salt + 1)))
+        F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(salt), F.lit(0)),
+            F.lit(n_shards),
+        ).cast("int"),
+    ).withColumn("pos", F.xxhash64(F.col(id_col), F.lit(salt), F.lit(1)))
 
 
 def write_training_shards(
@@ -76,7 +87,7 @@ def write_training_shards(
     recomputing hashes."""
     assigned = shard_assignments(df, n_shards, id_col=id_col, salt=salt)
     (
-        assigned.repartition(n_shards, "shard")
+        assigned.repartition(max(n_shards * 16, 64), "shard")
         .sortWithinPartitions("shard", "pos", id_col)
         .write.mode(mode)
         .partitionBy("shard")
@@ -85,14 +96,26 @@ def write_training_shards(
 
 
 def read_training_shards(
-    spark: SparkSession, path: str, shard: int | None = None
+    spark: SparkSession,
+    path: str,
+    shard: int | None = None,
+    ordered: bool = False,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Read the exported shards (all, or one by number). Within one
-    shard's single file, parquet row order IS the export order; a
-    consumer that concatenates shards re-sorts by (shard, pos) if it
-    needs the global order (loaders normally interleave shards
-    round-robin instead)."""
+    """Read the exported shards (all, or one by number).
+
+    The export-order guarantee is FILE-level: within one shard's
+    single file, parquet ROW order is the export order — but Spark
+    splits files larger than spark.sql.files.maxPartitionBytes into
+    several read partitions whose order follows split size, not file
+    offset, so a collect over a big shard does NOT stream in export
+    order by itself. Pass ``ordered=True`` to re-establish the
+    deterministic order with an explicit sort on the stored keys (a
+    loader that interleaves shards round-robin reads each shard
+    sequentially and doesn't need it)."""
     df = spark.read.parquet(path)
     if shard is not None:
         df = df.where(F.col("shard") == shard)
+    if ordered:
+        df = df.orderBy("shard", "pos", id_col)
     return df

@@ -89,9 +89,17 @@ def test_written_shards_ordered_and_reconstruct(spark, tmp_path):
     assert (
         joined.where(F.col("b.text") != F.col("d.text")).count() == 0
     )
-    # within one shard, parquet row order IS the export order
+    # within one shard's single FILE, parquet row order IS the export
+    # order (this shard is one split at this size; big shards need
+    # ordered=True — the guarantee is file-level)
     rows = read_training_shards(spark, path, shard=2).collect()
     assert rows == sorted(rows, key=lambda r: (r["pos"], r["doc_id"]))
+    # the explicit ordered read gives the same stream regardless of
+    # split layout
+    assert (
+        read_training_shards(spark, path, shard=2, ordered=True).collect()
+        == rows
+    )
     # and the order matches the pure assignment function
     want = [
         r["doc_id"]
