@@ -61,6 +61,15 @@ def _bucket(id_col: str | Column, salt: str | None = None) -> Column:
     return F.pmod(h48(id_str), F.lit(_RESOLUTION))
 
 
+def h48_sql(arg: str) -> str:
+    """DuckDB twin of :func:`h48` — the portable 48-bit hash as SQL
+    over an already-VARCHAR expression. Single SQL definition so the
+    bucket oracle below and the shard-export oracle
+    (sinks/shards.py) cannot drift from each other or from the Spark
+    side."""
+    return f"CAST(('0x' || substr(sha256({arg}), 1, 12)) AS BIGINT)"
+
+
 def bucket_sql(id_expr: str, salt: str | None = None) -> str:
     """DuckDB twin of :func:`_bucket` — used by the registry oracle."""
     arg = (
@@ -68,10 +77,7 @@ def bucket_sql(id_expr: str, salt: str | None = None) -> str:
         if salt is None
         else f"'{salt}:' || CAST({id_expr} AS VARCHAR)"
     )
-    return (
-        f"(CAST(('0x' || substr(sha256({arg}), 1, 12))"
-        f" AS BIGINT) % {_RESOLUTION})"
-    )
+    return f"({h48_sql(arg)} % {_RESOLUTION})"
 
 
 def _threshold(frac: float) -> int:

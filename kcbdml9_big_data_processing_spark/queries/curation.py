@@ -52,6 +52,7 @@ from ..operators.text_quality import (
     repeated_spans,
     repetition_signals,
 )
+from ..sinks.shards import pos_sql, shard_assignments, shard_sql
 from ..sources.parquet import read_table
 from .dedup import _truncate_lineage
 from .registry import register
@@ -79,6 +80,10 @@ _CAP_N = 15
 #: produce multi-chunk output, so boundaries are non-vacuous)
 _CHUNK_TOKENS = 16
 _CHUNK_OVERLAP = 4
+#: training-shard export keying (sinks/shards.py): shard count + the
+#: epoch salt the variants pin — membership AND the exact permutation
+_SHARD_N = 8
+_SHARD_SALT = 12
 
 
 def _mix_threshold_sql() -> str:
@@ -314,6 +319,14 @@ def quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / CAST(COUNT(*) AS DOUBLE)
         FROM occ JOIN tok_counts USING (tok) CROSS JOIN tok_total
         GROUP BY doc_id
+        UNION ALL
+        SELECT 'shard', doc_id,
+               CAST({shard_sql('doc_id', _SHARD_N, _SHARD_SALT)} AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'shard_pos', doc_id,
+               CAST({pos_sql('doc_id', _SHARD_SALT)} AS DOUBLE)
+        FROM documents
     """,
     headline=True,
 )
@@ -349,16 +362,23 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``rarity``: :func:`rarity_scores` mean fixed-point inverse
       unigram frequency — the corpus-statistics quality signal (the
       CCNet perplexity-bucket stand-in), integer arithmetic end to
-      end so the value hash applies exactly.
+      end so the value hash applies exactly;
+    - ``shard`` / ``shard_pos``: the training-shard export's keying
+      (sinks/shards.shard_assignments — the same function
+      write_training_shards uses): shard membership and the exact
+      48-bit within-shard sort key, h48-keyed so DuckDB reproduces
+      the full deterministic permutation bit-for-bit (r11 verdict:
+      the export was the one operator family with no oracle row).
 
-    Shapes: sample/mix/rep_*/split are pure scans; prune and cap are
+    Shapes: sample/mix/rep_*/split/shard/shard_pos are pure scans;
+    prune and cap are
     one window shuffle each (lang / source) planning partial top-n
     (WindowGroupLimit); pack is one window shuffle on its shard key;
     contamination broadcasts only the benchmark shingles — the corpus
     never shuffles anywhere. The MODEL-based quality signal (linear
     classifier inference) is its own row, ``quality_clf``.
 
-    The eleven variants compose off ONE persisted ``documents`` scan (r7:
+    The thirteen variants compose off ONE persisted ``documents`` scan (r7:
     previously each union branch re-scanned the table — fine for
     independence, wasteful for the suite as benched); the modest
     long-format result is eagerly lineage-truncated so every cache
@@ -440,6 +460,24 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rar = rarity_scores(docs).select(
         F.lit("rarity").alias("variant"), "doc_id", F.col("rarity").alias("value")
     )
+    # the training-shard export's keying (r11 verdict #1: the export
+    # was the one operator with no driver oracle row). The SAME
+    # shard_assignments the writer uses — membership ('shard') plus
+    # the within-shard sort key ('shard_pos', 48-bit so the DOUBLE
+    # melt carries it exactly) pin the full deterministic permutation
+    # cross-engine; pure per-row expressions, so both variants ride
+    # the persisted scan shuffle-free.
+    sh = shard_assignments(docs.select("doc_id"), _SHARD_N, salt=_SHARD_SALT)
+    shard_v = sh.select(
+        F.lit("shard").alias("variant"),
+        "doc_id",
+        F.col("shard").cast("double").alias("value"),
+    )
+    shard_pos_v = sh.select(
+        F.lit("shard_pos").alias("variant"),
+        "doc_id",
+        F.col("pos").cast("double").alias("value"),
+    )
     chunk = chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
     ).select(
@@ -465,6 +503,8 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(chunk)
         .unionAll(span)
         .unionAll(rar)
+        .unionAll(shard_v)
+        .unionAll(shard_pos_v)
     )
     # eager truncation materializes the (small, long-format) result
     # off the caches, which are then safe to release immediately

@@ -12,21 +12,28 @@ salt). ``df.orderBy(rand())`` fails both: non-reproducible and a full
 global sort. The standard recipe (used by large-corpus pipelines and
 matched here) is a keyed-hash permutation:
 
-    shard(id) = xxhash64(id, salt, 0)  mod n_shards
-    pos(id)   = (xxhash64(id, salt, 1), id)    -- order within shard
+    shard(id) = h48('shard:<salt>:' || id)  mod n_shards
+    pos(id)   = (h48('pos:<salt>:'   || id), id)   -- order in shard
 
 Both are pure per-row expressions of the stable document id, so shard
 membership and order are independent of the input's partitioning,
 file layout, or cluster size — the property the determinism test pins
-by re-deriving assignments under a hostile repartition. The two
-hashes are DOMAIN-SEPARATED by the trailing 0/1 column (not derived
-as salt and salt+1 — that would make epoch e's sort key byte-equal to
-epoch e+1's shard hash, coupling consecutive epochs). A different
-``salt`` therefore yields an independent permutation: the multi-epoch
-reshuffle is ``salt=epoch`` with no extra machinery — the same
-decorrelation posture as operators/sampling.split_assign vs
-deterministic_sample (decorrelated by salting one of two otherwise
-identical bucket hashes).
+by re-deriving assignments under a hostile repartition. The hash is
+the repo's ONE portable hash (operators/sampling.h48 — first 48 bits
+of sha256), not xxhash64: sha256 is computed bit-identically by every
+engine, so shard membership AND the exact within-shard permutation
+are value-hash checkable by the DuckDB oracle (the ``shard`` /
+``shard_pos`` variants of ``llm_curation_suite``) — the same
+portability argument that put h48 under every sampling/mix/split
+operator. sha256 costs more per row than xxhash64, but the export's
+cost is its global shuffle + external sort; two extra hashes per row
+ride the same scan for noise. The two hash ROLES are domain-separated
+by the ``shard:`` / ``pos:`` prefixes (never derived as salt and
+salt+1 — that would make epoch e's sort key equal epoch e+1's shard
+hash, coupling consecutive epochs), and the salt is folded into the
+hashed string, so ``salt=epoch`` yields an independent permutation
+per epoch with no extra machinery — the same decorrelation posture as
+operators/sampling.split_assign vs deterministic_sample.
 
 Scale shape: one hash-partitioned exchange on ``shard`` (every row
 moves once — the unavoidable cost of a global shuffle), a
@@ -46,8 +53,33 @@ partitioned sink here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators.sampling import h48, h48_sql
+
+
+def _role_hash(id_col: str, salt: int, role: str) -> Column:
+    """h48 over ``'<role>:<salt>:<id>'`` — one definition for both
+    roles so the domain-separation recipe cannot drift from its SQL
+    twins below."""
+    return h48(
+        F.concat(F.lit(f"{role}:{salt}:"), F.col(id_col).cast("string"))
+    )
+
+
+def shard_sql(id_expr: str, n_shards: int, salt: int = 0) -> str:
+    """DuckDB twin of the shard-membership hash — the oracle side of
+    the ``shard`` variant in queries/curation.llm_curation_suite."""
+    arg = f"'shard:{salt}:' || CAST({id_expr} AS VARCHAR)"
+    return f"({h48_sql(arg)} % {n_shards})"
+
+
+def pos_sql(id_expr: str, salt: int = 0) -> str:
+    """DuckDB twin of the within-shard position hash (48-bit — exact
+    in a DOUBLE, which is how the oracle melt carries it)."""
+    arg = f"'pos:{salt}:' || CAST({id_expr} AS VARCHAR)"
+    return h48_sql(arg)
 
 
 def shard_assignments(
@@ -58,18 +90,17 @@ def shard_assignments(
 ) -> DataFrame:
     """The input plus ``shard`` (0..n_shards-1) and ``pos`` (the
     within-shard sort key). Pure per-row expressions of ``id_col`` —
-    deterministic for any partitioning of ``df``; ties in the 64-bit
+    deterministic for any partitioning of ``df``; ties in the 48-bit
     position hash (collisions across distinct ids) are broken by the
     id itself, so the total order is exact, not probabilistic."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     return df.withColumn(
         "shard",
-        F.pmod(
-            F.xxhash64(F.col(id_col), F.lit(salt), F.lit(0)),
-            F.lit(n_shards),
-        ).cast("int"),
-    ).withColumn("pos", F.xxhash64(F.col(id_col), F.lit(salt), F.lit(1)))
+        F.pmod(_role_hash(id_col, salt, "shard"), F.lit(n_shards)).cast(
+            "int"
+        ),
+    ).withColumn("pos", _role_hash(id_col, salt, "pos"))
 
 
 def write_training_shards(
@@ -90,6 +121,12 @@ def write_training_shards(
         assigned.repartition(max(n_shards * 16, 64), "shard")
         .sortWithinPartitions("shard", "pos", id_col)
         .write.mode(mode)
+        # pin the one-ordered-file-per-shard invariant against session
+        # conf: a caller-set spark.sql.files.maxRecordsPerFile would
+        # silently split a shard across files, and the file boundary
+        # scrambles order for readers without ordered=True. 0 = never
+        # split; the writer option overrides the session conf.
+        .option("maxRecordsPerFile", 0)
         .partitionBy("shard")
         .parquet(path)
     )
