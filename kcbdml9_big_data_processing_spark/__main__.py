@@ -219,6 +219,17 @@ def _index_stats(spark, family: str, path: str) -> int:
         # vector families below
         path = _gen_current(spark, path)
         print(f"generation_dir={path}")
+        from .queries.dedup import _dir_has_parquet
+
+        if _dir_has_parquet(spark, f"{path}/hashes"):
+            print("exact_hash_map=yes")
+        else:
+            print(
+                "exact_hash_map=MISSING — legacy index:"
+                " run_incremental derives the map from archive text"
+                " (O(archive) per batch); rebuild with"
+                " build_dedup_index to restore O(batch)"
+            )
         meta = _bucket_meta(spark, path)
         tail = _tail_dir(meta, path)
         print(f"stop_shingles={rows(f'{path}/stop', _STOP_SCHEMA)}")

@@ -531,7 +531,12 @@ class TrainingDataCurator:
 
         Legacy indexes (built before the ``hashes`` artifact) fall
         back to deriving the map from ``archive``'s text — correct but
-        O(archive) per batch; rebuild the index to get the stored map.
+        O(archive) per batch (flagged with a RuntimeWarning so the
+        degradation is observable); rebuild the index to get the
+        stored map. On the stored-map path the monotonic-id guard
+        reads the ``hashes_max`` sidecar first — O(1) when the bound
+        already precedes the batch, falling back to the precise
+        anti-join scan only on a possible violation or retry.
 
         Span/rarity policies are corpus-statistics stages — configure
         them on the periodic full run; this path raises if they are
@@ -563,6 +568,7 @@ class TrainingDataCurator:
             content_hash_expr,
             dedup_against_index,
             dedup_index_hashes,
+            dedup_index_hashes_max,
         )
 
         cfg = self.config
@@ -639,31 +645,59 @@ class TrainingDataCurator:
             )
             if cleanup is not None:
                 # cleanup materializes anyway — cheaply assert the
-                # load-bearing monotonic-id precondition from the
-                # stored map (archive is exact-dup-free, so every
-                # archive id IS some hash's canonical) vs the batch.
-                # The batch's OWN (hash, min-id) pairs are anti-joined
-                # out first: a crashed run that already extended the
-                # index appends exactly those pairs, and a retry must
-                # not read its own appends as a violating archive
-                # (r11 review). Broadcast anti-join — the map is
-                # scanned in parallel, never shuffled.
-                own = batch_canon.select(
-                    "content_hash",
-                    F.col("batch_canonical").alias("canonical_id"),
-                )
-                arch_max = (
-                    stored.join(
-                        F.broadcast(own),
-                        ["content_hash", "canonical_id"],
-                        "left_anti",
-                    )
-                    .agg(F.max("canonical_id").alias("m"))
-                    .first()["m"]
-                )
+                # load-bearing monotonic-id precondition. Fast path
+                # (ADVICE r11): the index's hashes_max sidecar is an
+                # O(1) upper bound on every id in the stored map — if
+                # it already precedes the batch, the guard holds with
+                # no scan of the map at all (the common case, and the
+                # last archive-proportional per-batch term gone).
                 batch_min = batch.agg(F.min("doc_id").alias("m")).first()["m"]
-                _assert_monotonic(arch_max, batch_min)
+                sidecar_max = dedup_index_hashes_max(spark, dedup_index_path)
+                if (
+                    sidecar_max is None
+                    or batch_min is None
+                    or sidecar_max >= batch_min
+                ):
+                    # precise check: a sidecar at/past batch_min is a
+                    # genuine violation OR a crashed run's own appends
+                    # (a retry) OR a crash-overstated sidecar — only
+                    # the map itself can tell them apart. The batch's
+                    # OWN (hash, min-id) pairs are anti-joined out
+                    # first: a crashed run that already extended the
+                    # index appends exactly those pairs, and a retry
+                    # must not read its own appends as a violating
+                    # archive (r11 review). Broadcast anti-join — the
+                    # map is scanned in parallel, never shuffled.
+                    own = batch_canon.select(
+                        "content_hash",
+                        F.col("batch_canonical").alias("canonical_id"),
+                    )
+                    arch_max = (
+                        stored.join(
+                            F.broadcast(own),
+                            ["content_hash", "canonical_id"],
+                            "left_anti",
+                        )
+                        .agg(F.max("canonical_id").alias("m"))
+                        .first()["m"]
+                    )
+                    _assert_monotonic(arch_max, batch_min)
         else:
+            # make the O(archive) degradation observable in production
+            # (r11 verdict #2): correct but archive-proportional per
+            # batch — a docstring alone hides it from an operator
+            # watching a daily job slow down as the archive grows
+            import warnings
+
+            warnings.warn(
+                f"dedup index at {dedup_index_path} has no 'hashes'"
+                " artifact — run_incremental is deriving the exact-dedup"
+                " map from archive text (O(archive) per batch); rebuild"
+                " the index with build_dedup_index to restore the"
+                " O(batch) stored-map path",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             # the per-hash MAX raw id rides the same aggregation as the
             # canonical min, so the guard below polices the true raw
             # maximum (a dup-carrying archive — itself a precondition

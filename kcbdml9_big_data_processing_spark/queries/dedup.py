@@ -397,6 +397,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_SCHEMA = "k long"
 _POSTINGS_SCHEMA = "doc_id long, n int, k long"
 _HASHES_SCHEMA = "content_hash string, canonical_id long"
+_HASHES_MAX_SCHEMA = "max_id long"
 
 
 def content_hash_expr(col: str = "text"):
@@ -430,6 +431,50 @@ def _write_hashes(docs: DataFrame, path: str, mode: str) -> None:
         .write.mode(mode)
         .parquet(f"{path}/hashes")
     )
+
+
+def _write_hashes_max(docs: DataFrame, path: str, mode: str) -> None:
+    """Append/overwrite the ``hashes_max`` sidecar — one skinny row
+    per build/extend holding max(doc_id) of the docs whose hashes
+    landed in that write. Readers take the max over all rows, giving
+    run_incremental's monotonic-id guard an O(1) answer instead of a
+    full scan of the hashes map per batch (ADVICE r11: the guard's
+    max-aggregation was the last archive-proportional per-batch term).
+    The sidecar is a conservative UPPER BOUND, never trusted to pass a
+    violation: the guard only fast-paths when sidecar_max < batch_min;
+    anything else (possible violation, a crashed run's self-append, a
+    missing sidecar) falls back to the precise anti-join scan of the
+    map itself. extend_dedup_index appends this BEFORE the hashes
+    append so a crash between the two can only OVERSTATE the max —
+    which costs the retry a precise scan, never masks a violation."""
+    m = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    if m is None:
+        return
+    (
+        docs.sparkSession.createDataFrame([(int(m),)], _HASHES_MAX_SCHEMA)
+        .write.mode(mode)
+        .parquet(f"{path}/hashes_max")
+    )
+
+
+def dedup_index_hashes_max(spark: SparkSession, path: str) -> int | None:
+    """Upper bound on the ids recorded in the stored ``hashes`` map
+    (max over the sidecar's per-write rows), or None when the sidecar
+    is absent (index built before it existed — the precise-scan
+    fallback applies). See :func:`_write_hashes_max` for the crash
+    posture."""
+    from .similarity import _gen_current
+
+    path = _gen_current(spark, path)
+    if not _dir_has_parquet(spark, f"{path}/hashes_max"):
+        return None
+    row = (
+        spark.read.schema(_HASHES_MAX_SCHEMA)
+        .parquet(f"{path}/hashes_max")
+        .agg(F.max("max_id").alias("m"))
+        .first()
+    )
+    return None if row["m"] is None else int(row["m"])
 
 
 def dedup_index_hashes(spark: SparkSession, path: str) -> DataFrame | None:
@@ -500,6 +545,7 @@ def build_dedup_index(docs: DataFrame, path: str) -> None:
     prepped.count()
     try:
         _write_hashes(docs, gdir, "overwrite")
+        _write_hashes_max(docs, gdir, "overwrite")
         (
             prepped.select(F.explode("sh").alias("k"))
             .groupBy("k")
@@ -573,6 +619,10 @@ def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
     spark = new_docs.sparkSession
     path = _gen_current(spark, path, cached=False)
     if _dir_has_parquet(spark, f"{path}/hashes"):
+        # sidecar BEFORE the map: a crash between the two appends can
+        # only overstate the recorded max (costing the retry a precise
+        # scan), never let the map outgrow it (see _write_hashes_max)
+        _write_hashes_max(new_docs, path, "append")
         _write_hashes(new_docs, path, "append")
     stop_arr = (
         spark.read.schema(_STOP_SCHEMA)

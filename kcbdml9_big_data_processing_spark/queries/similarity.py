@@ -579,8 +579,8 @@ def _gen_commit(spark: SparkSession, path: str, gdir: str, version: int) -> None
 #: root-level artifact dirs a pre-generation (legacy flat) index may
 #: carry, across every family — what ``drop_legacy_root`` reclaims.
 _LEGACY_ARTIFACT_RE = (
-    r"hashes|stop|postings|postings_(?:bucketed|tail)_v\d+|bucket_meta"
-    r"|centroids|cells|book|codes|vecs|bands|meta|cents"
+    r"hashes|hashes_max|stop|postings|postings_(?:bucketed|tail)_v\d+"
+    r"|bucket_meta|centroids|cells|book|codes|vecs|bands|meta|cents"
 )
 
 

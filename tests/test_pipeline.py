@@ -1270,3 +1270,102 @@ def test_run_incremental_ignores_batchs_own_index_appends(spark, tmp_path):
     assert retry == first  # no self-dup rows, no guard false-positive
     for f in cleanup:
         f.unpersist()
+
+def test_legacy_index_fallback_warns(spark, tmp_path):
+    """r11 verdict #2: the O(archive) legacy fallback must be
+    OBSERVABLE — run_incremental emits a RuntimeWarning when the index
+    has no ``hashes`` artifact and it derives the map from archive
+    text."""
+    import shutil
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+    )
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _gen_current,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    archive = spark.createDataFrame(
+        [(1, words("a1"))], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "warn_idx")
+    build_dedup_index(archive, idx)
+    shutil.rmtree(f"{_gen_current(spark, idx)}/hashes")
+    batch = spark.createDataFrame(
+        [(101, words("b101"))], "doc_id long, text string"
+    )
+    with pytest.warns(RuntimeWarning, match="no 'hashes' artifact"):
+        TrainingDataCurator().run_incremental(batch, archive, idx)
+
+
+def test_hashes_max_sidecar_maintained_and_fast_paths_guard(
+    spark, tmp_path
+):
+    """ADVICE r11: the monotonic-id guard's O(index) max-scan is
+    replaced by the ``hashes_max`` sidecar on the common path. Pins:
+
+    1. build and extend maintain the sidecar (max id per write);
+    2. when the sidecar bound precedes the batch, the guard does NOT
+       scan the map (white-box: a violating row smuggled into
+       ``hashes`` behind the sidecar's back goes unseen — exactly the
+       skip the sidecar buys; the write order in extend_dedup_index
+       guarantees the real map can never outgrow the sidecar);
+    3. with the sidecar removed, the same state falls back to the
+       precise anti-join scan and raises.
+    """
+    import shutil
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+        dedup_index_hashes_max,
+        extend_dedup_index,
+    )
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _gen_current,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    archive = spark.createDataFrame(
+        [(1, words("a1")), (2, words("a2"))], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "sidecar_idx")
+    build_dedup_index(archive, idx)
+    assert dedup_index_hashes_max(spark, idx) == 2
+
+    extend_dedup_index(
+        spark.createDataFrame(
+            [(60, words("b60"))], "doc_id long, text string"
+        ),
+        idx,
+    )
+    assert dedup_index_hashes_max(spark, idx) == 60
+
+    # smuggle a violating map row in WITHOUT updating the sidecar —
+    # impossible through the writers (sidecar appends first), so this
+    # isolates what the fast path skips
+    gdir = _gen_current(spark, idx)
+    spark.createDataFrame(
+        [("deadbeef", 999)], "content_hash string, canonical_id long"
+    ).write.mode("append").parquet(f"{gdir}/hashes")
+
+    batch = spark.createDataFrame(
+        [(101, words("b101"))], "doc_id long, text string"
+    )
+    curator = TrainingDataCurator()
+    cleanup = []
+    # sidecar max (60) < batch min (101): guard passes without the
+    # scan that would have seen 999
+    _, dec = curator.run_incremental(batch, archive, idx, cleanup=cleanup)
+    assert {r["doc_id"] for r in dec.collect()} == {101}
+    for f in cleanup:
+        f.unpersist()
+
+    # remove the sidecar: the precise scan now sees the violating row
+    shutil.rmtree(f"{gdir}/hashes_max")
+    with pytest.raises(ValueError, match="monotonic-id precondition"):
+        curator.run_incremental(batch, archive, idx, cleanup=[])
