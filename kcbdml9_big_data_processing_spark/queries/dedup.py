@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..sources.parquet import read_table
 from .registry import register
+from .similarity import locked_writer
 
 #: id offset for the duplicated copy of the corpus
 _DUP_OFFSET = 10_000_000
@@ -500,6 +501,7 @@ def dedup_index_hashes(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.schema(_HASHES_SCHEMA).parquet(f"{path}/hashes")
 
 
+@locked_writer
 def build_dedup_index(docs: DataFrame, path: str) -> None:
     """Materialize the standing corpus's near-dup index as two parquet
     tables under ``path``: ``stop`` (the over-df-cap shingle
@@ -579,6 +581,7 @@ def build_dedup_index(docs: DataFrame, path: str) -> None:
         prepped.unpersist()
 
 
+@locked_writer
 def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
     """Append newly-accepted documents to a persisted near-dup index
     WITHOUT rebuilding: shingle the batch, drop the STORED stop
@@ -643,6 +646,7 @@ def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
     )
 
 
+@locked_writer
 def compact_dedup_index(
     spark: SparkSession, path: str, n_buckets: int = 32, retain: int = 2
 ) -> None:
@@ -721,6 +725,7 @@ def compact_dedup_index(
     vacuum_dedup_index(spark, path, retain=retain)
 
 
+@locked_writer
 def vacuum_dedup_index(spark: SparkSession, path: str, retain: int = 2) -> None:
     """Delete superseded index generations, keeping the ``retain``
     most recent (current included). The un-versioned ``postings`` dir

@@ -17,7 +17,11 @@ probes), LSH is the linear-scan path (signature per row, shuffle on
 
 from __future__ import annotations
 
+import functools
 import hashlib
+import inspect
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -505,8 +509,11 @@ _GEN_META_SCHEMA = "dir string, version int"
 #: staging dir, and both append gen_meta rows, so the committed
 #: generation could mix files from both builds. Production index
 #: maintenance is a scheduled single job per index (the same posture
-#: as compact_dedup_index); a deployment that can't guarantee that
-#: needs an external lock around build/extend, not this layer.
+#: as compact_dedup_index). A deployment that can't guarantee that can
+#: ENFORCE the contract with the opt-in writer lock below
+#: (enable_index_writer_locking): every build/extend/compact/vacuum
+#: across every family then holds {root}/_writer.lock for the write
+#: and a concurrent second writer raises IndexWriterLockError.
 _GEN_CACHE: dict[tuple[str, str], str] = {}
 
 
@@ -576,6 +583,133 @@ def _gen_commit(spark: SparkSession, path: str, gdir: str, version: int) -> None
     _GEN_CACHE[(spark.sparkContext.applicationId, path)] = gdir
 
 
+# --- opt-in writer mutual exclusion (r11 verdict #4) -----------------------
+
+
+class IndexWriterLockError(RuntimeError):
+    """A second writer attempted build/extend/compact/vacuum on an
+    index root whose ``_writer.lock`` is held and not expired."""
+
+
+#: writer-lock TTL in seconds; None (default) disables locking — the
+#: single-writer-per-root CONTRACT above stands either way, this layer
+#: merely enforces it for deployments that can't schedule one job per
+#: index. Module-global on purpose: the lock is deployment posture,
+#: not per-call policy.
+_WRITER_LOCK_TTL: float | None = None
+
+#: locks held by THIS process, keyed by (applicationId, root) —
+#: nested writer calls on the same root re-enter instead of
+#: self-deadlocking; value is the held lock file's mtime token.
+_HELD_LOCKS: dict[tuple[str, str], int] = {}
+
+
+def enable_index_writer_locking(ttl_sec: float = 3600.0) -> None:
+    """Turn on writer mutual exclusion for every index family's
+    build/extend/compact/vacuum: the writer creates
+    ``{root}/_writer.lock`` atomically (Hadoop createNewFile) for the
+    duration of the write; a concurrent second writer raises
+    :class:`IndexWriterLockError` instead of interleaving into the
+    same staging generation. A lock older than ``ttl_sec`` (a crashed
+    writer — release is in a finally, so only a killed process leaves
+    one) is stolen; size the TTL comfortably above the longest
+    build. The steal is delete+create (best effort — the TTL exists
+    to reclaim crashed writers, not as a fairness mechanism), and
+    :func:`force_unlock_index` is the manual override."""
+    global _WRITER_LOCK_TTL
+    _WRITER_LOCK_TTL = float(ttl_sec)
+
+
+def disable_index_writer_locking() -> None:
+    global _WRITER_LOCK_TTL
+    _WRITER_LOCK_TTL = None
+
+
+def _lock_handles(spark: SparkSession, root: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/_writer.lock")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def force_unlock_index(spark: SparkSession, root: str) -> None:
+    """Delete a stale ``_writer.lock`` (crashed writer) without
+    waiting for the TTL. Operator action — never called by the
+    writers themselves."""
+    fs, p = _lock_handles(spark, root)
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
+@contextmanager
+def _maybe_writer_lock(spark: SparkSession, root: str):
+    """Hold the writer lock for the duration of a write when locking
+    is enabled; no-op (the r11 documented-contract posture) when not.
+    Reentrant per (applicationId, root) so a writer composed of
+    writers can't self-deadlock; release only deletes the lock if its
+    mtime still matches the token we created (a TTL-stealer's
+    replacement is left alone)."""
+    if _WRITER_LOCK_TTL is None:
+        yield
+        return
+    key = (spark.sparkContext.applicationId, root)
+    if key in _HELD_LOCKS:
+        yield
+        return
+    fs, p = _lock_handles(spark, root)
+    parent = p.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    if not fs.createNewFile(p):
+        st = fs.getFileStatus(p) if fs.exists(p) else None
+        age = (
+            None
+            if st is None
+            else time.time() * 1000.0 - st.getModificationTime()
+        )
+        if age is not None and age <= _WRITER_LOCK_TTL * 1000.0:
+            raise IndexWriterLockError(
+                f"index root {root} is locked by another writer"
+                f" (_writer.lock age {age / 1000.0:.0f}s,"
+                f" ttl {_WRITER_LOCK_TTL:.0f}s); wait for it, raise the"
+                " ttl, or force_unlock_index() if the holder crashed"
+            )
+        if st is not None:
+            fs.delete(p, False)
+        if not fs.createNewFile(p):
+            raise IndexWriterLockError(
+                f"index root {root}: lost the stale-lock steal race"
+            )
+    token = fs.getFileStatus(p).getModificationTime()
+    _HELD_LOCKS[key] = token
+    try:
+        yield
+    finally:
+        _HELD_LOCKS.pop(key, None)
+        if fs.exists(p) and fs.getFileStatus(p).getModificationTime() == token:
+            fs.delete(p, False)
+
+
+def locked_writer(fn):
+    """Decorate an index WRITER (any function taking the index root as
+    ``path``) with the opt-in mutual exclusion above. The Spark
+    session comes from a ``spark`` parameter when the writer has one,
+    else from its first DataFrame argument."""
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        root = bound.arguments["path"]
+        spark = bound.arguments.get("spark")
+        if spark is None:
+            spark = next(iter(bound.arguments.values())).sparkSession
+        with _maybe_writer_lock(spark, root):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 #: root-level artifact dirs a pre-generation (legacy flat) index may
 #: carry, across every family — what ``drop_legacy_root`` reclaims.
 _LEGACY_ARTIFACT_RE = (
@@ -584,6 +718,7 @@ _LEGACY_ARTIFACT_RE = (
 )
 
 
+@locked_writer
 def vacuum_index_generations(
     spark: SparkSession, path: str, retain: int = 2, drop_legacy_root: bool = False
 ) -> None:
@@ -1098,6 +1233,7 @@ def _sem_train(corpus: DataFrame, k: int) -> DataFrame:
     )
 
 
+@locked_writer
 def build_semantic_index(
     corpus: DataFrame,
     path: str,
@@ -1240,6 +1376,7 @@ def build_semantic_index(
     _gen_commit(spark, root, gdir, v)
 
 
+@locked_writer
 def extend_semantic_index(new_corpus: DataFrame, path: str) -> None:
     """Append newly-accepted vectors to a persisted semantic index:
     same deterministic planes, and — under ``label_ivf`` blocking —
@@ -1965,6 +2102,7 @@ def _pq_adc_rerank(
     )
 
 
+@locked_writer
 def build_pq_index(emb: DataFrame, path: str) -> None:
     """Materialize the PQ index as two parquet tables under ``path``:
     ``book`` (m, code, j, c — the codebooks, KxMxsubdim rows, tiny)
@@ -2018,6 +2156,7 @@ def search_pq_index(
     return _pq_adc_rerank(codes, lut, full)
 
 
+@locked_writer
 def build_ivf_index(emb: DataFrame, path: str) -> None:
     """Materialize the IVF index as two parquet tables under ``path``:
     ``centroids`` (cell, i, c — K x dim rows, tiny) and ``cells``
@@ -2202,6 +2341,7 @@ def search_ivfpq_index(
     )
 
 
+@locked_writer
 def extend_pq_index(new_emb: DataFrame, path: str) -> None:
     """Append newly-ingested vectors' codes to a persisted PQ index
     WITHOUT retraining: quantize each new vector's subvectors against
@@ -2231,6 +2371,7 @@ def extend_pq_index(new_emb: DataFrame, path: str) -> None:
     )
 
 
+@locked_writer
 def extend_ivf_index(new_emb: DataFrame, path: str) -> None:
     """Append newly-ingested vectors to a persisted IVF index WITHOUT
     retraining: assign each new vector to its nearest STORED centroid

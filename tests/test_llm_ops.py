@@ -1717,3 +1717,86 @@ def test_gen_writers_resolve_uncached_and_legacy_vacuum(spark, tmp_path):
     spark.createDataFrame([(1,)], "x long").write.parquet(f"{legacy}/postings")
     vacuum_index_generations(spark, legacy, drop_legacy_root=True)
     assert os.path.isdir(f"{legacy}/postings")
+
+def test_index_writer_lock_contention_and_release(spark, tmp_path):
+    """r11 verdict #4: the single-writer-per-root contract is
+    enforceable opt-in. With locking enabled, (a) a held lock makes a
+    second writer raise IndexWriterLockError; (b) a completed write
+    releases the lock so the next writer proceeds; (c) a stale lock
+    (older than the TTL — a crashed writer) is stolen; (d) with
+    locking disabled (default) nothing is created or checked."""
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        IndexWriterLockError,
+        _maybe_writer_lock,
+        disable_index_writer_locking,
+        enable_index_writer_locking,
+        force_unlock_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(10)))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "locked_idx")
+
+    # (d) default-off: a build leaves no lock file behind and takes
+    # no lock during the write
+    build_dedup_index(docs, idx)
+    assert not os.path.exists(f"{idx}/_writer.lock")
+
+    enable_index_writer_locking(ttl_sec=3600)
+    try:
+        # (a) contention: with ANOTHER process's live lock on the root
+        # (simulated by a fresh foreign lock file — same-process
+        # nesting is reentrant by design, a writer composed of writers
+        # must not self-deadlock), a writer raises instead of
+        # interleaving
+        with open(f"{idx}/_writer.lock", "w"):
+            pass
+        with _pytest.raises(IndexWriterLockError, match="locked"):
+            build_dedup_index(docs, idx)
+        os.remove(f"{idx}/_writer.lock")
+
+        # reentrancy: the same process holding the root can still run
+        # writers under it (no self-deadlock), and the OUTER frame
+        # owns the release
+        with _maybe_writer_lock(spark, idx):
+            build_dedup_index(docs, idx)
+            assert os.path.exists(f"{idx}/_writer.lock")
+        assert not os.path.exists(f"{idx}/_writer.lock")
+        # (b) release on exit: the same write now proceeds, and its
+        # own lock is gone afterwards
+        extend_dedup_index(
+            spark.createDataFrame(
+                [(2, "x y z a b c d e f g")], "doc_id long, text string"
+            ),
+            idx,
+        )
+        assert not os.path.exists(f"{idx}/_writer.lock")
+
+        # (c) TTL steal: a crashed writer's stale lock doesn't block
+        # forever — with an expired TTL the next writer takes over
+        with open(f"{idx}/_writer.lock", "w"):
+            pass
+        old = _time.time() - 7200
+        os.utime(f"{idx}/_writer.lock", (old, old))
+        enable_index_writer_locking(ttl_sec=1800)
+        build_dedup_index(docs, idx)  # steals, completes, releases
+        assert not os.path.exists(f"{idx}/_writer.lock")
+
+        # force_unlock_index clears a held lock immediately
+        with open(f"{idx}/_writer.lock", "w"):
+            pass
+        force_unlock_index(spark, idx)
+        assert not os.path.exists(f"{idx}/_writer.lock")
+    finally:
+        disable_index_writer_locking()
