@@ -82,3 +82,93 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+#: physical nodes that cannot increase the row count of their child —
+#: safe to walk THROUGH when proving a build side is ≤1 row
+_ROW_BOUNDED_PASSTHROUGH = {
+    "ProjectExec",
+    "FilterExec",
+    "SortExec",
+    "CoalesceExec",
+    "ShuffleExchangeExec",
+    "BroadcastExchangeExec",
+    "AQEShuffleReadExec",
+    "InputAdapter",
+    "WholeStageCodegenExec",
+}
+
+
+def _subtree_proves_scalar(node) -> bool:
+    """True when this physical subtree is STRUCTURALLY guaranteed to
+    produce at most one row: walking down through row-bounded
+    pass-through operators, the first load-bearing node is a GLOBAL
+    aggregate (no grouping expressions — exactly one row), a ≤1-row
+    LocalTableScan, or a limit ≤ 1. Anything else — including joins,
+    generates, unions, or a real table scan — fails the proof."""
+    name = node.getClass().getSimpleName()
+    if name in ("HashAggregateExec", "SortAggregateExec",
+                "ObjectHashAggregateExec"):
+        return node.groupingExpressions().isEmpty()
+    if name == "LocalTableScanExec":
+        return node.rows().size() <= 1
+    if name in ("GlobalLimitExec", "CollectLimitExec"):
+        try:
+            return int(node.limit()) <= 1
+        except Exception:
+            return False
+    if name == "ReusedExchangeExec":
+        # references a previously-planned exchange; its subtree is the
+        # reused child, not a tree child
+        return _subtree_proves_scalar(node.child())
+    if name in _ROW_BOUNDED_PASSTHROUGH:
+        ch = node.children()
+        return ch.size() == 1 and _subtree_proves_scalar(ch.apply(0))
+    return False
+
+
+def bnlj_build_sides(df: DataFrame) -> list[tuple[str, bool, str]]:
+    """Every BroadcastNestedLoopJoin in the pre-AQE physical plan, as
+    (build-side one-line summary, proven-scalar?, full build subtree
+    text) triples. The proof is the guard queries/dedup.py's
+    scalar-stat crossJoins rely on: a BNLJ is only acceptable when its
+    broadcast side is structurally ≤1 row (a global aggregate /
+    literal frame) — anything else is a real cartesian hiding in the
+    plan (r11 verdict #5). The full subtree text lets callers pin the
+    one deliberate exception (the brute-force knn baseline broadcasts
+    its multi-row-but-tiny PROBE side) to the intended build side."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        root = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    out: list[tuple[str, bool]] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "BroadcastNestedLoopJoinExec":
+            build = (
+                node.left()
+                if "BuildLeft" in node.buildSide().toString()
+                else node.right()
+            )
+            text = build.toString()
+            out.append(
+                (
+                    text.splitlines()[0][:160],
+                    _subtree_proves_scalar(build),
+                    text,
+                )
+            )
+        if name == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(root)
+    return out

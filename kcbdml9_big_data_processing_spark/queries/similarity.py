@@ -96,12 +96,17 @@ _KNN_ORACLE = f"""
 
 def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: every 100th vector probes the whole
-    corpus. The probe set is a small fraction, so Spark broadcasts it
-    into a nested-loop join against the corpus scan — the corpus never
-    shuffles; the only shuffle is the per-probe top-k window, which
-    Spark bounds with WindowGroupLimit (partial top-k before
-    exchange). This is the exact baseline ANN variants are judged
-    against."""
+    corpus. The probe set is the EXPLICITLY-broadcast side of the
+    nested-loop join against the corpus scan — the corpus never
+    shuffles or broadcasts; the only shuffle is the per-probe top-k
+    window, which Spark bounds with WindowGroupLimit (partial top-k
+    before exchange). The broadcast hint is load-bearing (r12, found
+    by the BNLJ plan guard): without it Spark's size estimate picked
+    BuildRight and broadcast the whole CORPUS — invisible at test SF,
+    an executor OOM at 100 TB. Pinned by
+    tests/test_plans.py::test_bnlj_build_sides_are_scalar's
+    knn_centroid_suite exception. This is the exact baseline ANN
+    variants are judged against."""
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         "vec_id",
@@ -114,7 +119,8 @@ def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nf").alias("p_nf"),
     )
     scored = (
-        probes.join(corpus, F.col("probe_id") != F.col("vec_id"))
+        F.broadcast(probes)
+        .join(corpus, F.col("probe_id") != F.col("vec_id"))
         .withColumn(
             "cosine",
             F.expr(

@@ -115,3 +115,51 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- BNLJ scalar-broadcast guard over the whole registry (r11 #5) ---------
+
+import pytest
+
+from kcbdml9_big_data_processing_spark.plans.inspect import bnlj_build_sides
+from kcbdml9_big_data_processing_spark.queries import QUERIES
+from kcbdml9_big_data_processing_spark.queries.registry import _PREPARED_PLANS
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_bnlj_build_sides_are_scalar(spark, name):
+    """PLANS.md shows BroadcastNestedLoopJoin in several registry
+    plans; the code reads as 1-row scalar-stat broadcasts
+    (e.g. the stop-shingle array, corpus-level thresholds). Pin it
+    structurally for EVERY registered query: each BNLJ's build side
+    must be provably ≤1 row (global aggregate / ≤1-row literal), so a
+    future edit can't silently grow one into a real cartesian.
+    Streaming rows are skipped — their plan exists per micro-batch
+    (PLANS.md posture); batch semantics are covered by their batch
+    twins here."""
+    if name.startswith("stream_"):
+        pytest.skip("streaming: plan per micro-batch")
+    _PREPARED_PLANS.clear()
+    df = QUERIES[name].fn(spark, SF_SMOKE)
+    for summary, scalar_ok, text in bnlj_build_sides(df):
+        if scalar_ok:
+            continue
+        # the ONE deliberate multi-row build side: the brute-force knn
+        # baseline broadcasts its tiny PROBE set (every 100th vector —
+        # the explicit hint in knn_topk_cosine; r12: without it Spark
+        # broadcast the whole corpus). Pin that the build side is the
+        # modulo-filtered probe scan, not the corpus.
+        if name == "knn_centroid_suite" and "% 100) = 0" in text:
+            continue
+        raise AssertionError(
+            f"{name}: non-scalar BNLJ build side: {summary}"
+        )
+
+
+def test_bnlj_guard_catches_real_cartesian(spark):
+    """The guard itself must be falsifiable: a genuine cartesian
+    (multi-row × multi-row crossJoin) fails the scalar proof."""
+    a = spark.range(10).toDF("a")
+    b = spark.range(10).toDF("b")
+    sides = bnlj_build_sides(a.crossJoin(b))
+    assert sides and all(not ok for _, ok, _ in sides)
