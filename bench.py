@@ -166,6 +166,9 @@ def main() -> None:
     calib_sched, calib_sched_samples = _calib(
         lambda: spark.range(0, 320, 1, 320).selectExpr("count(1) AS n")
     )
+    regressions, masked_regressions = _regressions(
+        times, calib_cpu, calib_sched
+    )
     payload = {
         "metric": "all_queries_total",
         "value": total,
@@ -179,7 +182,8 @@ def main() -> None:
         "calib_cpu_samples": calib_cpu_samples,
         "calib_sched_sec": calib_sched,
         "calib_sched_samples": calib_sched_samples,
-        "regressions": _regressions(times, calib_cpu, calib_sched),
+        "regressions": regressions,
+        "masked_regressions": masked_regressions,
     }
     # sidecar record the driver can't truncate: BENCH_r03.json lost its
     # parsed payload to the driver's 2000-char tail cap, which silently
@@ -369,9 +373,12 @@ def _regressions(
     times: dict[str, float | None],
     calib_cpu: float | None = None,
     calib_sched: float | None = None,
-) -> dict[str, dict[str, float]]:
+) -> tuple[dict[str, dict[str, float]], dict[str, dict[str, float]]]:
     """Compare per-query times against the latest recorded round's
-    bench and report queries that got >1.5x slower — so a round can't
+    bench: returns (flagged, masked) — queries that got >1.5x slower
+    under the calibrated gate, and queries the RAW gate would have
+    flagged but the window normalization absolved (recorded for
+    adjudication, not counted as flags — ADVICE r11). A round can't
     silently regress performance while staying correctness-green.
     Consolidation-aware: see :data:`_CONSTITUENTS`.
 
@@ -398,9 +405,9 @@ def _regressions(
         k: v for k, v in _baseline_times().items() if isinstance(v, (int, float))
     }
     if not prior_times:
-        return {}
+        return {}, {}
     base_cpu, base_sched = _baseline_calib()
-    flagged = {}
+    flagged, masked = {}, {}
     for name, now in times.items():
         then = _prior_for(name, prior_times)
         if then is None or now is None:
@@ -425,7 +432,23 @@ def _regressions(
                 entry["window_ratio"] = round(w, 3)
                 entry["adjusted_prev_sec"] = adj
             flagged[name] = entry
-    return flagged
+        elif now > max(
+            then * _REGRESSION_FACTOR, then + _REGRESSION_MIN_DELTA
+        ):
+            # ADVICE r11: normalization only ever RELAXES the gate, so
+            # a real regression landing in a noisy window is invisible
+            # until the next quiet round. RECORD (don't flag) rows the
+            # raw gate would have caught but the window adjustment
+            # absolved — surfaced as the separate masked_regressions
+            # payload key so adjudication can spot masked regressions
+            # without them counting as flags.
+            masked[name] = {
+                "prev_sec": then,
+                "now_sec": now,
+                "window_ratio": round(w, 3),
+                "adjusted_prev_sec": adj,
+            }
+    return flagged, masked
 
 
 if __name__ == "__main__":

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import functools
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -23,17 +24,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: registry can apply it declaratively (``register(prepare=True)``).
 _PREPARED_PLANS: dict[tuple[str, str, str], DataFrame] = {}
 
+#: guards the eviction loop + lookup/insert (ADVICE r11): registry
+#: callers are single-threaded today, but an unguarded check-then-act
+#: would let two future concurrent callers both build and one result
+#: be dropped. The lock is NOT held during build() — plans are
+#: immutable, so a duplicate concurrent build is wasted work, not a
+#: correctness problem, and setdefault keeps exactly one.
+_PREPARED_LOCK = threading.Lock()
+
 
 def _prepared_plan(spark: SparkSession, name: str, sf_dir: str, build) -> DataFrame:
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _PREPARED_PLANS if k[0] != app_id]:
-        del _PREPARED_PLANS[k]
     key = (app_id, name, sf_dir)
-    df = _PREPARED_PLANS.get(key)
+    with _PREPARED_LOCK:
+        for k in [k for k in _PREPARED_PLANS if k[0] != app_id]:
+            del _PREPARED_PLANS[k]
+        df = _PREPARED_PLANS.get(key)
     if df is None:
         df = build()
         df.schema  # force analysis at preparation time
-        _PREPARED_PLANS[key] = df
+        with _PREPARED_LOCK:
+            df = _PREPARED_PLANS.setdefault(key, df)
     return df
 
 

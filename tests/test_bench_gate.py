@@ -54,7 +54,7 @@ def test_regressions_require_ratio_and_absolute_delta(monkeypatch):
         "_baseline_times",
         lambda: {"small": 0.4, "big": 4.0, "gone": 2.0},
     )
-    flagged = bench._regressions(
+    flagged, masked = bench._regressions(
         {
             "small": 0.85,  # >1.5x but only +0.45 -> noise, not flagged
             "big": 6.5,  # 1.6x and +2.5 -> real, flagged
@@ -62,6 +62,7 @@ def test_regressions_require_ratio_and_absolute_delta(monkeypatch):
             "new_query": 9.9,  # no prior -> nothing to compare
         }
     )
+    assert masked == {}
     assert set(flagged) == {"big"}
     assert flagged["big"] == {"prev_sec": 4.0, "now_sec": 6.5}
 
@@ -72,7 +73,7 @@ def test_regressions_ignore_null_priors(monkeypatch):
     monkeypatch.setattr(
         bench, "_baseline_times", lambda: {"q": None, "ok": 1.0}
     )
-    assert bench._regressions({"q": 5.0, "ok": 1.1}) == {}
+    assert bench._regressions({"q": 5.0, "ok": 1.1}) == ({}, {})
 
 
 def test_regressions_normalize_by_window_calibration(monkeypatch):
@@ -84,10 +85,14 @@ def test_regressions_normalize_by_window_calibration(monkeypatch):
         bench, "_baseline_times", lambda: {"batch_q": 2.0, "bad_q": 2.0}
     )
     monkeypatch.setattr(bench, "_baseline_calib", lambda: (0.3, 0.5))
-    flagged = bench._regressions(
+    flagged, masked = bench._regressions(
         {"batch_q": 3.8, "bad_q": 8.0}, calib_cpu=0.6, calib_sched=1.0
     )
     assert set(flagged) == {"bad_q"}
+    # ADVICE r11: batch_q exceeded the RAW gate (1.9x, +1.8) but the
+    # window absolved it — recorded as masked, not flagged
+    assert set(masked) == {"batch_q"}
+    assert masked["batch_q"]["window_ratio"] == 2.0
     assert flagged["bad_q"]["window_ratio"] == 2.0
     assert flagged["bad_q"]["adjusted_prev_sec"] == 4.0
 
@@ -102,10 +107,11 @@ def test_regressions_streaming_rows_use_sched_probe(monkeypatch):
         lambda: {"stream_q": 3.0, "batch_q": 3.0},
     )
     monkeypatch.setattr(bench, "_baseline_calib", lambda: (0.3, 0.5))
-    flagged = bench._regressions(
+    flagged, masked = bench._regressions(
         {"stream_q": 5.7, "batch_q": 5.7}, calib_cpu=0.3, calib_sched=1.0
     )
     assert set(flagged) == {"batch_q"}
+    assert set(masked) == {"stream_q"}
 
 
 def test_regressions_window_ratio_clamped_and_raw_fallback(monkeypatch):
@@ -113,17 +119,20 @@ def test_regressions_window_ratio_clamped_and_raw_fallback(monkeypatch):
     # a freak 10x calibration sample is clamped to 3x — a 5x raw
     # slowdown still flags through it
     monkeypatch.setattr(bench, "_baseline_calib", lambda: (0.1, 0.1))
-    flagged = bench._regressions({"q": 5.0}, calib_cpu=1.0, calib_sched=1.0)
+    flagged, _ = bench._regressions({"q": 5.0}, calib_cpu=1.0, calib_sched=1.0)
     assert flagged["q"]["window_ratio"] == 3.0
     # a FASTER-than-baseline window must not tighten the prior: at a
     # raw 1.3x (inside the 1.5x cushion) nothing flags even though
     # the naive ratio (0.5) would have shrunk the prior to 0.5 s
     monkeypatch.setattr(bench, "_baseline_calib", lambda: (1.0, 1.0))
-    assert (
-        bench._regressions({"q": 1.3}, calib_cpu=0.5, calib_sched=0.5) == {}
-    )
+    assert bench._regressions(
+        {"q": 1.3}, calib_cpu=0.5, calib_sched=0.5
+    ) == ({}, {})
     # baseline predates the probes (r9 and earlier) -> raw gate,
     # no window fields in the flag
     monkeypatch.setattr(bench, "_baseline_calib", lambda: (None, None))
-    flagged = bench._regressions({"q": 5.0}, calib_cpu=1.0, calib_sched=1.0)
+    flagged, masked = bench._regressions(
+        {"q": 5.0}, calib_cpu=1.0, calib_sched=1.0
+    )
     assert flagged == {"q": {"prev_sec": 1.0, "now_sec": 5.0}}
+    assert masked == {}
