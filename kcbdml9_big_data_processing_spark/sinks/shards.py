@@ -41,14 +41,23 @@ within-partition sort (Tungsten external sort, spills if a shard
 exceeds memory), and a partitioned write. All rows of one shard land
 in ONE task (same key, same partition), so each ``shard=K`` dir holds
 one parquet file whose ROW ORDER is the shard's document order. The
-exchange over-provisions partitions (16x the shard count): Spark
-hash-partitions on murmur3(shard) mod P, and with P == n_shards
+exchange over-provisions partitions (16x the shard count, tunable):
+Spark hash-partitions on murmur3(shard) mod P, and with P == n_shards
 distinct shard values collide into shared tasks (~2-3x skew on the
-unlucky task's external sort); at 16x the expected colliding pairs
-are n/32 and empty partitions cost nothing (AQE coalesces them).
-Size ``n_shards`` so a shard fits a loader worker's appetite
-(corpus_bytes / n_shards), the same sizing rule as every other
-partitioned sink here.
+unlucky task's external sort — a collision does NOT break the
+one-ordered-file-per-shard layout, the colliding task just writes
+both shards' files, it only makes that task a straggler); at 16x the
+expected colliding pairs are n/32. The over-provision is NOT free:
+a user-pinned repartition count is exempt from AQE partition
+coalescing, so every extra partition pays the per-task dispatch
+floor — measured (SCALE_PROBE.json shard_export_width, fixed tiny
+corpus): 64 → 1024 partitions cost 0.48 → 3.95 s of pure scheduling.
+That floor is constant per task, so at production shard sizes
+(corpus_bytes/n_shards in the GBs — the loader-appetite sizing rule)
+it amortizes to noise against the external sorts; shrink
+``over_provision`` when exporting many tiny shards. Corpus-growth
+cost at fixed shard count is flat-linear (shard_export series,
+exponent −0.16 at probe scale: one exchange, every row moves once).
 """
 
 from __future__ import annotations
@@ -110,15 +119,19 @@ def write_training_shards(
     id_col: str = "doc_id",
     salt: int = 0,
     mode: str = "error",
+    over_provision: int = 16,
 ) -> None:
     """Export ``df`` as ``{path}/shard=K/`` parquet dirs, one file per
     shard, rows in the shard's deterministic shuffled order. Every
     column of ``df`` rides along; ``pos`` is kept in the output so a
     reader (or a resumed loader) can verify/re-establish order without
-    recomputing hashes."""
+    recomputing hashes. ``over_provision`` trades murmur3-collision
+    skew against per-empty-task scheduling (module docstring) — the
+    default suits production-sized shards; it does not affect the
+    output (shard membership/order are pure hash expressions)."""
     assigned = shard_assignments(df, n_shards, id_col=id_col, salt=salt)
     (
-        assigned.repartition(max(n_shards * 16, 64), "shard")
+        assigned.repartition(max(n_shards * over_provision, 64), "shard")
         .sortWithinPartitions("shard", "pos", id_col)
         .write.mode(mode)
         # pin the one-ordered-file-per-shard invariant against session
