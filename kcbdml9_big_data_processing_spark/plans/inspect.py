@@ -145,7 +145,7 @@ def bnlj_build_sides(df: DataFrame) -> list[tuple[str, bool, str]]:
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
-    out: list[tuple[str, bool]] = []
+    out: list[tuple[str, bool, str]] = []
 
     def walk(node) -> None:
         name = node.getClass().getSimpleName()

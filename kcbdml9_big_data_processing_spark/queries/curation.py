@@ -508,7 +508,7 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eager truncation materializes the (small, long-format) result
     # off the caches, which are then safe to release immediately
-    out = _truncate_lineage(out, eager=True)
+    out = _truncate_lineage(out, eager=True, skippable=True)
     for frame in cleanup:
         frame.unpersist()
     return out
@@ -676,7 +676,7 @@ def curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "reason", F.col("canonical_id").cast("long").alias("canonical_id")
     )
     try:
-        return _truncate_lineage(decisions)
+        return _truncate_lineage(decisions, skippable=True)
     finally:
         for frame in cleanup:
             frame.unpersist()

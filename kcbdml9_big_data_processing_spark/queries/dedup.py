@@ -434,35 +434,70 @@ def _write_hashes(docs: DataFrame, path: str, mode: str) -> None:
     )
 
 
-def _write_hashes_max(docs: DataFrame, path: str, mode: str) -> None:
-    """Append/overwrite the ``hashes_max`` sidecar — one skinny row
-    per build/extend holding max(doc_id) of the docs whose hashes
-    landed in that write. Readers take the max over all rows, giving
-    run_incremental's monotonic-id guard an O(1) answer instead of a
-    full scan of the hashes map per batch (ADVICE r11: the guard's
-    max-aggregation was the last archive-proportional per-batch term).
-    The sidecar is a conservative UPPER BOUND, never trusted to pass a
-    violation: the guard only fast-paths when sidecar_max < batch_min;
-    anything else (possible violation, a crashed run's self-append, a
-    missing sidecar) falls back to the precise anti-join scan of the
-    map itself. extend_dedup_index appends this BEFORE the hashes
-    append so a crash between the two can only OVERSTATE the max —
-    which costs the retry a precise scan, never masks a violation."""
-    m = docs.agg(F.max("doc_id").alias("m")).first()["m"]
-    if m is None:
-        return
+def _stored_map_max(spark: SparkSession, path: str) -> int | None:
+    """max(canonical_id) over the stored ``hashes`` map at an
+    already-resolved generation dir — a column-pruned scan of the
+    40-byte-per-doc artifact, not of any text."""
+    row = (
+        spark.read.schema(_HASHES_SCHEMA)
+        .parquet(f"{path}/hashes")
+        .agg(F.max("canonical_id").alias("m"))
+        .first()
+    )
+    return None if row["m"] is None else int(row["m"])
+
+
+def _write_hashes_max_row(spark: SparkSession, path: str, m: int, mode: str) -> None:
     (
-        docs.sparkSession.createDataFrame([(int(m),)], _HASHES_MAX_SCHEMA)
+        spark.createDataFrame([(int(m),)], _HASHES_MAX_SCHEMA)
         .write.mode(mode)
         .parquet(f"{path}/hashes_max")
     )
+
+
+def _extend_hashes_max(new_docs: DataFrame, path: str) -> None:
+    """Maintain the ``hashes_max`` sidecar on extend — one skinny row
+    per write; readers take the max over all rows, giving
+    run_incremental's monotonic-id guard an O(1) answer instead of a
+    full scan of the hashes map per batch (ADVICE r11: the guard's
+    max-aggregation was the last archive-proportional per-batch term).
+
+    The sidecar is a conservative UPPER BOUND on every id in the map,
+    never trusted to pass a violation: the guard only fast-paths when
+    sidecar_max < batch_min; anything else (possible violation, a
+    crashed run's self-append, a missing sidecar) falls back to the
+    precise anti-join scan of the map itself. Two invariants keep the
+    bound safe:
+
+    - WRITE ORDER: the sidecar lands BEFORE the hashes append, so a
+      crash between the two can only OVERSTATE the max — costing the
+      retry a precise scan, never masking a violation.
+    - BACKFILL, not seed (r12 review): on a pre-sidecar index (r11
+      build: ``hashes`` present, no ``hashes_max``) the first extend
+      writes max(stored-map max, batch max) — seeding from the batch
+      alone would understate a map holding larger ids (extend's
+      contract only requires DISJOINT batch ids, not monotonic ones)
+      and silently weaken the guard."""
+    spark = new_docs.sparkSession
+    batch_max_row = new_docs.agg(F.max("doc_id").alias("m")).first()
+    batch_max = batch_max_row["m"]
+    if _dir_has_parquet(spark, f"{path}/hashes_max"):
+        if batch_max is not None:
+            _write_hashes_max_row(spark, path, batch_max, "append")
+        return
+    map_max = _stored_map_max(spark, path)
+    bound = max(
+        (x for x in (map_max, batch_max) if x is not None), default=None
+    )
+    if bound is not None:
+        _write_hashes_max_row(spark, path, bound, "overwrite")
 
 
 def dedup_index_hashes_max(spark: SparkSession, path: str) -> int | None:
     """Upper bound on the ids recorded in the stored ``hashes`` map
     (max over the sidecar's per-write rows), or None when the sidecar
     is absent (index built before it existed — the precise-scan
-    fallback applies). See :func:`_write_hashes_max` for the crash
+    fallback applies). See :func:`_extend_hashes_max` for the crash
     posture."""
     from .similarity import _gen_current
 
@@ -547,7 +582,12 @@ def build_dedup_index(docs: DataFrame, path: str) -> None:
     prepped.count()
     try:
         _write_hashes(docs, gdir, "overwrite")
-        _write_hashes_max(docs, gdir, "overwrite")
+        # sidecar bound from the WRITTEN map (column-pruned 40 B/doc
+        # read), not from a second full pass over the caller's text
+        # frame (r12 review); staging order is commit-gated anyway
+        map_max = _stored_map_max(spark, gdir)
+        if map_max is not None:
+            _write_hashes_max_row(spark, gdir, map_max, "overwrite")
         (
             prepped.select(F.explode("sh").alias("k"))
             .groupBy("k")
@@ -624,8 +664,8 @@ def extend_dedup_index(new_docs: DataFrame, path: str) -> None:
     if _dir_has_parquet(spark, f"{path}/hashes"):
         # sidecar BEFORE the map: a crash between the two appends can
         # only overstate the recorded max (costing the retry a precise
-        # scan), never let the map outgrow it (see _write_hashes_max)
-        _write_hashes_max(new_docs, path, "append")
+        # scan), never let the map outgrow it (see _extend_hashes_max)
+        _extend_hashes_max(new_docs, path)
         _write_hashes(new_docs, path, "append")
     stop_arr = (
         spark.read.schema(_STOP_SCHEMA)
@@ -722,7 +762,12 @@ def compact_dedup_index(
         [(n_buckets, new_dir, version, new_tail)], _META_SCHEMA
     ).write.mode("append").parquet(f"{path}/bucket_meta")
     spark.catalog.refreshByPath(new_tail)
-    vacuum_dedup_index(spark, path, retain=retain)
+    # the undecorated impl: compact already holds the ROOT writer
+    # lock; the decorated public vacuum would key a SECOND lock on the
+    # resolved generation-dir string (the reentrancy cache is keyed by
+    # the exact path argument) and leave it stale if compact is killed
+    # mid-vacuum (r12 review)
+    _vacuum_dedup_index_impl(spark, path, retain=retain)
 
 
 @locked_writer
@@ -738,6 +783,12 @@ def vacuum_dedup_index(spark: SparkSession, path: str, retain: int = 2) -> None:
     compaction and the max-version read ignores stale ones. Whole
     superseded BUILD generations are vacuumed separately by
     similarity.vacuum_index_generations."""
+    _vacuum_dedup_index_impl(spark, path, retain=retain)
+
+
+def _vacuum_dedup_index_impl(
+    spark: SparkSession, path: str, retain: int = 2
+) -> None:
     from .similarity import _gen_current
 
     path = _gen_current(spark, path, cached=False)
@@ -1541,8 +1592,22 @@ _NGRAM_PAIRS_CTE = f"""
         )"""
 
 
+#: when True, RESULT-level lineage truncations (the ones whose only
+#: job is handing the caller a self-contained frame — marked
+#: ``skippable=True``) become no-ops, so plan tests can inspect the
+#: real computation plan instead of a checkpoint-backed RDD scan
+#: (r12 review: the BNLJ guard was vacuous for exactly the suites
+#: with the most scalar crossJoins). ITERATION truncations (the CC
+#: loop's per-round checkpoints) are never skipped — they are
+#: load-bearing for the loop, not presentation.
+_SKIP_RESULT_TRUNCATION = False
+
+
 def _truncate_lineage(
-    df: DataFrame, reliable: bool | None = None, eager: bool = True
+    df: DataFrame,
+    reliable: bool | None = None,
+    eager: bool = True,
+    skippable: bool = False,
 ) -> DataFrame:
     """Checkpoint an iteration frame, choosing the backend by session
     config: when the caller has set a reliable checkpoint directory
@@ -1553,7 +1618,11 @@ def _truncate_lineage(
     faster, and exactly right for local[N] where executor loss means
     process death anyway. Both truncate lineage identically; the knob
     is one ``setCheckpointDir`` call away, no code change. Pass
-    ``reliable`` explicitly to override the auto-detection."""
+    ``reliable`` explicitly to override the auto-detection;
+    ``skippable=True`` marks a result-presentation truncation the
+    plan tests may disable (see _SKIP_RESULT_TRUNCATION)."""
+    if skippable and _SKIP_RESULT_TRUNCATION:
+        return df
     if reliable is None:
         sc = df.sparkSession.sparkContext
         reliable = sc.getCheckpointDir() is not None

@@ -681,10 +681,26 @@ def _maybe_writer_lock(spark: SparkSession, root: str):
                 " ttl, or force_unlock_index() if the holder crashed"
             )
         if st is not None:
-            fs.delete(p, False)
+            # steal ATOMICALLY via rename to a unique tombstone (r12
+            # review: a delete+create steal let two concurrent
+            # stealers both acquire — stealer B's delete removed
+            # stealer A's FRESH lock). rename succeeds for exactly one
+            # stealer; the loser raises instead of entering.
+            import uuid
+
+            jvm = spark._jvm
+            tomb = jvm.org.apache.hadoop.fs.Path(
+                f"{root}/_writer.lock.steal.{uuid.uuid4().hex}"
+            )
+            if not fs.rename(p, tomb):
+                raise IndexWriterLockError(
+                    f"index root {root}: lost the stale-lock steal race"
+                )
+            fs.delete(tomb, False)
         if not fs.createNewFile(p):
             raise IndexWriterLockError(
-                f"index root {root}: lost the stale-lock steal race"
+                f"index root {root}: another writer acquired the lock"
+                " during the steal"
             )
     token = fs.getFileStatus(p).getModificationTime()
     _HELD_LOCKS[key] = token

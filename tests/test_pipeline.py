@@ -1369,3 +1369,42 @@ def test_hashes_max_sidecar_maintained_and_fast_paths_guard(
     shutil.rmtree(f"{gdir}/hashes_max")
     with pytest.raises(ValueError, match="monotonic-id precondition"):
         curator.run_incremental(batch, archive, idx, cleanup=[])
+
+def test_hashes_max_backfills_from_map_not_batch(spark, tmp_path):
+    """r12 review: on a pre-sidecar index (hashes present, no
+    hashes_max — an r11 build), the first extend must bound the
+    STORED map, not just the batch: extend's contract only requires
+    DISJOINT batch ids, so seeding from the batch alone would
+    understate a map holding larger ids and silently weaken the
+    monotonic-id guard's fast path."""
+    import shutil
+
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+        dedup_index_hashes_max,
+        extend_dedup_index,
+    )
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _gen_current,
+    )
+
+    def words(prefix, n=10):
+        return " ".join(f"{prefix}w{j}" for j in range(n))
+
+    archive = spark.createDataFrame(
+        [(1, words("a1")), (1000, words("a1000"))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "backfill_idx")
+    build_dedup_index(archive, idx)
+    shutil.rmtree(f"{_gen_current(spark, idx)}/hashes_max")  # r11 state
+    assert dedup_index_hashes_max(spark, idx) is None
+
+    # disjoint but NON-monotonic batch id below the map's max
+    extend_dedup_index(
+        spark.createDataFrame(
+            [(500, words("b500"))], "doc_id long, text string"
+        ),
+        idx,
+    )
+    assert dedup_index_hashes_max(spark, idx) == 1000

@@ -127,7 +127,7 @@ from kcbdml9_big_data_processing_spark.queries.registry import _PREPARED_PLANS
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_bnlj_build_sides_are_scalar(spark, name):
+def test_bnlj_build_sides_are_scalar(spark, name, monkeypatch):
     """PLANS.md shows BroadcastNestedLoopJoin in several registry
     plans; the code reads as 1-row scalar-stat broadcasts
     (e.g. the stop-shingle array, corpus-level thresholds). Pin it
@@ -136,9 +136,15 @@ def test_bnlj_build_sides_are_scalar(spark, name):
     future edit can't silently grow one into a real cartesian.
     Streaming rows are skipped — their plan exists per micro-batch
     (PLANS.md posture); batch semantics are covered by their batch
-    twins here."""
+    twins here. Result-level lineage truncation is disabled for the
+    inspection (r12 review: the checkpoint-backed RDD-scan plan the
+    curation suites normally return would hide exactly the scalar
+    crossJoins this guard exists to watch)."""
     if name.startswith("stream_"):
         pytest.skip("streaming: plan per micro-batch")
+    from kcbdml9_big_data_processing_spark.queries import dedup as _dedup
+
+    monkeypatch.setattr(_dedup, "_SKIP_RESULT_TRUNCATION", True)
     _PREPARED_PLANS.clear()
     df = QUERIES[name].fn(spark, SF_SMOKE)
     for summary, scalar_ok, text in bnlj_build_sides(df):
