@@ -130,6 +130,20 @@ def test_cli_index_lifecycle(spark, tmp_path):
     stats = buf.getvalue()
     assert "compacted=yes" in stats and "version=1" in stats
     assert "tail_postings=" in stats
+    # r12: the stats surface says whether the O(batch) stored-map path
+    # is available, and diagnoses a legacy index loudly
+    assert "exact_hash_map=yes" in stats
+    import shutil
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _gen_current,
+    )
+
+    shutil.rmtree(f"{_gen_current(spark, idx)}/hashes")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert _index_main(["stats", "--family", "ngram", *base], spark=spark) == 0
+    assert "exact_hash_map=MISSING" in buf.getvalue()
 
     sem = str(tmp_path / "sem_idx")
     sem_out = str(tmp_path / "sem_pairs")
