@@ -467,16 +467,16 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # melt carries it exactly) pin the full deterministic permutation
     # cross-engine; pure per-row expressions, so both variants ride
     # the persisted scan shuffle-free.
-    sh = shard_assignments(docs.select("doc_id"), _SHARD_N, salt=_SHARD_SALT)
-    shard_v = sh.select(
-        F.lit("shard").alias("variant"),
-        "doc_id",
-        F.col("shard").cast("double").alias("value"),
-    )
-    shard_pos_v = sh.select(
-        F.lit("shard_pos").alias("variant"),
-        "doc_id",
-        F.col("pos").cast("double").alias("value"),
+    shard_v = (
+        shard_assignments(docs.select("doc_id"), _SHARD_N, salt=_SHARD_SALT)
+        .select(
+            "doc_id",
+            F.expr(
+                "stack(2, 'shard', cast(shard AS double),"
+                " 'shard_pos', cast(pos AS double)) AS (variant, value)"
+            ),
+        )
+        .select("variant", "doc_id", "value")
     )
     chunk = chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
@@ -504,7 +504,6 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(span)
         .unionAll(rar)
         .unionAll(shard_v)
-        .unionAll(shard_pos_v)
     )
     # eager truncation materializes the (small, long-format) result
     # off the caches, which are then safe to release immediately
