@@ -114,3 +114,34 @@ def test_written_shards_ordered_and_reconstruct(spark, tmp_path):
 def test_rejects_bad_shard_count(spark):
     with pytest.raises(ValueError, match="n_shards"):
         shard_assignments(_docs(spark), 0)
+
+
+def test_shard_assignment_differential_fuzz(spark):
+    """Differential pin against an independent pure-Python twin
+    (hashlib.sha256), beyond the DuckDB oracle: for random ids and
+    salts, shard and pos must equal first-48-bits-of-sha256 over the
+    exact 'shard:<salt>:<id>' / 'pos:<salt>:<id>' strings — pinning
+    the h48 recipe end to end (hex substring length, base conversion,
+    role prefixes, decimal id rendering)."""
+    import hashlib
+    import random
+
+    rng = random.Random(12)
+    ids = sorted(rng.sample(range(0, 10**12), 64))
+    for salt, n_shards in [(0, 8), (7, 3), (12, 64)]:
+        def h48_py(s: str) -> int:
+            return int(hashlib.sha256(s.encode()).hexdigest()[:12], 16)
+
+        want = {
+            i: (
+                h48_py(f"shard:{salt}:{i}") % n_shards,
+                h48_py(f"pos:{salt}:{i}"),
+            )
+            for i in ids
+        }
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shard_assignments(df, n_shards, salt=salt).collect()
+        }
+        assert got == want, (salt, n_shards)
