@@ -77,6 +77,16 @@ def _index_main(argv: list[str], spark=None) -> int:
     )
     ap.add_argument("--out", help="write search result as parquet to this path")
     ap.add_argument("--limit", type=int, default=20, help="rows to print")
+    ap.add_argument(
+        "--writer-lock-ttl",
+        type=float,
+        default=None,
+        metavar="SEC",
+        help="enforce single-writer-per-root for this invocation: hold"
+        " {root}/_writer.lock for the write, raise if another writer"
+        " holds it, steal locks staler than SEC (crashed writers)."
+        " Default: off — the documented single-writer contract",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -84,6 +94,9 @@ def _index_main(argv: list[str], spark=None) -> int:
     from .queries import dedup as D
     from .queries import similarity as S
     from .sources.parquet import read_table
+
+    if args.writer_lock_ttl is not None:
+        S.enable_index_writer_locking(ttl_sec=args.writer_lock_ttl)
 
     own_session = spark is None
     if own_session:
@@ -188,6 +201,11 @@ def _index_main(argv: list[str], spark=None) -> int:
         else:
             print(f"{args.action} {args.family} index at {path}: done")
     finally:
+        if args.writer_lock_ttl is not None:
+            # the toggle is process-global: scope it to this invocation
+            # so an injected shared session (tests, notebooks) isn't
+            # left with locking silently on
+            S.disable_index_writer_locking()
         if own_session:
             spark.stop()
     return 0

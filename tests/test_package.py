@@ -224,3 +224,35 @@ def test_cli_train_writes_consumable_weights(spark, tmp_path):
     assert w == direct
     # and the artifact serves: scoring runs with the loaded weights
     assert classifier_score(docs.limit(5), w).count() == 5
+
+
+def test_cli_writer_lock_flag(spark, tmp_path):
+    """--writer-lock-ttl enforces single-writer for one CLI
+    invocation: a build under the flag succeeds and releases its
+    lock; with a fresh foreign lock in place it fails loudly; the
+    process-global toggle is reset afterwards."""
+    import os
+
+    import pytest
+
+    from kcbdml9_big_data_processing_spark.__main__ import _index_main
+    from kcbdml9_big_data_processing_spark.queries import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "locked_cli_idx")
+    base = ["--sf", sf, "--index-dir", idx, "--writer-lock-ttl", "3600"]
+    assert _index_main(
+        ["build", "--family", "ngram", *base, "--where", "doc_id % 8 = 0"],
+        spark=spark,
+    ) == 0
+    assert not os.path.exists(f"{idx}/_writer.lock")  # released
+    assert S._WRITER_LOCK_TTL is None  # toggle scoped to the invocation
+
+    with open(f"{idx}/_writer.lock", "w"):
+        pass
+    with pytest.raises(S.IndexWriterLockError, match="locked"):
+        _index_main(
+            ["extend", "--family", "ngram", *base, "--where", "doc_id % 8 = 1"],
+            spark=spark,
+        )
+    assert S._WRITER_LOCK_TTL is None  # reset even on failure
