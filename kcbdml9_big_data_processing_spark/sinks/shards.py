@@ -120,6 +120,7 @@ def write_training_shards(
     salt: int = 0,
     mode: str = "error",
     over_provision: int = 16,
+    only_shards: list[int] | None = None,
 ) -> None:
     """Export ``df`` as ``{path}/shard=K/`` parquet dirs, one file per
     shard, rows in the shard's deterministic shuffled order. Every
@@ -128,10 +129,24 @@ def write_training_shards(
     recomputing hashes. ``over_provision`` trades murmur3-collision
     skew against per-empty-task scheduling (module docstring) — the
     default suits production-sized shards; it does not affect the
-    output (shard membership/order are pure hash expressions)."""
+    output (shard membership/order are pure hash expressions).
+
+    ``only_shards`` is the FAILED-SHARD RETRY path the determinism
+    exists for: with ``only_shards=[k, ...]`` and ``mode="overwrite"``
+    only the named ``shard=K`` dirs are recomputed and replaced
+    (dynamic partition overwrite, pinned as a write option so the
+    session conf can't widen it to a full-table overwrite) — every
+    other shard's files are untouched, and because membership/order
+    are pure functions of (id, salt) the re-exported shard is
+    byte-identical to what the full export wrote."""
     assigned = shard_assignments(df, n_shards, id_col=id_col, salt=salt)
-    (
-        assigned.repartition(max(n_shards * over_provision, 64), "shard")
+    writer = assigned
+    if only_shards is not None:
+        writer = assigned.where(
+            F.col("shard").isin([int(s) for s in only_shards])
+        )
+    out = (
+        writer.repartition(max(n_shards * over_provision, 64), "shard")
         .sortWithinPartitions("shard", "pos", id_col)
         .write.mode(mode)
         # pin the one-ordered-file-per-shard invariant against session
@@ -140,9 +155,12 @@ def write_training_shards(
         # scrambles order for readers without ordered=True. 0 = never
         # split; the writer option overrides the session conf.
         .option("maxRecordsPerFile", 0)
-        .partitionBy("shard")
-        .parquet(path)
     )
+    if only_shards is not None:
+        # replace exactly the named partition dirs; static overwrite
+        # (the default) would truncate the whole table first
+        out = out.option("partitionOverwriteMode", "dynamic")
+    out.partitionBy("shard").parquet(path)
 
 
 def read_training_shards(

@@ -145,3 +145,44 @@ def test_shard_assignment_differential_fuzz(spark):
             for r in shard_assignments(df, n_shards, salt=salt).collect()
         }
         assert got == want, (salt, n_shards)
+
+
+def test_failed_shard_reexport_is_byte_identical(spark, tmp_path):
+    """The retry path the determinism exists for: delete one shard's
+    dir (a failed export task), re-export ONLY that shard with
+    only_shards + mode='overwrite' — the shard comes back with the
+    identical rows in the identical order, and no other shard's files
+    are touched (same file paths + sizes)."""
+    import glob
+    import os
+
+    docs = _docs(spark)
+    path = str(tmp_path / "retry_shards")
+    write_training_shards(docs, path, n_shards=4, salt=7)
+
+    def snapshot(k):
+        return sorted(
+            (os.path.basename(f), os.path.getsize(f))
+            for f in glob.glob(f"{path}/shard={k}/*.parquet")
+        )
+
+    before = {k: snapshot(k) for k in range(4)}
+    want_rows = read_training_shards(
+        spark, path, shard=2, ordered=True
+    ).collect()
+
+    import shutil
+
+    shutil.rmtree(f"{path}/shard=2")  # the failed shard
+    write_training_shards(
+        docs, path, n_shards=4, salt=7, mode="overwrite", only_shards=[2]
+    )
+
+    got_rows = read_training_shards(
+        spark, path, shard=2, ordered=True
+    ).collect()
+    assert got_rows == want_rows  # identical rows, identical order
+    for k in (0, 1, 3):
+        assert snapshot(k) == before[k]  # untouched siblings
+    files = glob.glob(f"{path}/shard=2/*.parquet")
+    assert len(files) == 1  # still one ordered file
