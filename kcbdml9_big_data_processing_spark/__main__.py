@@ -95,15 +95,17 @@ def _index_main(argv: list[str], spark=None) -> int:
     from .queries import similarity as S
     from .sources.parquet import read_table
 
-    if args.writer_lock_ttl is not None:
-        S.enable_index_writer_locking(ttl_sec=args.writer_lock_ttl)
-
     own_session = spark is None
     if own_session:
         from .session import get_spark
 
         spark = get_spark(app_name=f"kcbdml9-index-{args.family}")
+    prev_lock_ttl = S._WRITER_LOCK_TTL
     try:
+        # inside the try so a failure anywhere after it still restores
+        # the process-global toggle in the finally
+        if args.writer_lock_ttl is not None:
+            S.enable_index_writer_locking(ttl_sec=args.writer_lock_ttl)
         path = args.index_dir
 
         def docs():
@@ -202,10 +204,14 @@ def _index_main(argv: list[str], spark=None) -> int:
             print(f"{args.action} {args.family} index at {path}: done")
     finally:
         if args.writer_lock_ttl is not None:
-            # the toggle is process-global: scope it to this invocation
-            # so an injected shared session (tests, notebooks) isn't
-            # left with locking silently on
-            S.disable_index_writer_locking()
+            # the toggle is process-global: RESTORE the host process's
+            # prior setting (r12 review: unconditionally disabling
+            # clobbered a notebook's own enablement — the exact
+            # silently-wrong-state hazard this block exists to avoid)
+            if prev_lock_ttl is None:
+                S.disable_index_writer_locking()
+            else:
+                S.enable_index_writer_locking(ttl_sec=prev_lock_ttl)
         if own_session:
             spark.stop()
     return 0

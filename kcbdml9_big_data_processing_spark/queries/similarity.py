@@ -619,9 +619,18 @@ def enable_index_writer_locking(ttl_sec: float = 3600.0) -> None:
     same staging generation. A lock older than ``ttl_sec`` (a crashed
     writer — release is in a finally, so only a killed process leaves
     one) is stolen; size the TTL comfortably above the longest
-    build. The steal is delete+create (best effort — the TTL exists
-    to reclaim crashed writers, not as a fairness mechanism), and
-    :func:`force_unlock_index` is the manual override."""
+    build. The steal is an atomic rename to a unique tombstone
+    (exactly one contender wins), and :func:`force_unlock_index` is
+    the manual override. ``ttl_sec`` must be positive: 0 or negative
+    would make EVERY held lock instantly stale, turning enforcement
+    into steal-anything — no mutual exclusion at all (r12 review)."""
+    if ttl_sec <= 0:
+        raise ValueError(
+            f"ttl_sec must be > 0 (got {ttl_sec}); a non-positive ttl"
+            " makes every held lock stealable, i.e. no mutual"
+            " exclusion — use disable_index_writer_locking() to turn"
+            " locking off"
+        )
     global _WRITER_LOCK_TTL
     _WRITER_LOCK_TTL = float(ttl_sec)
 

@@ -141,12 +141,21 @@ def write_training_shards(
     byte-identical to what the full export wrote."""
     assigned = shard_assignments(df, n_shards, id_col=id_col, salt=salt)
     writer = assigned
+    n_writing = n_shards
     if only_shards is not None:
-        writer = assigned.where(
-            F.col("shard").isin([int(s) for s in only_shards])
-        )
-    out = (
-        writer.repartition(max(n_shards * over_provision, 64), "shard")
+        wanted = [int(s) for s in only_shards]
+        bad = [s for s in wanted if not 0 <= s < n_shards]
+        if bad or not wanted:
+            # a typo'd retry must fail loudly, not commit zero rows
+            # and report success while the failed shard stays broken
+            raise ValueError(
+                f"only_shards must be a non-empty subset of"
+                f" 0..{n_shards - 1}, got {only_shards!r}"
+            )
+        writer = assigned.where(F.col("shard").isin(wanted))
+        n_writing = len(set(wanted))
+    (
+        writer.repartition(max(n_writing * over_provision, 64), "shard")
         .sortWithinPartitions("shard", "pos", id_col)
         .write.mode(mode)
         # pin the one-ordered-file-per-shard invariant against session
@@ -155,12 +164,19 @@ def write_training_shards(
         # scrambles order for readers without ordered=True. 0 = never
         # split; the writer option overrides the session conf.
         .option("maxRecordsPerFile", 0)
+        # pinned BOTH directions (the session conf must never decide):
+        # a retry replaces exactly the named shard dirs (dynamic); a
+        # full overwrite truncates the whole export first (static) —
+        # under a session-level dynamic conf, a full re-export with a
+        # smaller n_shards would otherwise leave stale higher-numbered
+        # shard dirs silently mixed into the new corpus
+        .option(
+            "partitionOverwriteMode",
+            "dynamic" if only_shards is not None else "static",
+        )
+        .partitionBy("shard")
+        .parquet(path)
     )
-    if only_shards is not None:
-        # replace exactly the named partition dirs; static overwrite
-        # (the default) would truncate the whole table first
-        out = out.option("partitionOverwriteMode", "dynamic")
-    out.partitionBy("shard").parquet(path)
 
 
 def read_training_shards(

@@ -1800,3 +1800,17 @@ def test_index_writer_lock_contention_and_release(spark, tmp_path):
         assert not os.path.exists(f"{idx}/_writer.lock")
     finally:
         disable_index_writer_locking()
+
+
+def test_writer_lock_rejects_non_positive_ttl():
+    """ttl<=0 would make every held lock instantly stale — enforcement
+    collapses to steal-anything, so enable rejects it (r12 review)."""
+    import pytest as _pytest
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        enable_index_writer_locking,
+    )
+
+    for bad in (0, -1, -0.5):
+        with _pytest.raises(ValueError, match="ttl_sec"):
+            enable_index_writer_locking(bad)

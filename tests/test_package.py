@@ -256,3 +256,16 @@ def test_cli_writer_lock_flag(spark, tmp_path):
             spark=spark,
         )
     assert S._WRITER_LOCK_TTL is None  # reset even on failure
+    os.remove(f"{idx}/_writer.lock")
+
+    # r12 review: a host process's OWN enablement is restored, not
+    # clobbered, by the invocation-scoped flag
+    S.enable_index_writer_locking(7200)
+    try:
+        assert _index_main(
+            ["extend", "--family", "ngram", *base, "--where", "doc_id % 8 = 2"],
+            spark=spark,
+        ) == 0
+        assert S._WRITER_LOCK_TTL == 7200.0
+    finally:
+        S.disable_index_writer_locking()

@@ -186,3 +186,38 @@ def test_failed_shard_reexport_is_byte_identical(spark, tmp_path):
         assert snapshot(k) == before[k]  # untouched siblings
     files = glob.glob(f"{path}/shard=2/*.parquet")
     assert len(files) == 1  # still one ordered file
+
+
+def test_only_shards_validated_and_full_overwrite_static(spark, tmp_path):
+    """r12 review pins: (a) a typo'd retry fails loudly instead of
+    committing zero rows and reporting success; (b) a FULL overwrite
+    stays a full truncate even under a session-level dynamic
+    partition-overwrite conf — re-exporting with fewer shards must not
+    leave stale higher-numbered shard dirs mixed into the corpus."""
+    import os
+
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    path = str(tmp_path / "static_shards")
+    write_training_shards(docs, path, n_shards=8, salt=1)
+    assert os.path.isdir(f"{path}/shard=7")
+
+    with _pytest.raises(ValueError, match="only_shards"):
+        write_training_shards(
+            docs, path, n_shards=4, mode="overwrite", only_shards=[5]
+        )
+    with _pytest.raises(ValueError, match="only_shards"):
+        write_training_shards(
+            docs, path, n_shards=4, mode="overwrite", only_shards=[]
+        )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_training_shards(docs, path, n_shards=4, salt=1, mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # static pin held: the old shard=4..7 dirs are gone, not stale
+    assert not os.path.isdir(f"{path}/shard=7")
+    assert read_training_shards(spark, path).count() == docs.count()
