@@ -52,7 +52,12 @@ from ..operators.text_quality import (
     repeated_spans,
     repetition_signals,
 )
-from ..sinks.shards import pos_sql, shard_assignments, shard_sql
+from ..sinks.shards import (
+    pos_sql,
+    read_training_shards,
+    shard_sql,
+    write_training_shards,
+)
 from ..sources.parquet import read_table
 from .dedup import _truncate_lineage
 from .registry import register
@@ -84,6 +89,33 @@ _CHUNK_OVERLAP = 4
 #: epoch salt the variants pin — membership AND the exact permutation
 _SHARD_N = 8
 _SHARD_SALT = 12
+
+#: per-process cache of WRITTEN training-shard exports, keyed by
+#: sf_dir — the _INDEX_PATHS build-once/read-many posture: the suite
+#: exports real shards into a scratch dir on first call, and every
+#: call's shard/shard_pos variants READ the written files, so the
+#: oracle hash pins the artifact write_training_shards actually
+#: produced (membership, order keys, and the partitioned layout), not
+#: just the assignment expressions. Parquet on disk outlives any one
+#: SparkSession; scratch dirs are reclaimed at process exit.
+_SHARD_EXPORT_PATHS: dict[str, str] = {}
+
+
+def _shard_export(docs: DataFrame, sf_dir: str) -> DataFrame:
+    path = _SHARD_EXPORT_PATHS.get(sf_dir)
+    if path is None:
+        from ..tmpdirs import scratch_dir
+
+        path = scratch_dir("shard_export_")
+        write_training_shards(
+            docs.select("doc_id"),
+            path,
+            _SHARD_N,
+            salt=_SHARD_SALT,
+            mode="overwrite",
+        )
+        _SHARD_EXPORT_PATHS[sf_dir] = path
+    return read_training_shards(docs.sparkSession, path)
 
 
 def _mix_threshold_sql() -> str:
@@ -363,12 +395,15 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       unigram frequency — the corpus-statistics quality signal (the
       CCNet perplexity-bucket stand-in), integer arithmetic end to
       end so the value hash applies exactly;
-    - ``shard`` / ``shard_pos``: the training-shard export's keying
-      (sinks/shards.shard_assignments — the same function
-      write_training_shards uses): shard membership and the exact
-      48-bit within-shard sort key, h48-keyed so DuckDB reproduces
-      the full deterministic permutation bit-for-bit (r11 verdict:
-      the export was the one operator family with no oracle row).
+    - ``shard`` / ``shard_pos``: the training-shard export itself —
+      write_training_shards lands a REAL export in a per-process
+      scratch dir (build-once/read-many) and the variants read the
+      WRITTEN files: shard membership and the exact 48-bit
+      within-shard sort key, h48-keyed so DuckDB reproduces the full
+      deterministic permutation bit-for-bit from the raw table (r11
+      verdict: the export was the one operator family with no oracle
+      row; the gated variants now exercise the write path end to
+      end).
 
     Shapes: sample/mix/rep_*/split/shard/shard_pos are pure scans;
     prune and cap are
@@ -460,15 +495,16 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rar = rarity_scores(docs).select(
         F.lit("rarity").alias("variant"), "doc_id", F.col("rarity").alias("value")
     )
-    # the training-shard export's keying (r11 verdict #1: the export
-    # was the one operator with no driver oracle row). The SAME
-    # shard_assignments the writer uses — membership ('shard') plus
-    # the within-shard sort key ('shard_pos', 48-bit so the DOUBLE
-    # melt carries it exactly) pin the full deterministic permutation
-    # cross-engine; pure per-row expressions, so both variants ride
-    # the persisted scan shuffle-free.
+    # the training-shard export (r11 verdict #1: the one operator with
+    # no driver oracle row). The variants read a REAL export written
+    # by write_training_shards into a per-process scratch dir
+    # (build-once/read-many, see _SHARD_EXPORT_PATHS): membership
+    # ('shard') plus the within-shard sort key ('shard_pos', 48-bit so
+    # the DOUBLE melt carries it exactly) are hash-checked against the
+    # oracle's independent recomputation — pinning the written
+    # artifact end to end, keying through layout.
     shard_v = (
-        shard_assignments(docs.select("doc_id"), _SHARD_N, salt=_SHARD_SALT)
+        _shard_export(docs, sf_dir)
         .select(
             "doc_id",
             F.expr(
