@@ -460,18 +460,48 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate distinct (HLL) -------------------------------------------
 
 
-@register("user_reach_approx", prepare=True)  # approximation differs per engine -> rows-only
+@register(
+    "user_reach_approx",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_3pct
+        FROM events
+        GROUP BY event_type
+    """,
+    prepare=True,
+)
 def user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event_type via HyperLogLog++
-    (approx_count_distinct, 1% relative error). The 100 TB path for
+    (approx_count_distinct, 1% relative error) — the 100 TB path for
     reach metrics: constant memory per group vs the exact two-phase
-    distinct expansion of event_type_stats. Sketches are approximate
-    and engine-specific, so this is a rows-only-checked query — the
-    exact twin (event_type_stats.n_users) is the oracle-checked one."""
+    distinct expansion. HLL sketches are engine-specific, so the raw
+    estimate can never hash-match a DuckDB oracle; instead this row
+    emits a bounded-error WITNESS: the exact distinct count plus
+    ``within_3pct`` = |approx − exact| ≤ max(3, 0.03·exact) (3 sigma
+    at rsd=0.01, small-count floor so tiny groups can't flake — the
+    same bound tests/test_approx.py pins at two SFs). The oracle
+    recomputes the exact count and emits a constant TRUE, so the
+    driver hash matches iff the exact counts agree AND Spark's
+    approximation genuinely lands inside the pinned bound — a
+    non-vacuous, order-insensitive full-hash gate for an operator
+    whose output is inherently engine-specific. Production reach
+    callers drop the exact column and keep only the sketch; the
+    witness shape exists so the driver can gate it."""
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    err = F.abs(F.col("_approx_users") - F.col("exact_users")).cast("double")
+    bound = F.greatest(F.lit(3.0), F.lit(0.03) * F.col("exact_users").cast("double"))
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (err <= bound).alias("within_3pct"),
     )
 
 

@@ -1,9 +1,13 @@
-"""Accuracy guarantee for the approximate-distinct query: the driver
-can only rows-check user_reach_approx (sketches are engine-specific),
-so pin its accuracy locally against the exact distinct count — the
-bounded check that upgrades the driver's rows-only row. Pinned at two
-SFs: HLL relative error is constant in theory, but a fixed bound at
-one SF says nothing about the other."""
+"""Accuracy guarantee for the approximate-distinct query. Since r13
+the registry row IS the gate: user_reach_approx emits a bounded-error
+witness (exact_users + within_3pct) whose DuckDB oracle recomputes
+the exact count and a constant TRUE, so the driver hash-matches iff
+the approximation lands inside the pinned bound. These tests pin the
+same properties locally at two SFs — HLL relative error is constant
+in theory, but a fixed bound at one SF says nothing about the other —
+and additionally pin the RAW sketch against an independent exact
+count, so a (hypothetical) witness-expression bug can't mask a broken
+sketch behind a tautological boolean."""
 
 from __future__ import annotations
 
@@ -17,21 +21,45 @@ from kcbdml9_big_data_processing_spark.sources.parquet import read_table
 @pytest.mark.parametrize(
     "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"], ids=["sf0.01", "sf0.1"]
 )
-def test_user_reach_approx_within_3pct_of_exact(spark, sf):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in user_reach_approx(spark, sf).collect()
-    }
+def test_user_reach_witness_is_true_and_exact(spark, sf):
+    rows = {r["event_type"]: r for r in user_reach_approx(spark, sf).collect()}
     exact = {
-        r["event_type"]: r["n"]
+        r["event_type"]: (r["n_users"], r["n_events"])
         for r in read_table(spark, sf, "events")
         .groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("n"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, n in exact.items():
-        # rsd=0.01 requested; 3% = 3 sigma, plus a small-count floor so
-        # the deterministic test never flakes on tiny groups while
-        # still catching a broken sketch
-        assert abs(approx[et] - n) <= max(3, 0.03 * n), (et, approx[et], n)
+    assert set(rows) == set(exact)
+    for et, (n_users, n_events) in exact.items():
+        r = rows[et]
+        assert r["exact_users"] == n_users, (et, r["exact_users"], n_users)
+        assert r["n_events"] == n_events, (et, r["n_events"], n_events)
+        assert r["within_3pct"] is True, (et, dict(r.asDict()))
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"], ids=["sf0.01", "sf0.1"]
+)
+def test_raw_sketch_within_3pct_of_exact(spark, sf):
+    # independent of the witness expression: recompute the raw HLL
+    # estimate and compare against the exact count with the same
+    # pinned bound — rsd=0.01 requested; 3% = 3 sigma, plus a
+    # small-count floor so the deterministic test never flakes on
+    # tiny groups while still catching a broken sketch
+    ev = read_table(spark, sf, "events")
+    both = {
+        r["event_type"]: (r["approx_users"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("n"),
+        )
+        .collect()
+    }
+    assert both
+    for et, (approx, n) in both.items():
+        assert abs(approx - n) <= max(3, 0.03 * n), (et, approx, n)
