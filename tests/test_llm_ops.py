@@ -1802,6 +1802,98 @@ def test_index_writer_lock_contention_and_release(spark, tmp_path):
         disable_index_writer_locking()
 
 
+def test_writer_lock_release_is_content_based(spark, tmp_path):
+    """r12 verdict #2: holder identity lives in the lock file's
+    CONTENT, not its mtime. (a) A TTL steal + re-acquire landing in
+    the SAME mtime tick (forced by pinning both files' mtimes equal)
+    must not trick the original holder's release into deleting the
+    new holder's fresh lock. (b) A foreign lock that appears where
+    ours was (crash + manual relock) is left intact by our release.
+    (c) A second THREAD of the same application contends instead of
+    entering 'reentrantly' (r12 ADVICE: old (app, root) keying let it
+    in and released under the other writer)."""
+    import os
+    import threading as _threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        IndexWriterLockError,
+        _lock_handles,
+        _maybe_writer_lock,
+        _read_lock_token,
+        disable_index_writer_locking,
+        enable_index_writer_locking,
+    )
+
+    root = str(tmp_path / "tick_idx")
+    lock = f"{root}/_writer.lock"
+    enable_index_writer_locking(ttl_sec=1800)
+    try:
+        # (a) holder A acquires, then "crashes past the TTL": age the
+        # lock file; holder B (another thread — per-thread keying
+        # makes it contend/steal like a foreign process) steals and
+        # re-acquires; pin B's lock mtime EQUAL to A's token-era
+        # mtime to simulate a coarse-granularity filesystem tick
+        # (HDFS: 1 s). A's release must read B's uuid, mismatch, and
+        # leave the file.
+        a_cm = _maybe_writer_lock(spark, root)
+        a_cm.__enter__()
+        old = _time.time() - 7200
+        os.utime(lock, (old, old))
+        b_entered = _threading.Event()
+        b_release = _threading.Event()
+
+        def b_steal():
+            with _maybe_writer_lock(spark, root):  # B steals the stale lock
+                os.utime(lock, (old, old))  # same tick as A's acquire
+                b_entered.set()
+                b_release.wait(30)
+
+        bt = _threading.Thread(target=b_steal)
+        bt.start()
+        assert b_entered.wait(30)
+        fs, p = _lock_handles(spark, root)
+        b_token = _read_lock_token(fs, p)
+        assert b_token
+        a_cm.__exit__(None, None, None)  # A's release
+        assert os.path.exists(lock), "A's release deleted B's lock"
+        assert _read_lock_token(fs, p) == b_token
+        b_release.set()
+        bt.join(30)
+        assert not os.path.exists(lock)  # B's own release still works
+
+        # (b) foreign manual lock in place of ours: release leaves it
+        a_cm = _maybe_writer_lock(spark, root)
+        a_cm.__enter__()
+        os.remove(lock)
+        with open(lock, "w") as f:
+            f.write("foreign")
+        a_cm.__exit__(None, None, None)
+        assert os.path.exists(lock)
+        os.remove(lock)
+
+        # (c) same-process, different thread: contends, never enters
+        with _maybe_writer_lock(spark, root):
+            caught: list = []
+
+            def attempt():
+                try:
+                    with _maybe_writer_lock(spark, root):
+                        caught.append("entered")
+                except IndexWriterLockError:
+                    caught.append("locked")
+
+            t = _threading.Thread(target=attempt)
+            t.start()
+            t.join()
+            assert caught == ["locked"]
+        assert not os.path.exists(lock)
+    finally:
+        disable_index_writer_locking()
+
+
 def test_writer_lock_rejects_non_positive_ttl():
     """ttl<=0 would make every held lock instantly stale — enforcement
     collapses to steal-anything, so enable rejects it (r12 review)."""
