@@ -51,21 +51,36 @@ expected colliding pairs are n/32. The over-provision is NOT free:
 a user-pinned repartition count is exempt from AQE partition
 coalescing, so every extra partition pays the per-task dispatch
 floor — measured (SCALE_PROBE.json shard_export_width, fixed tiny
-corpus): 64 → 1024 partitions cost 0.48 → 3.95 s of pure scheduling.
-That floor is constant per task, so at production shard sizes
-(corpus_bytes/n_shards in the GBs — the loader-appetite sizing rule)
-it amortizes to noise against the external sorts; shrink
-``over_provision`` when exporting many tiny shards. Corpus-growth
-cost at fixed shard count is flat-linear (shard_export series,
-exponent −0.16 at probe scale: one exchange, every row moves once).
+corpus): 64 → 1024 partitions cost 0.48 → 3.95 s of pure scheduling
+(exponent 1.53). Since r13 the width is therefore CAPPED by a
+size-derived bound, ceil(est_input_bytes / target_task_bytes) with a
+64 floor (Catalyst's file-scan statistics feed the estimate): a
+many-tiny-shards export stays at the 64-partition floor instead of
+paying n_shards*16 dispatches, while production-sized exports (GBs
+per shard — the loader-appetite sizing rule) keep the full collision-
+diluting width, where the floor amortizes to noise against the
+external sorts. Corpus-growth cost at fixed shard count is
+flat-linear (shard_export series, exponent −0.16 at probe scale: one
+exchange, every row moves once).
 """
 
 from __future__ import annotations
+
+import json
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sampling import h48, h48_sql
+
+#: the portable hash recipe this module keys on — recorded in the
+#: export's _export_meta.json so a retry built from DIFFERENT code
+#: (r12 ADVICE: the xxhash64→h48 switch changed every assignment)
+#: fails loudly instead of silently replacing one shard with a
+#: differently-permuted one mixed among old-recipe shards.
+_HASH_RECIPE = "sha256-h48:role-prefix"
+_META_NAME = "_export_meta.json"
 
 
 def _role_hash(id_col: str, salt: int, role: str) -> Column:
@@ -112,6 +127,62 @@ def shard_assignments(
     ).withColumn("pos", _role_hash(id_col, salt, "pos"))
 
 
+def _meta_handles(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META_NAME}")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def read_export_meta(spark: SparkSession, path: str) -> dict | None:
+    """The export's recorded recipe (hash, n_shards, salt, id_col), or
+    None for a pre-meta (pre-r13) export. Underscore-named, so the
+    parquet reader never sees it."""
+    fs, p = _meta_handles(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _write_export_meta(
+    spark: SparkSession, path: str, n_shards: int, salt: int, id_col: str
+) -> None:
+    fs, p = _meta_handles(spark, path)
+    payload = json.dumps(
+        {
+            "format": 1,
+            "hash": _HASH_RECIPE,
+            "n_shards": int(n_shards),
+            "salt": int(salt),
+            "id_col": id_col,
+        },
+        sort_keys=True,
+    ).encode("utf-8")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+
+
+def _estimated_input_bytes(df: DataFrame) -> int | None:
+    """Catalyst's pre-AQE size estimate for the plan — file-scan
+    statistics for parquet inputs. None when the estimate is missing
+    or the unknown-stats sentinel (huge), in which case the caller
+    falls back to pure width-based sizing."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    if est <= 0 or est >= 1 << 60:
+        return None
+    return est
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -121,28 +192,54 @@ def write_training_shards(
     mode: str = "error",
     over_provision: int = 16,
     only_shards: list[int] | None = None,
+    target_task_bytes: int = 128 << 20,
+    verify_meta: bool = True,
 ) -> None:
     """Export ``df`` as ``{path}/shard=K/`` parquet dirs, one file per
     shard, rows in the shard's deterministic shuffled order. Every
     column of ``df`` rides along; ``pos`` is kept in the output so a
     reader (or a resumed loader) can verify/re-establish order without
-    recomputing hashes. ``over_provision`` trades murmur3-collision
-    skew against per-empty-task scheduling (module docstring) — the
-    default suits production-sized shards; it does not affect the
-    output (shard membership/order are pure hash expressions).
+    recomputing hashes. The exchange width is
+    ``min(n_writing * over_provision, max(64, ceil(est_input_bytes /
+    target_task_bytes)))``: over-provisioning dilutes murmur3-collision
+    skew (module docstring), while the size-derived cap keeps a
+    many-tiny-shards export from paying the per-task dispatch floor on
+    thousands of near-empty pinned partitions (repartition(N, col) is
+    EXEMPT from AQE coalescing; the r12 width probe measured the floor
+    at exponent 1.53). When Catalyst has no size estimate the cap
+    drops out (falls back to pure width sizing). Width never affects
+    the output — shard membership/order are pure hash expressions.
+
+    A ``_export_meta.json`` sidecar records the hash recipe +
+    (n_shards, salt, id_col) at full-export time.
 
     ``only_shards`` is the FAILED-SHARD RETRY path the determinism
     exists for: with ``only_shards=[k, ...]`` and ``mode="overwrite"``
-    only the named ``shard=K`` dirs are recomputed and replaced
+    (anything else raises — under append the dynamic-overwrite option
+    is inert and a retry would stack a SECOND file into the target
+    dirs) only the named ``shard=K`` dirs are recomputed and replaced
     (dynamic partition overwrite, pinned as a write option so the
     session conf can't widen it to a full-table overwrite) — every
     other shard's files are untouched, and because membership/order
     are pure functions of (id, salt) the re-exported shard is
-    byte-identical to what the full export wrote."""
+    byte-identical to what the full export wrote. The retry first
+    verifies the sidecar against its own recipe/parameters
+    (``verify_meta=False`` skips, for pre-meta exports whose
+    parameters the caller has checked by hand): a retry with a
+    different hash recipe, salt, n_shards, or id column would
+    otherwise silently replace the shard with a differently-permuted
+    one mixed among the untouched rest."""
     assigned = shard_assignments(df, n_shards, id_col=id_col, salt=salt)
     writer = assigned
     n_writing = n_shards
     if only_shards is not None:
+        if mode != "overwrite":
+            raise ValueError(
+                f"only_shards requires mode='overwrite' (got {mode!r}):"
+                " dynamic partition overwrite is inert under other"
+                " modes and a retry would append a second file into"
+                " the target shard dirs instead of replacing them"
+            )
         wanted = [int(s) for s in only_shards]
         bad = [s for s in wanted if not 0 <= s < n_shards]
         if bad or not wanted:
@@ -152,10 +249,38 @@ def write_training_shards(
                 f"only_shards must be a non-empty subset of"
                 f" 0..{n_shards - 1}, got {only_shards!r}"
             )
+        if verify_meta:
+            meta = read_export_meta(df.sparkSession, path)
+            expect = {
+                "hash": _HASH_RECIPE,
+                "n_shards": int(n_shards),
+                "salt": int(salt),
+                "id_col": id_col,
+            }
+            if meta is None:
+                raise ValueError(
+                    f"no {_META_NAME} at {path}: cannot verify this"
+                    " retry matches the original export's hash recipe"
+                    " and parameters (pre-r13 export?). Re-run the"
+                    " full export, or pass verify_meta=False after"
+                    " checking (n_shards, salt, id_col) by hand."
+                )
+            got = {k: meta.get(k) for k in expect}
+            if got != expect:
+                raise ValueError(
+                    f"retry parameters do not match {path}'s export"
+                    f" meta: expected {expect}, found {got} — a"
+                    " mismatched retry would silently replace the"
+                    " shard with a differently-permuted one"
+                )
         writer = assigned.where(F.col("shard").isin(wanted))
         n_writing = len(set(wanted))
+    width = max(n_writing * over_provision, 64)
+    est = _estimated_input_bytes(writer)
+    if est is not None:
+        width = min(width, max(64, math.ceil(est / target_task_bytes)))
     (
-        writer.repartition(max(n_writing * over_provision, 64), "shard")
+        writer.repartition(width, "shard")
         .sortWithinPartitions("shard", "pos", id_col)
         .write.mode(mode)
         # pin the one-ordered-file-per-shard invariant against session
@@ -177,6 +302,11 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    if only_shards is None:
+        # record the recipe AFTER the data commits: an export without
+        # its sidecar is an export whose write failed — retries on it
+        # refuse (above) instead of guessing
+        _write_export_meta(df.sparkSession, path, n_shards, salt, id_col)
 
 
 def read_training_shards(

@@ -221,3 +221,101 @@ def test_only_shards_validated_and_full_overwrite_static(spark, tmp_path):
     # static pin held: the old shard=4..7 dirs are gone, not stale
     assert not os.path.isdir(f"{path}/shard=7")
     assert read_training_shards(spark, path).count() == docs.count()
+
+
+def test_retry_requires_overwrite_mode(spark, tmp_path):
+    """r12 ADVICE: under mode='append' the dynamic partition-overwrite
+    option is inert — a retry would stack a SECOND file into the
+    target shard dirs, breaking the one-ordered-file invariant while
+    reporting success. only_shards now requires mode='overwrite'."""
+    docs = _docs(spark)
+    path = str(tmp_path / "mode_shards")
+    write_training_shards(docs, path, n_shards=4, salt=7)
+    for bad_mode in ("append", "error", "ignore"):
+        with pytest.raises(ValueError, match="overwrite"):
+            write_training_shards(
+                docs, path, n_shards=4, salt=7, mode=bad_mode, only_shards=[2]
+            )
+    # the invariant the check protects: still one file in shard=2
+    assert len(glob.glob(f"{path}/shard=2/*.parquet")) == 1
+
+
+def test_export_meta_recorded_and_verified_on_retry(spark, tmp_path):
+    """r12 ADVICE: the export records its hash recipe + parameters in
+    _export_meta.json; a retry whose parameters (or code-era hash
+    recipe) don't match refuses instead of silently replacing the
+    shard with a differently-permuted one. A pre-meta export (sidecar
+    missing) also refuses, with verify_meta=False as the audited
+    escape hatch."""
+    import os
+
+    from kcbdml9_big_data_processing_spark.sinks.shards import (
+        read_export_meta,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "meta_shards")
+    write_training_shards(docs, path, n_shards=4, salt=7)
+
+    meta = read_export_meta(spark, path)
+    assert meta == {
+        "format": 1,
+        "hash": "sha256-h48:role-prefix",
+        "n_shards": 4,
+        "salt": 7,
+        "id_col": "doc_id",
+    }
+    # the sidecar is invisible to the parquet reader
+    assert set(read_training_shards(spark, path).columns) >= {"doc_id", "pos"}
+
+    # mismatched retry parameters refuse (wrong salt; wrong n_shards)
+    with pytest.raises(ValueError, match="meta"):
+        write_training_shards(
+            docs, path, n_shards=4, salt=8, mode="overwrite", only_shards=[2]
+        )
+    with pytest.raises(ValueError, match="meta"):
+        write_training_shards(
+            docs, path, n_shards=8, salt=7, mode="overwrite", only_shards=[2]
+        )
+
+    # pre-meta export: sidecar gone -> retry refuses; the escape
+    # hatch still reproduces the shard byte-identically
+    want = read_training_shards(spark, path, shard=2, ordered=True).collect()
+    os.remove(f"{path}/_export_meta.json")
+    with pytest.raises(ValueError, match="_export_meta"):
+        write_training_shards(
+            docs, path, n_shards=4, salt=7, mode="overwrite", only_shards=[2]
+        )
+    write_training_shards(
+        docs,
+        path,
+        n_shards=4,
+        salt=7,
+        mode="overwrite",
+        only_shards=[2],
+        verify_meta=False,
+    )
+    got = read_training_shards(spark, path, shard=2, ordered=True).collect()
+    assert got == want
+    # a retry never (re)writes the sidecar — only a full export owns it
+    assert not os.path.exists(f"{path}/_export_meta.json")
+
+
+def test_width_cap_does_not_change_output(spark, tmp_path):
+    """r12 verdict #3: the exchange width is capped by the input-size
+    estimate (a tiny corpus exports at the 64-partition floor no
+    matter how many shards), and width provably never affects the
+    artifact — same files, same rows, same order at forced extremes."""
+    docs = _docs(spark)
+    base = str(tmp_path / "w_base")
+    # many tiny shards: old default width would be 32*16=512; the size
+    # cap pins a tiny corpus at the 64 floor. Output must be identical
+    # across target_task_bytes extremes (1 byte -> uncapped width).
+    write_training_shards(docs, base, n_shards=32, salt=3)
+    wide = str(tmp_path / "w_wide")
+    write_training_shards(docs, wide, n_shards=32, salt=3, target_task_bytes=1)
+    for k in (0, 11, 31):
+        a = read_training_shards(spark, base, shard=k, ordered=True).collect()
+        b = read_training_shards(spark, wide, shard=k, ordered=True).collect()
+        assert a == b, k
+        assert len(glob.glob(f"{base}/shard={k}/*.parquet")) == 1
