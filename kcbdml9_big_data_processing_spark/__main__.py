@@ -40,6 +40,15 @@ consume. And raw corpora land from the shell (r10):
     python -m kcbdml9_big_data_processing_spark ingest
         (--text-dir DIR | --jsonl PATH) --out DOCS_PARQUET
         [--rejects-out PATH]
+
+And the deterministic training-shard export + failed-shard retry
+(r13 — the retry was library-only before):
+
+    python -m kcbdml9_big_data_processing_spark export-shards
+        (--input PARQUET | --sf DIR) --out ROOT --n-shards N
+        [--salt N] [--id-col COL] [--where SQL]
+        [--only-shards K,K,...] [--overwrite] [--no-verify-meta]
+        [--writer-lock-ttl SEC]
 """
 
 from __future__ import annotations
@@ -434,6 +443,147 @@ def _ingest_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def _export_shards_main(argv: list[str], spark=None) -> int:
+    """``export-shards``: the deterministic training-shard export and
+    its failed-shard retry (sinks/shards.py), from the shell — the
+    operational feature the export's determinism exists for. A full
+    export writes ``{out}/shard=K/`` dirs plus the recipe sidecar; a
+    retry (``--only-shards``) recomputes and replaces ONLY the named
+    shard dirs byte-identically, after verifying the sidecar matches
+    this invocation's recipe/parameters."""
+    ap = argparse.ArgumentParser(prog="kcbdml9-spark export-shards")
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument(
+        "--input", default=None, help="curated corpus parquet to export"
+    )
+    src.add_argument(
+        "--sf",
+        default=None,
+        help="testdata dir; exports its documents table (demo path)",
+    )
+    ap.add_argument("--out", required=True, help="export root")
+    ap.add_argument("--n-shards", type=int, required=True)
+    ap.add_argument("--salt", type=int, default=0, help="epoch salt")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument(
+        "--where", default=None, help="SQL filter over the input"
+    )
+    ap.add_argument(
+        "--only-shards",
+        default=None,
+        metavar="K,K,...",
+        help="FAILED-SHARD RETRY: recompute + replace only these shard"
+        " dirs (implies overwrite of exactly those dirs; the sidecar"
+        " recipe check guards against mismatched parameters)",
+    )
+    ap.add_argument(
+        "--overwrite",
+        action="store_true",
+        help="full export over an existing root (truncates it)",
+    )
+    ap.add_argument(
+        "--no-verify-meta",
+        action="store_true",
+        help="skip the retry's sidecar recipe check (pre-r13 exports;"
+        " check n_shards/salt/id-col by hand first)",
+    )
+    ap.add_argument("--over-provision", type=int, default=16)
+    ap.add_argument(
+        "--target-task-bytes", type=int, default=128 << 20,
+        help="size-derived cap on the exchange width",
+    )
+    ap.add_argument(
+        "--writer-lock-ttl",
+        type=float,
+        default=None,
+        metavar="SEC",
+        help="RETRY ONLY: hold {out}/_writer.lock while replacing the"
+        " named shards (single writer per export root); steal locks"
+        " staler than SEC. A full export can't hold this lock: a"
+        " fresh export's root must not pre-exist (the lock file would"
+        " create it), and a full --overwrite's static truncate would"
+        " delete the held lock mid-write",
+    )
+    args = ap.parse_args(argv)
+    if args.input is None and args.sf is None:
+        print("export-shards: need --input or --sf", file=sys.stderr)
+        return 2
+    if args.writer_lock_ttl is not None and args.only_shards is None:
+        print(
+            "export-shards: --writer-lock-ttl applies only to"
+            " --only-shards retries (a full export either requires a"
+            " fresh root or truncates it — both incompatible with a"
+            " lock file inside the root)",
+            file=sys.stderr,
+        )
+        return 2
+
+    from contextlib import nullcontext
+
+    from .queries import similarity as S
+    from .sinks.shards import write_training_shards
+    from .sources.parquet import read_table
+
+    only = None
+    if args.only_shards is not None:
+        try:
+            only = [int(s) for s in args.only_shards.split(",") if s.strip()]
+        except ValueError:
+            print(
+                f"export-shards: bad --only-shards {args.only_shards!r}"
+                " (want K,K,...)",
+                file=sys.stderr,
+            )
+            return 2
+
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="kcbdml9-export-shards")
+    prev_lock_ttl = S._WRITER_LOCK_TTL
+    try:
+        if args.writer_lock_ttl is not None:
+            S.enable_index_writer_locking(ttl_sec=args.writer_lock_ttl)
+        df = (
+            spark.read.parquet(args.input)
+            if args.input
+            else read_table(spark, args.sf, "documents")
+        )
+        if args.where:
+            df = df.where(args.where)
+        mode = "overwrite" if (args.overwrite or only is not None) else "error"
+        lock = (
+            S._maybe_writer_lock(spark, args.out)
+            if args.writer_lock_ttl is not None
+            else nullcontext()
+        )
+        with lock:
+            write_training_shards(
+                df,
+                args.out,
+                n_shards=args.n_shards,
+                id_col=args.id_col,
+                salt=args.salt,
+                mode=mode,
+                over_provision=args.over_provision,
+                only_shards=only,
+                target_task_bytes=args.target_task_bytes,
+                verify_meta=not args.no_verify_meta,
+            )
+        what = f"shards {sorted(set(only))}" if only else f"{args.n_shards} shards"
+        print(f"exported {what} to {args.out}")
+    finally:
+        if args.writer_lock_ttl is not None:
+            if prev_lock_ttl is None:
+                S.disable_index_writer_locking()
+            else:
+                S.enable_index_writer_locking(ttl_sec=prev_lock_ttl)
+        if own_session:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -443,6 +593,8 @@ def main(argv: list[str] | None = None) -> int:
         return _train_main(argv[1:])
     if argv and argv[0] == "ingest":
         return _ingest_main(argv[1:])
+    if argv and argv[0] == "export-shards":
+        return _export_shards_main(argv[1:])
     ap = argparse.ArgumentParser(prog="kcbdml9-spark")
     ap.add_argument("query", nargs="?", help="registered query name")
     ap.add_argument("--sf", default="/root/testdata/sf0.01", help="testdata dir")

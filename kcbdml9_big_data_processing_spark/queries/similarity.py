@@ -105,11 +105,17 @@ def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, which Spark bounds with WindowGroupLimit (partial top-k
     before exchange). The broadcast hint is load-bearing (r12, found
     by the BNLJ plan guard): without it Spark's size estimate picked
-    BuildRight and broadcast the whole CORPUS — invisible at test SF,
-    an executor OOM at 100 TB. Pinned by
+    BuildRight and broadcast the whole CORPUS — the strictly wrong
+    side at any scale. Pinned by
     tests/test_plans.py::test_bnlj_build_sides_are_scalar's
-    knn_centroid_suite exception. This is the exact baseline ANN
-    variants are judged against."""
+    knn_centroid_suite exception. Scope honestly (r12 ADVICE): the
+    hint pins the INTENDED build side at benchmark SFs; brute force
+    itself is not a 100 TB operator — a 1%-of-corpus probe set is
+    ~1 TB there, far past any broadcast budget. At that scale the
+    probe side must shrink to what fits (a bounded probe batch), or
+    the job belongs to the ANN family (ann_index_suite), whose
+    build-once/search-many indexes are the actual scale path; this
+    row is their exactness baseline."""
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         "vec_id",

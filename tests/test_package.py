@@ -269,3 +269,73 @@ def test_cli_writer_lock_flag(spark, tmp_path):
         assert S._WRITER_LOCK_TTL == 7200.0
     finally:
         S.disable_index_writer_locking()
+
+
+def test_cli_export_shards_and_retry(spark, tmp_path):
+    """r12 verdict #5: the shard export + failed-shard retry are
+    driveable from the shell. Full export via --sf writes one ordered
+    file per shard plus the recipe sidecar; deleting one shard dir and
+    retrying with --only-shards brings it back byte-identically with
+    untouched siblings (the test_failed_shard_reexport assertions);
+    --writer-lock-ttl scopes the process-global toggle; a mismatched
+    retry salt exits nonzero via the sidecar check."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from kcbdml9_big_data_processing_spark.__main__ import _export_shards_main
+    from kcbdml9_big_data_processing_spark.queries import similarity as S
+    from kcbdml9_big_data_processing_spark.sinks.shards import (
+        read_training_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "cli_shards")
+    base = ["--sf", sf, "--out", out, "--n-shards", "4", "--salt", "7"]
+    # the lock flag is retry-only: a full export's root must not
+    # pre-exist (the lock file would create it) and a full overwrite's
+    # static truncate would delete the held lock mid-write
+    assert _export_shards_main(
+        [*base, "--writer-lock-ttl", "3600"], spark=spark
+    ) == 2
+    assert _export_shards_main(base, spark=spark) == 0
+    assert os.path.exists(f"{out}/_export_meta.json")
+
+    def snapshot(k):
+        return sorted(
+            (os.path.basename(f), os.path.getsize(f))
+            for f in glob.glob(f"{out}/shard={k}/*.parquet")
+        )
+
+    before = {k: snapshot(k) for k in range(4)}
+    assert all(len(v) == 1 for v in before.values())
+    want_rows = read_training_shards(spark, out, shard=2, ordered=True).collect()
+
+    shutil.rmtree(f"{out}/shard=2")  # the failed shard
+    assert _export_shards_main(
+        [*base, "--only-shards", "2", "--writer-lock-ttl", "3600"],
+        spark=spark,
+    ) == 0
+    assert S._WRITER_LOCK_TTL is None  # toggle scoped to the invocation
+    assert not os.path.exists(f"{out}/_writer.lock")  # released
+    got_rows = read_training_shards(spark, out, shard=2, ordered=True).collect()
+    assert got_rows == want_rows  # identical rows, identical order
+    for k in (0, 1, 3):
+        assert snapshot(k) == before[k]  # untouched siblings
+    assert len(glob.glob(f"{out}/shard=2/*.parquet")) == 1
+
+    # a retry with the wrong salt is refused by the sidecar check
+    with pytest.raises(ValueError, match="meta"):
+        _export_shards_main(
+            ["--sf", sf, "--out", out, "--n-shards", "4", "--salt", "8",
+             "--only-shards", "2"],
+            spark=spark,
+        )
+    # malformed shard list exits 2 before touching Spark
+    assert _export_shards_main(
+        [*base, "--only-shards", "2,x"], spark=spark
+    ) == 2
+    # missing input spec exits 2
+    assert _export_shards_main(["--out", out, "--n-shards", "4"]) == 2
