@@ -229,6 +229,15 @@ def write_training_shards(
     different hash recipe, salt, n_shards, or id column would
     otherwise silently replace the shard with a differently-permuted
     one mixed among the untouched rest."""
+    if mode not in ("error", "errorifexists", "overwrite"):
+        # append would stack extra files into shard dirs (order gone,
+        # one-file invariant gone); ignore can silently skip the data
+        # write yet leave this call free to replace the sidecar with
+        # parameters that don't describe the existing artifact
+        raise ValueError(
+            f"write_training_shards supports mode='error' or"
+            f" 'overwrite', got {mode!r}"
+        )
     assigned = shard_assignments(df, n_shards, id_col=id_col, salt=salt)
     writer = assigned
     n_writing = n_shards

@@ -236,7 +236,13 @@ def test_retry_requires_overwrite_mode(spark, tmp_path):
             write_training_shards(
                 docs, path, n_shards=4, salt=7, mode=bad_mode, only_shards=[2]
             )
-    # the invariant the check protects: still one file in shard=2
+    # full exports reject append/ignore too: append stacks extra
+    # files into shard dirs; ignore can skip the data write yet
+    # replace the sidecar with parameters the artifact doesn't have
+    for bad_mode in ("append", "ignore"):
+        with pytest.raises(ValueError, match="overwrite"):
+            write_training_shards(docs, path, n_shards=4, salt=7, mode=bad_mode)
+    # the invariant the checks protect: still one file in shard=2
     assert len(glob.glob(f"{path}/shard=2/*.parquet")) == 1
 
 

@@ -600,17 +600,16 @@ def main() -> None:
         return n, one, corpus.unpersist
 
     def shard_export_width_runner(mult):
-        """FIXED corpus, n_shards 4 → 16 → 64 (the over-provisioned
-        exchange runs 64 → 1024 partitions; a user-pinned repartition
-        count is exempt from AQE coalescing). Shard count buys
-        parallel output files, not extra data movement, so what this
-        series measures is the per-task dispatch floor on the extra
-        (mostly empty) partitions — at this tiny probe corpus that
-        floor DOMINATES (measured 0.48 → 3.95 s, sublinear in
-        partition count), while at production shard sizes (GBs/shard)
-        it amortizes to noise against the external sorts. The series
-        pins the 16x over-provisioning trade (murmur3-collision skew
-        vs scheduling) with its real, not assumed, cost."""
+        """FIXED corpus, n_shards 4 → 16 → 64 with the size cap
+        FORCED OFF (target_task_bytes=1 keeps the full
+        n_shards*16-partition exchange; a user-pinned repartition
+        count is exempt from AQE coalescing): the series keeps
+        measuring the raw per-task dispatch floor the r13 cap exists
+        to avoid — at this tiny probe corpus the floor DOMINATES
+        (r12 measured 0.48 → 3.95 s at 64 → 1024 partitions,
+        exponent 1.53), while at production shard sizes (GBs/shard)
+        it amortizes to noise against the external sorts. The capped
+        sibling series below shows the default's behavior."""
         from kcbdml9_big_data_processing_spark.sinks.shards import (
             write_training_shards,
         )
@@ -619,6 +618,32 @@ def main() -> None:
         n = corpus.count()
         n_shards = 4 * mult * mult  # mult 1/2/4 -> 4/16/64 shards
         path = scratch_dir(f"probe_shards_w{n_shards}_")
+
+        def one():
+            write_training_shards(
+                corpus, path, n_shards=n_shards, salt=1, mode="overwrite",
+                target_task_bytes=1,
+            )
+
+        return n, one, corpus.unpersist
+
+    def shard_export_width_capped_runner(mult):
+        """Same sweep at the r13 DEFAULT: the exchange width is capped
+        by ceil(est_input_bytes / target_task_bytes) with a 64 floor,
+        so a tiny corpus exports at 64 partitions no matter how many
+        shards — the guard is a FLAT series (the dispatch floor the
+        uncapped sibling measures is gone; what remains is the
+        constant hash+sort+write work). Width never affects the
+        artifact (pure hash expressions; byte-identity pinned in
+        tests/test_shards.py::test_width_cap_does_not_change_output)."""
+        from kcbdml9_big_data_processing_spark.sinks.shards import (
+            write_training_shards,
+        )
+
+        corpus = _inflate(base, 1).persist()
+        n = corpus.count()
+        n_shards = 4 * mult * mult  # mult 1/2/4 -> 4/16/64 shards
+        path = scratch_dir(f"probe_shards_wc{n_shards}_")
 
         def one():
             write_training_shards(
@@ -658,6 +683,7 @@ def main() -> None:
         "stream_join": stream_join_runner,
         "shard_export": shard_export_runner,
         "shard_export_width": shard_export_width_runner,
+        "shard_export_width_capped": shard_export_width_capped_runner,
     }
 
     if args.only:
