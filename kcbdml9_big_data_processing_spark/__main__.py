@@ -49,6 +49,11 @@ And the deterministic training-shard export + failed-shard retry
         [--salt N] [--id-col COL] [--where SQL]
         [--only-shards K,K,...] [--overwrite] [--no-verify-meta]
         [--writer-lock-ttl SEC]
+
+with its detection sibling (exit 1 lists the shards to retry):
+
+    python -m kcbdml9_big_data_processing_spark audit-shards
+        --path ROOT [--reference PARQUET | --sf DIR]
 """
 
 from __future__ import annotations
@@ -584,6 +589,63 @@ def _export_shards_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def _audit_shards_main(argv: list[str], spark=None) -> int:
+    """``audit-shards``: integrity-check a training-shard export
+    against its sidecar recipe (and optionally a reference corpus) —
+    prints one row per shard and exits 1 when any shard fails, so a
+    pipeline can chain ``audit-shards`` → ``export-shards
+    --only-shards`` mechanically."""
+    ap = argparse.ArgumentParser(prog="kcbdml9-spark audit-shards")
+    ap.add_argument("--path", required=True, help="export root")
+    ap.add_argument(
+        "--reference",
+        default=None,
+        help="original corpus parquet; enables missing/extra-row checks",
+    )
+    ap.add_argument(
+        "--sf", default=None,
+        help="testdata dir; its documents table is the reference",
+    )
+    args = ap.parse_args(argv)
+
+    from .sinks.shards import audit_training_shards
+    from .sources.parquet import read_table
+
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="kcbdml9-audit-shards")
+    try:
+        ref = None
+        if args.reference:
+            ref = spark.read.parquet(args.reference)
+        elif args.sf:
+            ref = read_table(spark, args.sf, "documents")
+        rows = audit_training_shards(spark, args.path, reference=ref).collect()
+        bad = [r["shard"] for r in rows if not r["ok"]]
+        for r in rows:
+            print(
+                f"shard={r['shard']} rows={r['n_rows']} files={r['n_files']}"
+                f" bad_assign={r['n_bad_assign']} missing={r['n_missing']}"
+                f" extra={r['n_extra']} ok={r['ok']}"
+            )
+        if bad:
+            print(
+                "FAILED shards "
+                + ",".join(str(k) for k in bad)
+                + " — repair: export-shards --only-shards "
+                + ",".join(str(k) for k in bad),
+                file=sys.stderr,
+            )
+            return 1
+        print("all shards ok")
+    finally:
+        if own_session:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -595,6 +657,8 @@ def main(argv: list[str] | None = None) -> int:
         return _ingest_main(argv[1:])
     if argv and argv[0] == "export-shards":
         return _export_shards_main(argv[1:])
+    if argv and argv[0] == "audit-shards":
+        return _audit_shards_main(argv[1:])
     ap = argparse.ArgumentParser(prog="kcbdml9-spark")
     ap.add_argument("query", nargs="?", help="registered query name")
     ap.add_argument("--sf", default="/root/testdata/sf0.01", help="testdata dir")

@@ -4,6 +4,8 @@ shards."""
 from .jdbc import write_jdbc
 from .parquet import write_partitioned_archive
 from .shards import (
+    audit_training_shards,
+    read_export_meta,
     read_training_shards,
     shard_assignments,
     write_training_shards,
@@ -15,4 +17,6 @@ __all__ = [
     "shard_assignments",
     "write_training_shards",
     "read_training_shards",
+    "audit_training_shards",
+    "read_export_meta",
 ]

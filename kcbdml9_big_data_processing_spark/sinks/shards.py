@@ -318,6 +318,136 @@ def write_training_shards(
         _write_export_meta(df.sparkSession, path, n_shards, salt, id_col)
 
 
+def audit_training_shards(
+    spark: SparkSession,
+    path: str,
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Integrity audit of an export — the DETECTION half of the
+    failed-shard story (``only_shards`` is the repair half; until r13
+    finding the shard to repair was the caller's problem). Recomputes
+    every stored row's assignment from the sidecar's recipe and
+    returns one row per expected shard::
+
+        shard, n_rows, n_files, n_bad_assign, n_missing, n_extra, ok
+
+    - ``n_files``: parquet data files in the ``shard=K`` dir (one is
+      the invariant; 0 = lost dir, 2+ = a foreign append broke it)
+    - ``n_bad_assign``: stored rows whose recomputed shard or pos
+      disagrees with what's stored (corruption, or an export written
+      by a different recipe/salt than the sidecar claims)
+    - ``n_missing`` / ``n_extra``: vs the ``reference`` corpus when
+      given (anti-joins both ways on the id column) — 0/0 without it
+
+    Everything data-sized is distributed (one scan of the export, one
+    of the reference; the per-shard aggregate is n_shards rows); only
+    the per-dir file counts come from a driver listing, which is
+    O(n_shards) names. Shards failing any check feed straight into
+    ``write_training_shards(..., only_shards=[...])``."""
+    meta = read_export_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"no {_META_NAME} at {path}: the audit needs the export's"
+            " recorded recipe (pre-r13 export? re-run the full export)"
+        )
+    if meta.get("hash") != _HASH_RECIPE:
+        raise ValueError(
+            f"export at {path} was written with hash recipe"
+            f" {meta.get('hash')!r}; this code audits {_HASH_RECIPE!r}"
+        )
+    n_shards, salt, id_col = meta["n_shards"], meta["salt"], meta["id_col"]
+
+    stored = spark.read.parquet(path)
+    expect = shard_assignments(
+        stored.select(id_col, F.col("shard").alias("_stored_shard"),
+                      F.col("pos").alias("_stored_pos")),
+        n_shards, id_col=id_col, salt=salt,
+    )
+    bad = (
+        (F.col("shard") != F.col("_stored_shard"))
+        | (F.col("pos") != F.col("_stored_pos"))
+    ).cast("long")
+    per_shard = expect.groupBy(F.col("_stored_shard").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad).alias("n_bad_assign"),
+    )
+
+    # expected shard universe (0..n-1), so a LOST dir still gets a row
+    universe = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+
+    if reference is not None:
+        ref = shard_assignments(
+            reference.select(id_col), n_shards, id_col=id_col, salt=salt
+        )
+        missing = (
+            ref.join(stored.select(id_col), id_col, "left_anti")
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_missing"))
+        )
+        extra = (
+            stored.select(id_col, "shard")
+            .join(reference.select(id_col), id_col, "left_anti")
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_extra"))
+        )
+    else:
+        missing = universe.select(
+            "shard", F.lit(0).cast("long").alias("n_missing")
+        ).limit(0)
+        extra = universe.select(
+            "shard", F.lit(0).cast("long").alias("n_extra")
+        ).limit(0)
+
+    # one driver listing per shard dir — O(n_shards) names, no data
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    counts = []
+    for k in range(n_shards):
+        d = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={k}")
+        if not fs.exists(d):
+            counts.append((k, 0))
+            continue
+        n = 0
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                n += 1
+        counts.append((k, n))
+    files = spark.createDataFrame(counts, "shard int, n_files long")
+
+    z = lambda c: F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)  # noqa: E731
+    out = (
+        universe.join(per_shard, "shard", "left")
+        .join(files, "shard", "left")
+        .join(missing, "shard", "left")
+        .join(extra, "shard", "left")
+        .select(
+            "shard", z("n_rows"), z("n_files"), z("n_bad_assign"),
+            z("n_missing"), z("n_extra"),
+        )
+    )
+    # a legitimately EMPTY shard (more shards than ids hash into)
+    # writes no dir at all; only a reference corpus can tell that
+    # apart from a lost dir (n_missing==0 proves nothing should be
+    # there). Without a reference an empty shard reports ok=false —
+    # conservative: the audit can't prove it wasn't lost.
+    clean = (
+        (F.col("n_bad_assign") == 0)
+        & (F.col("n_missing") == 0)
+        & (F.col("n_extra") == 0)
+    )
+    populated = (F.col("n_files") == 1) & (F.col("n_rows") > 0)
+    validly_empty = (
+        F.lit(reference is not None)
+        & (F.col("n_files") == 0)
+        & (F.col("n_rows") == 0)
+    )
+    return out.withColumn(
+        "ok", clean & (populated | validly_empty)
+    ).orderBy("shard")
+
+
 def read_training_shards(
     spark: SparkSession,
     path: str,

@@ -339,3 +339,29 @@ def test_cli_export_shards_and_retry(spark, tmp_path):
     ) == 2
     # missing input spec exits 2
     assert _export_shards_main(["--out", out, "--n-shards", "4"]) == 2
+
+
+def test_cli_audit_shards(spark, tmp_path, capsys):
+    """audit-shards prints per-shard status, exits 0 on a clean
+    export and 1 with the retry hint when a shard dir is lost."""
+    import shutil
+
+    from kcbdml9_big_data_processing_spark.__main__ import (
+        _audit_shards_main,
+        _export_shards_main,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "audit_cli_shards")
+    assert _export_shards_main(
+        ["--sf", sf, "--out", out, "--n-shards", "4", "--salt", "3"],
+        spark=spark,
+    ) == 0
+    assert _audit_shards_main(
+        ["--path", out, "--sf", sf], spark=spark
+    ) == 0
+    shutil.rmtree(f"{out}/shard=1")
+    rc = _audit_shards_main(["--path", out, "--sf", sf], spark=spark)
+    captured = capsys.readouterr()
+    assert rc == 1
+    assert "--only-shards 1" in captured.err

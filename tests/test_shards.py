@@ -325,3 +325,142 @@ def test_width_cap_does_not_change_output(spark, tmp_path):
         b = read_training_shards(spark, wide, shard=k, ordered=True).collect()
         assert a == b, k
         assert len(glob.glob(f"{base}/shard={k}/*.parquet")) == 1
+
+
+def test_audit_training_shards_detects_every_failure_mode(spark, tmp_path):
+    """r13: the audit is the DETECTION half of the failed-shard story
+    (only_shards is the repair half). On a clean export every shard is
+    ok; a deleted dir, a foreign appended file, missing rows (vs the
+    reference), and extra rows are each localized to the right shard
+    with the right counter — and the flagged shard feeds only_shards,
+    after which the audit is clean again."""
+    import os
+    import shutil
+
+    from kcbdml9_big_data_processing_spark.sinks.shards import (
+        audit_training_shards,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "audit_shards")
+    write_training_shards(docs, path, n_shards=4, salt=7)
+
+    def report():
+        return {
+            r["shard"]: r.asDict()
+            for r in audit_training_shards(spark, path, reference=docs).collect()
+        }
+
+    rep = report()
+    assert set(rep) == {0, 1, 2, 3}
+    assert all(r["ok"] for r in rep.values()), rep
+    assert all(r["n_files"] == 1 for r in rep.values())
+
+    # lost dir -> that shard: 0 files, all its rows missing
+    n2 = rep[2]["n_rows"]
+    shutil.rmtree(f"{path}/shard=2")
+    rep = report()
+    assert not rep[2]["ok"] and rep[2]["n_files"] == 0
+    assert rep[2]["n_missing"] == n2
+    assert all(rep[k]["ok"] for k in (0, 1, 3))
+
+    # repair with only_shards -> clean again
+    write_training_shards(
+        docs, path, n_shards=4, salt=7, mode="overwrite", only_shards=[2]
+    )
+    rep = report()
+    assert all(r["ok"] for r in rep.values())
+
+    # foreign append into a shard dir -> n_files=2 (order now
+    # unknowable across files), rows doubled -> extra vs reference
+    import glob as _glob
+
+    src = _glob.glob(f"{path}/shard=1/*.parquet")[0]
+    shutil.copy(src, f"{path}/shard=1/part-zzzz-copy.parquet")
+    rep = report()
+    assert not rep[1]["ok"] and rep[1]["n_files"] == 2
+    os.remove(f"{path}/shard=1/part-zzzz-copy.parquet")
+
+    # reference with rows the export never saw -> missing on the
+    # shard they hash to; export rows absent from the reference ->
+    # extra on their stored shard
+    from pyspark.sql import functions as F
+
+    extra_ref = docs.union(
+        spark.createDataFrame(
+            [(10**9 + 1, "ghost doc")], "doc_id long, text string"
+        )
+    )
+    rep = {
+        r["shard"]: r.asDict()
+        for r in audit_training_shards(
+            spark, path, reference=extra_ref
+        ).collect()
+    }
+    assert sum(r["n_missing"] for r in rep.values()) == 1
+    shrunk_ref = docs.where(F.col("doc_id") % 7 != 0)
+    dropped = docs.count() - shrunk_ref.count()
+    rep = {
+        r["shard"]: r.asDict()
+        for r in audit_training_shards(
+            spark, path, reference=shrunk_ref
+        ).collect()
+    }
+    assert sum(r["n_extra"] for r in rep.values()) == dropped
+
+
+def test_audit_empty_shard_and_bad_assign(spark, tmp_path):
+    """An empty shard (more shards than ids hash into) is ok only
+    when a reference proves nothing belongs there; a corrupted pos
+    column shows up as n_bad_assign on its shard; an export without a
+    sidecar refuses the audit."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kcbdml9_big_data_processing_spark.sinks.shards import (
+        audit_training_shards,
+        shard_assignments,
+    )
+
+    # 3 ids into 64 shards: most shards validly empty
+    tiny = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    path = str(tmp_path / "tiny_shards")
+    write_training_shards(tiny, path, n_shards=64, salt=0)
+    with_ref = audit_training_shards(spark, path, reference=tiny).collect()
+    assert all(r["ok"] for r in with_ref)
+    assert sum(r["n_rows"] for r in with_ref) == 3
+    no_ref = {r["shard"]: r for r in audit_training_shards(spark, path).collect()}
+    populated = {r["shard"] for r in with_ref if r["n_rows"] > 0}
+    for k, r in no_ref.items():
+        # conservative without a reference: populated shards ok,
+        # empty ones unprovable
+        assert r["ok"] == (k in populated), k
+
+    # corrupt one shard's pos values: rewrite its file with pos+1
+    docs = _docs(spark)
+    path2 = str(tmp_path / "corrupt_shards")
+    write_training_shards(docs, path2, n_shards=4, salt=7)
+    k = 3
+    sub = spark.read.parquet(f"{path2}/shard={k}").withColumn(
+        "pos", F.col("pos") + 1
+    )
+    rows = sub.collect()
+    import glob as _glob
+    import os
+
+    for f in _glob.glob(f"{path2}/shard={k}/*.parquet"):
+        os.remove(f)
+    spark.createDataFrame(rows, sub.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{path2}/shard={k}")
+    rep = {
+        r["shard"]: r.asDict()
+        for r in audit_training_shards(spark, path2, reference=docs).collect()
+    }
+    assert rep[k]["n_bad_assign"] == rep[k]["n_rows"] > 0
+    assert not rep[k]["ok"] and all(rep[j]["ok"] for j in range(3))
+
+    # no sidecar -> refuse
+    os.remove(f"{path2}/_export_meta.json")
+    with _pytest.raises(ValueError, match="_export_meta"):
+        audit_training_shards(spark, path2)
