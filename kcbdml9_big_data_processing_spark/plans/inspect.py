@@ -84,6 +84,55 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Data-moving shuffles in the pre-AQE physical plan: lines whose
+    operator is ``Exchange`` (hash/range/single/round-robin
+    partitioning). Broadcast exchanges (small-side replication) and
+    ReusedExchange references (the SAME shuffle files read again — no
+    new data movement) are excluded. AQE is disabled for the planning
+    pass so the count is the structural plan, not a runtime rewrite;
+    AQE only ever improves on it (coalesce, broadcast-promote)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = physical_plan(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    n = 0
+    for line in plan.splitlines():
+        op = line.lstrip(" +-:*()0123456789")
+        if op.startswith("Exchange "):
+            n += 1
+    return n
+
+
+def python_eval_nodes(df: DataFrame) -> list[str]:
+    """Physical nodes that cross into Python, by name: BatchEvalPython
+    (row-at-a-time UDF — never acceptable on a data path),
+    ArrowEvalPython (pandas UDF), MapInPandas / FlatMapGroupsInPandas
+    (the intended Arrow batch boundaries). Lets tests pin WHERE the
+    Python boundary is allowed to exist."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = physical_plan(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    found = []
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "MapInArrow",
+    ):
+        if marker in plan:
+            found.append(marker)
+    return found
+
+
 #: physical nodes that cannot increase the row count of their child —
 #: safe to walk THROUGH when proving a build side is ≤1 row
 _ROW_BOUNDED_PASSTHROUGH = {

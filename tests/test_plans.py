@@ -169,3 +169,87 @@ def test_bnlj_guard_catches_real_cartesian(spark):
     b = spark.range(10).toDF("b")
     sides = bnlj_build_sides(a.crossJoin(b))
     assert sides and all(not ok for _, ok, _ in sides)
+
+
+# --- shuffle-ceiling + Python-boundary guards over the registry (r13) -----
+
+import json
+import os
+
+from kcbdml9_big_data_processing_spark.plans.inspect import (
+    python_eval_nodes,
+    shuffle_exchange_count,
+)
+
+with open(os.path.join(os.path.dirname(__file__), "plan_ceilings.json")) as _f:
+    _SHUFFLE_CEILINGS = json.load(_f)
+
+#: the only rows whose plan is ALLOWED a Python boundary, and the only
+#: node kind they may use (Arrow-batched mapInPandas — the intended
+#: multimodal decode/feature boundary). BatchEvalPython (row-at-a-time
+#: UDF) is acceptable NOWHERE.
+_PYTHON_ALLOWED = {"multimodal_features", "multimodal_frame_sample"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_shuffles_and_python_boundary(spark, name, monkeypatch):
+    """Two structural scale guards over every registered query,
+    enforcing what PLANS.md only documents (a diff is advisory; a
+    failing test is not):
+
+    1. SHUFFLE CEILING — the query's data-moving exchange count (AQE
+       off, pre-finalization) must not exceed the pinned ceiling in
+       tests/plan_ceilings.json. Every groupBy/join/repartition a
+       future edit adds is a new shuffle that becomes the bottleneck
+       at 100x the data; exceeding the ceiling forces the author to
+       acknowledge it (rerun tools/pin_plan_ceilings.py) instead of
+       shipping it silently. Cache-hidden subtrees can only LOWER the
+       count, so suite ordering can't false-fail the bound.
+
+    2. PYTHON BOUNDARY — row-at-a-time BatchEvalPython must appear in
+       NO plan, and the Arrow boundaries (mapInPandas) only in the two
+       multimodal rows whose operator IS the Python boundary."""
+    if name.startswith("stream_"):
+        pytest.skip("streaming: plan per micro-batch")
+    from kcbdml9_big_data_processing_spark.queries import dedup as _dedup
+
+    monkeypatch.setattr(_dedup, "_SKIP_RESULT_TRUNCATION", True)
+    _PREPARED_PLANS.clear()
+    df = QUERIES[name].fn(spark, SF_SMOKE)
+
+    nodes = python_eval_nodes(df)
+    assert "BatchEvalPython" not in nodes, (
+        f"{name}: row-at-a-time Python UDF on a data path"
+    )
+    if name in _PYTHON_ALLOWED:
+        assert set(nodes) <= {"MapInPandas"}, (name, nodes)
+    else:
+        assert not nodes, (
+            f"{name}: unexpected Python boundary {nodes} — built-ins"
+            " or an explicit _PYTHON_ALLOWED entry, not a UDF"
+        )
+
+    ceiling = _SHUFFLE_CEILINGS.get(name)
+    assert ceiling is not None, (
+        f"{name}: no pinned shuffle ceiling — run"
+        " tools/pin_plan_ceilings.py"
+    )
+    got = shuffle_exchange_count(QUERIES[name].fn(spark, SF_SMOKE))
+    assert got <= ceiling, (
+        f"{name}: {got} data-moving shuffles exceeds the pinned"
+        f" ceiling {ceiling}. If the new plan shape is intended,"
+        " rerun tools/pin_plan_ceilings.py and justify the extra"
+        " exchange in the commit."
+    )
+
+
+def test_shuffle_guard_is_falsifiable(spark):
+    """An added groupBy/repartition shows up in the count the guard
+    uses (the key must be non-unique — Spark 4 elides the exchange
+    entirely when grouping on a provably-distinct column)."""
+    df = spark.range(100).selectExpr("id % 5 AS x")
+    base = shuffle_exchange_count(df.groupBy("x").count())
+    worse = shuffle_exchange_count(
+        df.repartition(7, "x").groupBy("x").count().repartition(3)
+    )
+    assert base >= 1 and worse > base
