@@ -331,19 +331,21 @@ def audit_training_shards(
 
         shard, n_rows, n_files, n_bad_assign, n_missing, n_extra, ok
 
-    - ``n_files``: parquet data files in the ``shard=K`` dir (one is
-      the invariant; 0 = lost dir, 2+ = a foreign append broke it)
+    - ``n_files``: distinct data files feeding the ``shard=K`` read
+      (one is the invariant; 0 = lost/empty dir, 2+ = a foreign
+      append broke the single-ordered-file layout)
     - ``n_bad_assign``: stored rows whose recomputed shard or pos
       disagrees with what's stored (corruption, or an export written
       by a different recipe/salt than the sidecar claims)
     - ``n_missing`` / ``n_extra``: vs the ``reference`` corpus when
       given (anti-joins both ways on the id column) — 0/0 without it
 
-    Everything data-sized is distributed (one scan of the export, one
-    of the reference; the per-shard aggregate is n_shards rows); only
-    the per-dir file counts come from a driver listing, which is
-    O(n_shards) names. Shards failing any check feed straight into
-    ``write_training_shards(..., only_shards=[...])``."""
+    Everything is distributed — assignment recompute, membership
+    anti-joins, and the file census (``input_file_name`` grouped per
+    shard, so there is NO O(n_shards) driver listing; at 100k shards
+    a per-dir py4j loop would be minutes of driver round-trips). The
+    per-shard result is n_shards rows. Shards failing any check feed
+    straight into ``write_training_shards(..., only_shards=[...])``."""
     meta = read_export_meta(spark, path)
     if meta is None:
         raise ValueError(
@@ -398,23 +400,16 @@ def audit_training_shards(
             "shard", F.lit(0).cast("long").alias("n_extra")
         ).limit(0)
 
-    # one driver listing per shard dir — O(n_shards) names, no data
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    counts = []
-    for k in range(n_shards):
-        d = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={k}")
-        if not fs.exists(d):
-            counts.append((k, 0))
-            continue
-        n = 0
-        for st in fs.listStatus(d):
-            name = st.getPath().getName()
-            if st.isFile() and not name.startswith(("_", ".")):
-                n += 1
-        counts.append((k, n))
-    files = spark.createDataFrame(counts, "shard int, n_files long")
+    # distributed file census: distinct source files per shard via
+    # input_file_name — one more pass over the export's metadata-and-
+    # rows, no driver loop. A dir the reader sees no files in (lost or
+    # validly empty) simply contributes no row; the universe join
+    # zero-fills it.
+    files = (
+        stored.select("shard", F.input_file_name().alias("_f"))
+        .groupBy("shard")
+        .agg(F.count_distinct("_f").alias("n_files"))
+    )
 
     z = lambda c: F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)  # noqa: E731
     out = (
