@@ -114,12 +114,14 @@ def _index_main(argv: list[str], spark=None) -> int:
         from .session import get_spark
 
         spark = get_spark(app_name=f"kcbdml9-index-{args.family}")
-    prev_lock_ttl = S._WRITER_LOCK_TTL
+    # shared invocation-scoped toggle (similarity.scoped_writer_lock_ttl):
+    # entered explicitly so the 100-line body keeps its indentation.
+    # Entering INSIDE the try keeps spark.stop() reachable when enable
+    # rejects the ttl; the cm restores the host's prior setting itself,
+    # and __exit__ on the already-finished generator is a no-op.
+    lock_scope = S.scoped_writer_lock_ttl(args.writer_lock_ttl)
     try:
-        # inside the try so a failure anywhere after it still restores
-        # the process-global toggle in the finally
-        if args.writer_lock_ttl is not None:
-            S.enable_index_writer_locking(ttl_sec=args.writer_lock_ttl)
+        lock_scope.__enter__()
         path = args.index_dir
 
         def docs():
@@ -217,15 +219,7 @@ def _index_main(argv: list[str], spark=None) -> int:
         else:
             print(f"{args.action} {args.family} index at {path}: done")
     finally:
-        if args.writer_lock_ttl is not None:
-            # the toggle is process-global: RESTORE the host process's
-            # prior setting (r12 review: unconditionally disabling
-            # clobbered a notebook's own enablement — the exact
-            # silently-wrong-state hazard this block exists to avoid)
-            if prev_lock_ttl is None:
-                S.disable_index_writer_locking()
-            else:
-                S.enable_index_writer_locking(ttl_sec=prev_lock_ttl)
+        lock_scope.__exit__(None, None, None)
         if own_session:
             spark.stop()
     return 0
@@ -540,16 +534,25 @@ def _export_shards_main(argv: list[str], spark=None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if not only:
+            # an empty retry list (e.g. '' interpolated from an audit
+            # that found nothing) must exit 2 like any other malformed
+            # value, not surface the library's ValueError traceback
+            print(
+                "export-shards: --only-shards is empty — nothing to"
+                " retry",
+                file=sys.stderr,
+            )
+            return 2
 
     own_session = spark is None
     if own_session:
         from .session import get_spark
 
         spark = get_spark(app_name="kcbdml9-export-shards")
-    prev_lock_ttl = S._WRITER_LOCK_TTL
+    lock_scope = S.scoped_writer_lock_ttl(args.writer_lock_ttl)
     try:
-        if args.writer_lock_ttl is not None:
-            S.enable_index_writer_locking(ttl_sec=args.writer_lock_ttl)
+        lock_scope.__enter__()
         df = (
             spark.read.parquet(args.input)
             if args.input
@@ -579,11 +582,7 @@ def _export_shards_main(argv: list[str], spark=None) -> int:
         what = f"shards {sorted(set(only))}" if only else f"{args.n_shards} shards"
         print(f"exported {what} to {args.out}")
     finally:
-        if args.writer_lock_ttl is not None:
-            if prev_lock_ttl is None:
-                S.disable_index_writer_locking()
-            else:
-                S.enable_index_writer_locking(ttl_sec=prev_lock_ttl)
+        lock_scope.__exit__(None, None, None)
         if own_session:
             spark.stop()
     return 0

@@ -15,8 +15,25 @@ SURVEY.md §5); here "the plan is right" is part of the test suite.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
+
+
+@contextmanager
+def _aqe_off(spark):
+    """Plan with AQE disabled: the pre-execution AQE plan is an
+    unfinalized AdaptiveSparkPlan that hides codegen markers and
+    exchanges; the structural plan is what these inspectors assert
+    on (AQE only improves it at runtime). One shared toggle — the
+    save/set/restore idiom had grown four hand-written copies (r13
+    review)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
@@ -74,13 +91,8 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     DataFrame object (or rebuild the frame), else the cached
     AQE-wrapped plan hides the codegen markers and this returns 0.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    with _aqe_off(df.sparkSession):
         plan = physical_plan(df, "simple")
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
@@ -89,16 +101,9 @@ def shuffle_exchange_count(df: DataFrame) -> int:
     operator is ``Exchange`` (hash/range/single/round-robin
     partitioning). Broadcast exchanges (small-side replication) and
     ReusedExchange references (the SAME shuffle files read again — no
-    new data movement) are excluded. AQE is disabled for the planning
-    pass so the count is the structural plan, not a runtime rewrite;
-    AQE only ever improves on it (coalesce, broadcast-promote)."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    new data movement) are excluded."""
+    with _aqe_off(df.sparkSession):
         plan = physical_plan(df, "simple")
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
     n = 0
     for line in plan.splitlines():
         op = line.lstrip(" +-:*()0123456789")
@@ -113,13 +118,8 @@ def python_eval_nodes(df: DataFrame) -> list[str]:
     ArrowEvalPython (pandas UDF), MapInPandas / FlatMapGroupsInPandas
     (the intended Arrow batch boundaries). Lets tests pin WHERE the
     Python boundary is allowed to exist."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    with _aqe_off(df.sparkSession):
         plan = physical_plan(df, "simple")
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
     found = []
     for marker in (
         "BatchEvalPython",
@@ -186,13 +186,8 @@ def bnlj_build_sides(df: DataFrame) -> list[tuple[str, bool, str]]:
     plan (r11 verdict #5). The full subtree text lets callers pin the
     one deliberate exception (the brute-force knn baseline broadcasts
     its multi-row-but-tiny PROBE side) to the intended build side."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    with _aqe_off(df.sparkSession):
         root = df._jdf.queryExecution().executedPlan()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
     out: list[tuple[str, bool, str]] = []
 

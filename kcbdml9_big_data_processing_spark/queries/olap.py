@@ -504,7 +504,11 @@ def user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.groupBy("event_type").agg(
         F.sum("c").alias("n_events"),
-        F.count(F.lit(1)).alias("exact_users"),
+        # count(user_id), not count(*): a NULL user_id forms its own
+        # pair group, which COUNT(DISTINCT) and the HLL both ignore —
+        # count(*) would diverge from the oracle on any null-bearing
+        # input (r13 review; latent in the null-free testdata)
+        F.count(F.col("user_id")).alias("exact_users"),
         F.approx_count_distinct("user_id", 0.01).alias("_approx_users"),
     )
     err = F.abs(F.col("_approx_users") - F.col("exact_users")).cast("double")

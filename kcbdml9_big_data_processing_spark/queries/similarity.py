@@ -680,6 +680,30 @@ def disable_index_writer_locking() -> None:
     _WRITER_LOCK_TTL = None
 
 
+@contextmanager
+def scoped_writer_lock_ttl(ttl_sec: float | None):
+    """Invocation-scoped enablement: snapshot the process-global
+    toggle, enable for the block, RESTORE the host's prior setting on
+    exit — success or failure (r12 review: an unconditional disable
+    clobbered a notebook's own enablement). ``None`` is a no-op, so
+    CLI verbs can wrap their whole body unconditionally. One shared
+    definition because two hand-maintained copies of this
+    capture/enable/restore dance had already diverged once (r13
+    review)."""
+    if ttl_sec is None:
+        yield
+        return
+    prev = _WRITER_LOCK_TTL
+    try:
+        enable_index_writer_locking(ttl_sec=ttl_sec)
+        yield
+    finally:
+        if prev is None:
+            disable_index_writer_locking()
+        else:
+            enable_index_writer_locking(ttl_sec=prev)
+
+
 def _lock_handles(spark: SparkSession, root: str):
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{root}/_writer.lock")

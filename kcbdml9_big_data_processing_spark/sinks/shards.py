@@ -327,7 +327,11 @@ def audit_training_shards(
     failed-shard story (``only_shards`` is the repair half; until r13
     finding the shard to repair was the caller's problem). Recomputes
     every stored row's assignment from the sidecar's recipe and
-    returns one row per expected shard::
+    returns one row per expected shard — plus one per UNEXPECTED
+    stored shard value (a stale ``shard=K`` dir outside
+    0..n_shards-1, e.g. left by an older wider export: its rows
+    surface with ``n_bad_assign`` > 0 instead of being silently
+    excluded from the report)::
 
         shard, n_rows, n_files, n_bad_assign, n_missing, n_extra, ok
 
@@ -359,7 +363,36 @@ def audit_training_shards(
         )
     n_shards, salt, id_col = meta["n_shards"], meta["salt"], meta["id_col"]
 
-    stored = spark.read.parquet(path)
+    try:
+        stored = spark.read.parquet(path)
+    except Exception:
+        # total loss: every shard dir gone (only the sidecar left) —
+        # the reader can't infer a schema from zero files. The audit's
+        # contract is a per-shard report, not a traceback, precisely
+        # in the worst case: synthesize an empty export and let the
+        # universe/missing logic mark every shard failed (r13 review).
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        id_type = (
+            reference.schema[id_col].dataType
+            if reference is not None
+            else LongType()
+        )
+        stored = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, id_type),
+                    StructField("pos", LongType()),
+                    StructField("shard", IntegerType()),
+                ]
+            ),
+        )
     expect = shard_assignments(
         stored.select(id_col, F.col("shard").alias("_stored_shard"),
                       F.col("pos").alias("_stored_pos")),
@@ -413,7 +446,13 @@ def audit_training_shards(
 
     z = lambda c: F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)  # noqa: E731
     out = (
-        universe.join(per_shard, "shard", "left")
+        # FULL outer against the expected universe: a stored shard
+        # value OUTSIDE 0..n_shards-1 (a stale dir from an older wider
+        # export, or an operator fat-finger copying one) must surface
+        # as its own failing row — a left join silently dropped those
+        # rows from every counter and the audit blessed a corrupted
+        # read (r13 review)
+        universe.join(per_shard, "shard", "full_outer")
         .join(files, "shard", "left")
         .join(missing, "shard", "left")
         .join(extra, "shard", "left")

@@ -63,3 +63,23 @@ def test_raw_sketch_within_3pct_of_exact(spark, sf):
     assert both
     for et, (approx, n) in both.items():
         assert abs(approx - n) <= max(3, 0.03 * n), (et, approx, n)
+
+
+def test_witness_ignores_null_user_ids(spark, tmp_path):
+    """r13 review: a NULL user_id forms its own pair group, which both
+    COUNT(DISTINCT) and the HLL ignore — exact_users must count
+    non-null users only (count(user_id), not count(*)) or the witness
+    diverges from its oracle on any null-bearing input, while n_events
+    still counts every row like the oracle's COUNT(*)."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("a", None), ("a", None), ("b", None)],
+        "event_type string, user_id int",
+    ).write.parquet(f"{sf}/events.parquet")
+    rows = {r["event_type"]: r for r in user_reach_approx(spark, sf).collect()}
+    assert rows["a"]["exact_users"] == 2  # users 1, 2 — NULLs ignored
+    assert rows["a"]["n_events"] == 5  # every row counts
+    assert rows["a"]["within_3pct"] is True
+    assert rows["b"]["exact_users"] == 0 and rows["b"]["n_events"] == 1
+    # |approx(0) - 0| = 0 <= floor(3): an all-null group is in bound
+    assert rows["b"]["within_3pct"] is True

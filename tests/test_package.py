@@ -337,6 +337,11 @@ def test_cli_export_shards_and_retry(spark, tmp_path):
     assert _export_shards_main(
         [*base, "--only-shards", "2,x"], spark=spark
     ) == 2
+    # so does an EMPTY one (r13 review: '' interpolated from an audit
+    # that found nothing must not become a raw library traceback)
+    assert _export_shards_main(
+        [*base, "--only-shards", ""], spark=spark
+    ) == 2
     # missing input spec exits 2
     assert _export_shards_main(["--out", out, "--n-shards", "4"]) == 2
 

@@ -464,3 +464,46 @@ def test_audit_empty_shard_and_bad_assign(spark, tmp_path):
     os.remove(f"{path2}/_export_meta.json")
     with _pytest.raises(ValueError, match="_export_meta"):
         audit_training_shards(spark, path2)
+
+
+def test_audit_flags_out_of_range_shard_dir_and_total_loss(spark, tmp_path):
+    """r13 review pins: (a) a stale shard dir OUTSIDE 0..n_shards-1
+    (an older wider export's leftover, or a fat-fingered manual copy)
+    must surface as its own failing row — the first audit cut's left
+    join silently dropped those rows from every counter and blessed a
+    corrupted read; (b) total loss (every shard dir gone, sidecar
+    intact) reports all shards failed instead of dying on schema
+    inference."""
+    import shutil
+
+    from kcbdml9_big_data_processing_spark.sinks.shards import (
+        audit_training_shards,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "range_shards")
+    write_training_shards(docs, path, n_shards=4, salt=7)
+    shutil.copytree(f"{path}/shard=2", f"{path}/shard=7")
+    rep = {
+        r["shard"]: r.asDict()
+        for r in audit_training_shards(spark, path, reference=docs).collect()
+    }
+    assert set(rep) == {0, 1, 2, 3, 7}
+    assert not rep[7]["ok"]
+    # every row in the stale dir recomputes to shard 2, not 7
+    assert rep[7]["n_bad_assign"] == rep[7]["n_rows"] > 0
+    assert all(rep[k]["ok"] for k in range(4))
+
+    # total loss: dirs gone, sidecar intact -> all failed, no crash
+    for k in (0, 1, 2, 3, 7):
+        shutil.rmtree(f"{path}/shard={k}")
+    rep = {
+        r["shard"]: r.asDict()
+        for r in audit_training_shards(spark, path, reference=docs).collect()
+    }
+    assert set(rep) == {0, 1, 2, 3}
+    assert all(not r["ok"] for r in rep.values())
+    assert sum(r["n_missing"] for r in rep.values()) == docs.count()
+    # and without a reference the total-loss audit still reports
+    rep0 = audit_training_shards(spark, path).collect()
+    assert len(rep0) == 4 and all(not r["ok"] for r in rep0)
