@@ -621,7 +621,10 @@ def _audit_shards_main(argv: list[str], spark=None) -> int:
             ref = spark.read.parquet(args.reference)
         elif args.sf:
             ref = read_table(spark, args.sf, "documents")
+        from .sinks.shards import read_export_meta
+
         rows = audit_training_shards(spark, args.path, reference=ref).collect()
+        n_shards = read_export_meta(spark, args.path)["n_shards"]
         bad = [r["shard"] for r in rows if not r["ok"]]
         for r in rows:
             print(
@@ -630,13 +633,24 @@ def _audit_shards_main(argv: list[str], spark=None) -> int:
                 f" extra={r['n_extra']} ok={r['ok']}"
             )
         if bad:
-            print(
-                "FAILED shards "
-                + ",".join(str(k) for k in bad)
-                + " — repair: export-shards --only-shards "
-                + ",".join(str(k) for k in bad),
-                file=sys.stderr,
-            )
+            # split the repair hint: only in-range shards are
+            # re-exportable; an out-of-range row is a STALE dir from a
+            # wider export whose repair is deletion — feeding it to
+            # --only-shards would raise (second r13 review)
+            retry = [k for k in bad if 0 <= k < n_shards]
+            stale = [k for k in bad if not 0 <= k < n_shards]
+            msg = "FAILED shards " + ",".join(str(k) for k in bad)
+            if retry:
+                msg += (
+                    " — repair: export-shards --only-shards "
+                    + ",".join(str(k) for k in retry)
+                )
+            if stale:
+                msg += (
+                    " — stale out-of-range dirs (delete them): "
+                    + ", ".join(f"shard={k}" for k in stale)
+                )
+            print(msg, file=sys.stderr)
             return 1
         print("all shards ok")
     finally:

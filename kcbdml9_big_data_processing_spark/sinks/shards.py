@@ -335,9 +335,13 @@ def audit_training_shards(
 
         shard, n_rows, n_files, n_bad_assign, n_missing, n_extra, ok
 
-    - ``n_files``: distinct data files feeding the ``shard=K`` read
-      (one is the invariant; 0 = lost/empty dir, 2+ = a foreign
-      append broke the single-ordered-file layout)
+    - ``n_files``: distinct data files CONTRIBUTING ROWS to the
+      ``shard=K`` read (one is the invariant; 0 = lost/empty dir,
+      2+ = a foreign append broke the single-ordered-file layout).
+      A zero-row foreign part file is invisible to this census — and
+      to every reader, since it contributes nothing to the stream;
+      a non-parquet junk file fails the scan loudly instead of
+      appearing as an audit row
     - ``n_bad_assign``: stored rows whose recomputed shard or pos
       disagrees with what's stored (corruption, or an export written
       by a different recipe/salt than the sidecar claims)
@@ -363,14 +367,20 @@ def audit_training_shards(
         )
     n_shards, salt, id_col = meta["n_shards"], meta["salt"], meta["id_col"]
 
+    from pyspark.errors import AnalysisException
+
     try:
         stored = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
         # total loss: every shard dir gone (only the sidecar left) —
-        # the reader can't infer a schema from zero files. The audit's
-        # contract is a per-shard report, not a traceback, precisely
-        # in the worst case: synthesize an empty export and let the
-        # universe/missing logic mark every shard failed (r13 review).
+        # the reader can't infer a schema from zero files
+        # (UNABLE_TO_INFER_SCHEMA / missing path are analysis-time).
+        # The audit's contract is a per-shard report, not a traceback,
+        # precisely in the worst case: synthesize an empty export and
+        # let the universe/missing logic mark every shard failed (r13
+        # review). ONLY analysis errors take this path — a corrupted
+        # footer or FS/permission failure raises its real exception
+        # instead of being misreported as data loss (second review).
         from pyspark.sql.types import (
             IntegerType,
             LongType,

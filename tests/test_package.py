@@ -370,3 +370,13 @@ def test_cli_audit_shards(spark, tmp_path, capsys):
     captured = capsys.readouterr()
     assert rc == 1
     assert "--only-shards 1" in captured.err
+
+    # a stale OUT-OF-RANGE dir must get a delete hint, never be fed
+    # into --only-shards (which would raise on it — second r13 review)
+    shutil.copytree(f"{out}/shard=0", f"{out}/shard=9")
+    rc = _audit_shards_main(["--path", out, "--sf", sf], spark=spark)
+    captured = capsys.readouterr()
+    assert rc == 1
+    assert "--only-shards 1" in captured.err  # in-range retry kept
+    assert "9" not in captured.err.split("--only-shards 1")[1].split("stale")[0]
+    assert "stale out-of-range" in captured.err and "shard=9" in captured.err

@@ -234,7 +234,11 @@ def test_plan_shuffles_and_python_boundary(spark, name, monkeypatch):
         f"{name}: no pinned shuffle ceiling — run"
         " tools/pin_plan_ceilings.py"
     )
-    got = shuffle_exchange_count(QUERIES[name].fn(spark, SF_SMOKE))
+    # reuse the frame: its physical plan was finalized (and cached)
+    # under _aqe_off by python_eval_nodes above, so the count reads
+    # the same plan — a rebuild would re-run construction + Catalyst
+    # analysis (0.2-1.2 s/query) across the whole parametrization
+    got = shuffle_exchange_count(df)
     assert got <= ceiling, (
         f"{name}: {got} data-moving shuffles exceeds the pinned"
         f" ceiling {ceiling}. If the new plan shape is intended,"

@@ -17,14 +17,16 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
-SF = "/root/testdata/sf0.001"
-OUT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests",
-    "plan_ceilings.json",
-)
+# the SAME constant the guard measures at — a duplicated literal here
+# would let the two SFs diverge and the ceilings go vacuous or
+# false-fail (join strategies depend on size estimates)
+from conftest import SF_SMOKE as SF  # noqa: E402
+
+OUT = os.path.join(_REPO, "tests", "plan_ceilings.json")
 
 
 def main() -> int:
