@@ -521,6 +521,61 @@ def user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_value_percentiles(
+    spark: SparkSession, sf_dir: str, accuracy: int = 2000
+) -> DataFrame:
+    """Approximate per-group percentiles with a SELF-WITNESS — the
+    100 TB swap for value_percentiles' exact nearest-rank window: one
+    aggregation pass with a bounded-memory GK sketch
+    (approx_percentile, rank error ≤ n/accuracy) instead of a full
+    per-group sort, plus one verification pass that proves the bound
+    held on THIS data. For each percentile p the witness recomputes
+    the returned value's exact rank interval [count(<v), count(≤v)]
+    and checks p·n lands inside it ± (n/accuracy + 1) — the same
+    bounded-error-witness construction that driver-gates
+    user_reach_approx, here pytest-pinned at two SFs
+    (tests/test_approx.py) rather than registry-gated: the
+    verification pass doubles the scan cost, which belongs in an
+    audit job, not the hot path (production callers run the first
+    aggregation alone). Library operator, no registry row by design —
+    the train_classifier posture.
+
+    Emits (event_type, n, p50, p90, p99, r50_ok, r90_ok, r99_ok);
+    the p-values are engine-specific sketch outputs (never
+    hash-comparable — exactly why the booleans exist)."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    ps = (0.5, 0.9, 0.99)
+    stats = ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.5D, 0.9D, 0.99D),"
+            f" {int(accuracy)})"
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    aggs = []
+    for i in range(len(ps)):
+        aggs.append(
+            F.sum((F.col("value") < F.col("ap")[i]).cast("long")).alias(f"lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(f"le{i}")
+        )
+    ranks = j.groupBy("event_type").agg(
+        *aggs, F.first("n").alias("n"), F.first("ap").alias("ap")
+    )
+    err = F.col("n").cast("double") / accuracy + 1.0
+    cols = [F.col("event_type"), F.col("n")]
+    cols += [F.col("ap")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(ps)]
+    for i, p in enumerate(ps):
+        target = F.lit(p) * F.col("n").cast("double")
+        ok = ((F.col(f"lt{i}").cast("double") - err) <= target) & (
+            target <= (F.col(f"le{i}").cast("double") + err)
+        )
+        cols.append(ok.alias(f"r{int(p * 100)}_ok"))
+    return ranks.select(*cols)
+
+
 # --- left outer join + distribution (TPC-H Q13 shape) ---------------------
 
 

@@ -83,3 +83,44 @@ def test_witness_ignores_null_user_ids(spark, tmp_path):
     assert rows["b"]["exact_users"] == 0 and rows["b"]["n_events"] == 1
     # |approx(0) - 0| = 0 <= floor(3): an all-null group is in bound
     assert rows["b"]["within_3pct"] is True
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"], ids=["sf0.01", "sf0.1"]
+)
+def test_approx_percentiles_witness_and_exact_agreement(spark, sf):
+    """The GK-sketch percentile swap (approx_value_percentiles): the
+    self-witness booleans hold at two SFs, and independently of the
+    witness expression the returned values' EXACT ranks are inside
+    the n/accuracy bound (so a witness bug can't bless a broken
+    sketch). Also pins the degenerate-accuracy case: a coarse sketch
+    (tiny accuracy -> wide bound) still reports ok, because the bound
+    scales with it — the witness verifies the CONTRACT, not a fixed
+    tolerance."""
+    from kcbdml9_big_data_processing_spark.queries.olap import (
+        approx_value_percentiles,
+    )
+
+    acc = 2000
+    rows = approx_value_percentiles(spark, sf, accuracy=acc).collect()
+    assert rows
+    ev = read_table(spark, sf, "events").select("event_type", "value")
+    by_type = {}
+    for r in ev.collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(by_type) == {r["event_type"] for r in rows}
+    for r in rows:
+        vals = sorted(by_type[r["event_type"]])
+        n = len(vals)
+        assert r["n"] == n
+        for p in (50, 90, 99):
+            assert r[f"r{p}_ok"] is True, (r["event_type"], p, dict(r.asDict()))
+            v = r[f"p{p}"]
+            lt = sum(1 for x in vals if x < v)
+            le = sum(1 for x in vals if x <= v)
+            target = (p / 100) * n
+            err = n / acc + 1
+            assert lt - err <= target <= le + err, (r["event_type"], p, lt, le, n)
+
+    coarse = approx_value_percentiles(spark, sf, accuracy=10).collect()
+    assert all(r[f"r{p}_ok"] for r in coarse for p in (50, 90, 99))
