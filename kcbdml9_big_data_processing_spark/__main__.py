@@ -605,6 +605,12 @@ def _audit_shards_main(argv: list[str], spark=None) -> int:
         "--sf", default=None,
         help="testdata dir; its documents table is the reference",
     )
+    ap.add_argument(
+        "--n-shards", type=int, default=None,
+        help="pre-sidecar (pre-r13) exports: the export's shard count",
+    )
+    ap.add_argument("--salt", type=int, default=None)
+    ap.add_argument("--id-col", default=None)
     args = ap.parse_args(argv)
 
     from .sinks.shards import audit_training_shards
@@ -623,8 +629,16 @@ def _audit_shards_main(argv: list[str], spark=None) -> int:
             ref = read_table(spark, args.sf, "documents")
         from .sinks.shards import read_export_meta
 
-        rows = audit_training_shards(spark, args.path, reference=ref).collect()
-        n_shards = read_export_meta(spark, args.path)["n_shards"]
+        rows = audit_training_shards(
+            spark,
+            args.path,
+            reference=ref,
+            n_shards=args.n_shards,
+            salt=args.salt,
+            id_col=args.id_col,
+        ).collect()
+        meta = read_export_meta(spark, args.path)
+        n_shards = meta["n_shards"] if meta else args.n_shards
         bad = [r["shard"] for r in rows if not r["ok"]]
         for r in rows:
             print(

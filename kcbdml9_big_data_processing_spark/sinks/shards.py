@@ -322,6 +322,9 @@ def audit_training_shards(
     spark: SparkSession,
     path: str,
     reference: DataFrame | None = None,
+    n_shards: int | None = None,
+    salt: int | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Integrity audit of an export — the DETECTION half of the
     failed-shard story (``only_shards`` is the repair half; until r13
@@ -353,19 +356,41 @@ def audit_training_shards(
     shard, so there is NO O(n_shards) driver listing; at 100k shards
     a per-dir py4j loop would be minutes of driver round-trips). The
     per-shard result is n_shards rows. Shards failing any check feed
-    straight into ``write_training_shards(..., only_shards=[...])``."""
+    straight into ``write_training_shards(..., only_shards=[...])``.
+
+    Parameters normally come from the sidecar. A PRE-SIDECAR (pre-r13)
+    export can still be audited by passing ``n_shards`` + ``salt``
+    (and ``id_col`` when not doc_id) explicitly — the assignment
+    recipe is unchanged since the export was h48-keyed, so a clean
+    legacy export audits clean, and wrong explicit parameters are
+    self-evident (every row lands in n_bad_assign). When BOTH a
+    sidecar and explicit parameters are given they must agree —
+    silently preferring either would mask exactly the mismatch the
+    sidecar exists to catch."""
     meta = read_export_meta(spark, path)
     if meta is None:
-        raise ValueError(
-            f"no {_META_NAME} at {path}: the audit needs the export's"
-            " recorded recipe (pre-r13 export? re-run the full export)"
-        )
-    if meta.get("hash") != _HASH_RECIPE:
-        raise ValueError(
-            f"export at {path} was written with hash recipe"
-            f" {meta.get('hash')!r}; this code audits {_HASH_RECIPE!r}"
-        )
-    n_shards, salt, id_col = meta["n_shards"], meta["salt"], meta["id_col"]
+        if n_shards is None or salt is None:
+            raise ValueError(
+                f"no {_META_NAME} at {path}: pass n_shards and salt"
+                " explicitly to audit a pre-sidecar export (and id_col"
+                " when not doc_id), or re-run the full export to record"
+                " the recipe"
+            )
+        id_col = id_col or "doc_id"
+    else:
+        if meta.get("hash") != _HASH_RECIPE:
+            raise ValueError(
+                f"export at {path} was written with hash recipe"
+                f" {meta.get('hash')!r}; this code audits {_HASH_RECIPE!r}"
+            )
+        given = {"n_shards": n_shards, "salt": salt, "id_col": id_col}
+        for k, v in given.items():
+            if v is not None and v != meta[k]:
+                raise ValueError(
+                    f"explicit {k}={v!r} contradicts the export's"
+                    f" sidecar ({k}={meta[k]!r} at {path})"
+                )
+        n_shards, salt, id_col = meta["n_shards"], meta["salt"], meta["id_col"]
 
     from pyspark.errors import AnalysisException
 

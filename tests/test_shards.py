@@ -460,10 +460,31 @@ def test_audit_empty_shard_and_bad_assign(spark, tmp_path):
     assert rep[k]["n_bad_assign"] == rep[k]["n_rows"] > 0
     assert not rep[k]["ok"] and all(rep[j]["ok"] for j in range(3))
 
-    # no sidecar -> refuse
+    # no sidecar -> refuse without explicit params; WITH them a
+    # pre-sidecar export audits (recipe unchanged since h48 keying) —
+    # and still catches the corrupted shard above; wrong explicit
+    # params against a PRESENT sidecar refuse (r13: legacy fallback)
     os.remove(f"{path2}/_export_meta.json")
     with _pytest.raises(ValueError, match="_export_meta"):
         audit_training_shards(spark, path2)
+    rep = {
+        r["shard"]: r.asDict()
+        for r in audit_training_shards(
+            spark, path2, reference=docs, n_shards=4, salt=7
+        ).collect()
+    }
+    assert not rep[k]["ok"] and all(rep[j]["ok"] for j in range(3))
+
+    path3 = str(tmp_path / "sidecar_conflict")
+    write_training_shards(tiny, path3, n_shards=4, salt=0)
+    with _pytest.raises(ValueError, match="contradicts"):
+        audit_training_shards(spark, path3, n_shards=8)
+    with _pytest.raises(ValueError, match="contradicts"):
+        audit_training_shards(spark, path3, salt=5)
+    # agreeing explicit params are fine
+    assert audit_training_shards(
+        spark, path3, reference=tiny, n_shards=4, salt=0
+    ).count() == 4
 
 
 def test_audit_flags_out_of_range_shard_dir_and_total_loss(spark, tmp_path):
