@@ -332,10 +332,16 @@ def _exact_jaccard_pairs(
         sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         post = postings.join(sizes, "doc_id")
     pa, pb = post.alias("pa"), post.alias("pb")
-    # pack the (doc_a, doc_b) pair into ONE long group key (ids are
-    # < 2^31 by construction: table ids + the 1e7/2e7 copy offsets);
-    # na/nb ride as first() aggregates (functionally determined by the
-    # key), map-side-combined like the count itself
+    # group on the two id columns directly; na/nb ride as first()
+    # aggregates (functionally determined by the key), map-side-
+    # combined like the count itself. Through r12 the pair was packed
+    # into one long via shiftleft(doc_a,32)+doc_b — valid only for
+    # ids < 2^31, which the testdata satisfies but INGESTED corpora do
+    # not (sources/corpus keys doc_id on 48-bit h48): the truncated
+    # unpack emitted phantom 32-bit ids into the curator's decision
+    # record and lost real near-dup pairs (caught by the r13 e2e
+    # test). Two-column grouping costs the same shuffle (measured
+    # within noise at sf0.1) and is correct for any long id.
     inter = (
         pa.join(
             pb,
@@ -345,11 +351,12 @@ def _exact_jaccard_pairs(
             & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n") + 1e-9),
         )
         .select(
-            (F.shiftleft(F.col("pa.doc_id"), 32) + F.col("pb.doc_id")).alias("ab"),
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
             F.col("pa.n").alias("na"),
             F.col("pb.n").alias("nb"),
         )
-        .groupBy("ab")
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
             F.first("na").alias("na"),
@@ -360,9 +367,7 @@ def _exact_jaccard_pairs(
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
     return inter.select(
-        F.shiftright("ab", 32).alias("doc_a"),
-        F.col("ab").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
-        jaccard.alias("jaccard"),
+        "doc_a", "doc_b", jaccard.alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
 
 
@@ -998,8 +1003,10 @@ def _dir_has_parquet(spark: SparkSession, directory: str) -> bool:
 
 
 def _copair_rows_self(post: DataFrame, threshold: float) -> DataFrame:
-    """(ab, na, nb) co-occurrence rows for the within-batch self-join
-    (pa.doc_id < pb.doc_id ordering, size filter inside the join)."""
+    """(doc_a, doc_b, na, nb) co-occurrence rows for the within-batch
+    self-join (pa.doc_id < pb.doc_id ordering, size filter inside the
+    join). Ids ride as two columns — the r12 packed-long key truncated
+    48-bit ingested ids (see _exact_jaccard_pairs)."""
     pa, pb = post.alias("pa"), post.alias("pb")
     return pa.join(
         pb,
@@ -1008,7 +1015,8 @@ def _copair_rows_self(post: DataFrame, threshold: float) -> DataFrame:
         & (F.col("pa.n").cast("double") * threshold <= F.col("pb.n") + 1e-9)
         & (F.col("pb.n").cast("double") * threshold <= F.col("pa.n") + 1e-9),
     ).select(
-        (F.shiftleft(F.col("pa.doc_id"), 32) + F.col("pb.doc_id")).alias("ab"),
+        F.col("pa.doc_id").alias("doc_a"),
+        F.col("pb.doc_id").alias("doc_b"),
         F.col("pa.n").alias("na"),
         F.col("pb.n").alias("nb"),
     )
@@ -1017,9 +1025,9 @@ def _copair_rows_self(post: DataFrame, threshold: float) -> DataFrame:
 def _copair_rows_vs(
     batch_post: DataFrame, corpus_post: DataFrame, threshold: float
 ) -> DataFrame:
-    """(ab, na, nb) co-occurrence rows for batch x corpus: relative id
-    order is arbitrary, so the pair packs as (least, greatest) and
-    na/nb follow the packed order."""
+    """(doc_a, doc_b, na, nb) co-occurrence rows for batch x corpus:
+    relative id order is arbitrary, so the pair orders as
+    (least, greatest) and na/nb follow that order."""
     ba, ca = batch_post.alias("ba"), corpus_post.alias("ca")
     lt = F.col("ba.doc_id") < F.col("ca.doc_id")
     return ba.join(
@@ -1029,18 +1037,16 @@ def _copair_rows_vs(
         & (F.col("ba.n").cast("double") * threshold <= F.col("ca.n") + 1e-9)
         & (F.col("ca.n").cast("double") * threshold <= F.col("ba.n") + 1e-9),
     ).select(
-        (
-            F.shiftleft(F.least(F.col("ba.doc_id"), F.col("ca.doc_id")), 32)
-            + F.greatest(F.col("ba.doc_id"), F.col("ca.doc_id"))
-        ).alias("ab"),
+        F.least(F.col("ba.doc_id"), F.col("ca.doc_id")).alias("doc_a"),
+        F.greatest(F.col("ba.doc_id"), F.col("ca.doc_id")).alias("doc_b"),
         F.when(lt, F.col("ba.n")).otherwise(F.col("ca.n")).alias("na"),
         F.when(lt, F.col("ca.n")).otherwise(F.col("ba.n")).alias("nb"),
     )
 
 
 def _pairs_from_copair_rows(rows: DataFrame, threshold: float) -> DataFrame:
-    """count per packed pair -> exact Jaccard -> threshold filter."""
-    inter = rows.groupBy("ab").agg(
+    """count per (doc_a, doc_b) pair -> exact Jaccard -> threshold."""
+    inter = rows.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("inter"),
         F.first("na").alias("na"),
         F.first("nb").alias("nb"),
@@ -1049,9 +1055,7 @@ def _pairs_from_copair_rows(rows: DataFrame, threshold: float) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
     return inter.select(
-        F.shiftright("ab", 32).alias("doc_a"),
-        F.col("ab").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
-        jaccard.alias("jaccard"),
+        "doc_a", "doc_b", jaccard.alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
 
 

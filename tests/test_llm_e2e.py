@@ -1,0 +1,134 @@
+"""End-to-end LLM training-data pipeline: the full production story
+composed through the real public APIs in one test — raw JSONL ingest
+(with quarantine) → curation (quality gate + exact/near dedup +
+decision record) → deterministic shard export (with recipe sidecar) →
+audit (clean) → simulated shard loss → audit detects exactly it →
+only_shards repair → audit clean again, shard byte-identical.
+
+The streaming lambda architecture has tests/test_lambda_e2e.py; this
+is its batch-curation sibling. Every stage is covered unit-wise
+elsewhere — what THIS test pins is the composition: the frames each
+stage hands the next (ingest's documents schema feeding the curator,
+the curator's kept frame feeding the export, the audit's failing rows
+feeding only_shards) stay mutually compatible as each evolves.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_ingest_curate_export_audit_repair_roundtrip(spark, tmp_path):
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        CurationConfig,
+        TrainingDataCurator,
+    )
+    from kcbdml9_big_data_processing_spark.sinks.shards import (
+        audit_training_shards,
+        read_export_meta,
+        read_training_shards,
+        write_training_shards,
+    )
+    from kcbdml9_big_data_processing_spark.sources.corpus import ingest_jsonl
+
+    # --- raw corpus: good docs, an exact duplicate, a near-duplicate,
+    # degenerate garbage, and two malformed lines for the quarantine
+    def doc(i, text):
+        return json.dumps({"id": i, "text": text})
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "wanders far across the wide green valley looking for food"
+    )
+    lines = [
+        doc(1, base),
+        # exact duplicate of 1 under the curator's normalization
+        # (lowercase + collapse whitespace) while staying a DISTINCT
+        # raw line — a verbatim copy would already be deduplicated at
+        # ingest (content-derived doc_id -> duplicate_doc_id reject)
+        doc(2, base.upper()),
+        doc(3, base + " tonight"),  # near-duplicate of 1
+        doc(
+            4,
+            "an entirely different document about spark shuffles and "
+            "partition pruning with plenty of distinct words to pass "
+            "every quality heuristic in the default configuration",
+        ),
+        doc(5, "tiny"),  # fails min_words
+        '{"id": 6, "text": ',  # malformed JSON -> quarantine
+        "not json at all",  # -> quarantine
+    ]
+    raw = tmp_path / "raw.jsonl"
+    raw.write_text("\n".join(lines) + "\n")
+
+    cleanup: list = []
+    docs, rejects = ingest_jsonl(spark, str(raw), cleanup=cleanup)
+    try:
+        assert rejects.count() == 2  # both bad lines quarantined, verbatim
+        assert docs.count() == 5
+        assert {"doc_id", "text"} <= set(docs.columns)
+
+        # --- curate: the kept set and the total decision record
+        curator = TrainingDataCurator(CurationConfig(jaccard_min=0.3))
+        kept, decisions = curator.run(docs, cleanup=cleanup)
+        kept_rows = {r["doc_id"]: r["text"] for r in kept.collect()}
+        dec = {r["doc_id"]: r["reason"] for r in decisions.collect()}
+        # decisions partition the INPUT: one verdict per ingested doc
+        assert set(dec) == {r["doc_id"] for r in docs.collect()}
+        by_text = {r["text"]: r["doc_id"] for r in docs.collect()}
+        assert by_text[base] in kept_rows or base in kept_rows.values()
+        reasons = sorted(dec.values())
+        assert "kept" in reasons and "quality" in reasons
+        assert any(r in ("exact_dup", "near_dup") for r in reasons)
+        # the survivor set: one of the dup family + the distinct doc
+        assert len(kept_rows) == 2
+
+        # --- export the curated corpus as training shards
+        out = str(tmp_path / "shards")
+        write_training_shards(kept, out, n_shards=2, salt=1)
+        assert read_export_meta(spark, out)["n_shards"] == 2
+        back = read_training_shards(spark, out)
+        assert {r["doc_id"] for r in back.collect()} == set(kept_rows)
+
+        # --- audit clean end to end against the curated reference
+        rep = {
+            r["shard"]: r.asDict()
+            for r in audit_training_shards(spark, out, reference=kept).collect()
+        }
+        assert set(rep) == {0, 1} and all(r["ok"] for r in rep.values())
+
+        # --- lose a shard; the audit names exactly it; repair it;
+        # the repaired shard is byte-identical and the audit is clean
+        lost = next(k for k, r in rep.items() if r["n_rows"] > 0)
+        want = read_training_shards(spark, out, shard=lost, ordered=True).collect()
+        shutil.rmtree(f"{out}/shard={lost}")
+        rep = {
+            r["shard"]: r.asDict()
+            for r in audit_training_shards(spark, out, reference=kept).collect()
+        }
+        bad = [k for k, r in rep.items() if not r["ok"]]
+        assert bad == [lost]
+        write_training_shards(
+            kept, out, n_shards=2, salt=1, mode="overwrite", only_shards=[lost]
+        )
+        got = read_training_shards(spark, out, shard=lost, ordered=True).collect()
+        assert got == want
+        rep = {
+            r["shard"]: r.asDict()
+            for r in audit_training_shards(spark, out, reference=kept).collect()
+        }
+        assert all(r["ok"] for r in rep.values())
+        assert all(
+            len(glob.glob(f"{out}/shard={k}/*.parquet")) == 1
+            for k, r in rep.items()
+            if r["n_rows"] > 0
+        )
+        assert os.path.exists(f"{out}/_export_meta.json")
+    finally:
+        for f in cleanup:
+            f.unpersist()
