@@ -413,6 +413,14 @@ def _ingest_main(argv: list[str], spark=None) -> int:
         default=None,
         help="parquet path for quarantined JSONL lines (default <out>_rejects)",
     )
+    ap.add_argument(
+        "--epoch",
+        type=int,
+        default=0,
+        help="batch sequence number: namespaces doc_ids as"
+        " (epoch << 48) + h48 so successive ingestion batches satisfy"
+        " the incremental curator's monotonic-id precondition",
+    )
     args = ap.parse_args(argv)
 
     from .sources.corpus import ingest_jsonl, ingest_text_dir
@@ -424,12 +432,14 @@ def _ingest_main(argv: list[str], spark=None) -> int:
         spark = get_spark(app_name="kcbdml9-ingest")
     try:
         if args.text_dir:
-            docs = ingest_text_dir(spark, args.text_dir)
+            docs = ingest_text_dir(spark, args.text_dir, epoch=args.epoch)
             docs.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")
         else:
             cleanup: list = []
-            docs, rejects = ingest_jsonl(spark, args.jsonl, cleanup=cleanup)
+            docs, rejects = ingest_jsonl(
+                spark, args.jsonl, cleanup=cleanup, epoch=args.epoch
+            )
             docs.write.mode("overwrite").parquet(args.out)
             rej_path = args.rejects_out or f"{args.out}_rejects"
             rejects.write.mode("overwrite").parquet(rej_path)

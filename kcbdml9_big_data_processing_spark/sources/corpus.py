@@ -47,7 +47,29 @@ def _h48(col: Column) -> Column:
     return h48(col)
 
 
-def ingest_text_dir(spark: SparkSession, path: str) -> DataFrame:
+def _epoch_prefixed(id_col: Column, epoch: int) -> Column:
+    """``(epoch << 48) + id`` — a monotonic batch namespace over the
+    48-bit content/path hashes. Raw h48 ids are uniform over [0, 2^48)
+    and so INTERLEAVE across ingestion batches, which violates
+    run_incremental's monotonic-id precondition (every archive id must
+    precede every batch id — canonical choice is min-id, so
+    monotonicity is what makes "canonical" mean "first seen"). A
+    strictly increasing ``epoch`` per batch (day number, batch
+    sequence) restores it: ids stay deterministic and portable
+    (reproducible from (epoch, text/path)), within-batch uniqueness is
+    untouched, and every epoch-e id precedes every epoch-(e+1) id.
+    15 bits of epoch keeps the result inside a positive int64."""
+    if not 0 <= epoch < (1 << 15):
+        raise ValueError(
+            f"epoch must be in [0, {(1 << 15) - 1}], got {epoch}"
+            " (the prefix must fit a positive 64-bit id)"
+        )
+    if epoch == 0:
+        return id_col
+    return F.lit(epoch << 48).cast("long") + id_col
+
+
+def ingest_text_dir(spark: SparkSession, path: str, epoch: int = 0) -> DataFrame:
     """One document per text file under ``path`` (``wholetext``): the
     file's full content is ``text``, its path is ``source``, and
     ``doc_id`` is the 48-bit sha256 of the path — stable across
@@ -60,10 +82,15 @@ def ingest_text_dir(spark: SparkSession, path: str) -> DataFrame:
     operator in the engine consumes it directly. Zero-byte files yield
     NO row (Spark's text source emits nothing for them) — an empty
     file carries no document, and the quality gate would drop the
-    empty string anyway; pinned in tests/test_corpus_ingest.py."""
+    empty string anyway; pinned in tests/test_corpus_ingest.py.
+
+    ``epoch`` (default 0 = no prefix, ids unchanged) namespaces the
+    ids as ``(epoch << 48) + h48`` so successive ingestion batches
+    satisfy run_incremental's monotonic-id precondition — see
+    :func:`_epoch_prefixed`."""
     raw = spark.read.text(path, wholetext=True)
     return raw.select(
-        _h48(F.input_file_name()).alias("doc_id"),
+        _epoch_prefixed(_h48(F.input_file_name()), epoch).alias("doc_id"),
         F.col("value").alias("text"),
         F.lit(None).cast("string").alias("lang"),
         F.input_file_name().alias("source"),
@@ -75,6 +102,7 @@ def ingest_jsonl(
     spark: SparkSession,
     path: str,
     cleanup: list[DataFrame] | None = None,
+    epoch: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """JSON-lines ingestion with an explicit quarantine policy:
     returns ``(docs, rejects)`` where ``docs`` is ``documents``-shaped
@@ -99,7 +127,11 @@ def ingest_jsonl(
 
     Field policy: ``doc_id`` defaults to the 48-bit sha256 of the
     text, ``n_chars`` to ``length(text)``; ``lang``/``source``
-    default null.
+    default null. ``epoch`` (default 0 = no prefix) namespaces EVERY
+    id — derived or explicit — as ``(epoch << 48) + id`` so
+    successive batches satisfy run_incremental's monotonic-id
+    precondition (see :func:`_epoch_prefixed`); duplicate detection
+    runs on the prefixed ids, i.e. within the batch, as before.
 
     Mechanics: the file is read as raw text lines and parsed with
     ``from_json`` — the raw line rides alongside the parse, so every
@@ -130,7 +162,9 @@ def ingest_jsonl(
         F.when(malformed, F.lit("malformed"))
         .when(no_text, F.lit("missing_text"))
         .alias("bad"),
-        F.coalesce(F.col("d.doc_id"), _h48(F.col("d.text"))).alias("doc_id"),
+        _epoch_prefixed(
+            F.coalesce(F.col("d.doc_id"), _h48(F.col("d.text"))), epoch
+        ).alias("doc_id"),
         F.col("d.text").alias("text"),
         F.col("d.lang").alias("lang"),
         F.col("d.source").alias("source"),

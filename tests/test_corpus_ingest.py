@@ -159,3 +159,50 @@ def test_cli_ingest_lands_docs_and_rejects(spark, tmp_path):
     assert _ingest_main(["--jsonl", str(p), "--out", out2], spark=spark) == 0
     assert spark.read.parquet(out2).count() == 1
     assert spark.read.parquet(out2 + "_rejects").count() == 1
+
+
+def test_epoch_prefix_namespaces_ids(spark, tmp_path):
+    """r13: epoch=(batch sequence) namespaces ingested ids as
+    (epoch << 48) + h48 so successive batches satisfy
+    run_incremental's monotonic-id precondition. Default epoch=0 is
+    bit-identical to the unprefixed ids; every epoch-e id precedes
+    every epoch-(e+1) id; both ingest fronts agree; out-of-range
+    epochs are rejected."""
+    import json
+
+    import pytest as _pytest
+
+    from kcbdml9_big_data_processing_spark.sources.corpus import (
+        ingest_jsonl,
+        ingest_text_dir,
+    )
+
+    raw = tmp_path / "b.jsonl"
+    raw.write_text(
+        "\n".join(json.dumps({"text": t}) for t in ("alpha doc", "beta doc"))
+        + "\n"
+    )
+    ids0 = {r["doc_id"] for r in ingest_jsonl(spark, str(raw))[0].collect()}
+    ids0_again = {
+        r["doc_id"] for r in ingest_jsonl(spark, str(raw), epoch=0)[0].collect()
+    }
+    assert ids0 == ids0_again  # epoch=0 is the identity
+    ids1 = {
+        r["doc_id"] for r in ingest_jsonl(spark, str(raw), epoch=1)[0].collect()
+    }
+    ids2 = {
+        r["doc_id"] for r in ingest_jsonl(spark, str(raw), epoch=2)[0].collect()
+    }
+    assert ids1 == {i + (1 << 48) for i in ids0}  # pure namespace shift
+    assert max(ids0) < min(ids1) < max(ids1) < min(ids2)  # monotone epochs
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("gamma doc")
+    t0 = {r["doc_id"] for r in ingest_text_dir(spark, str(d)).collect()}
+    t3 = {r["doc_id"] for r in ingest_text_dir(spark, str(d), epoch=3).collect()}
+    assert t3 == {i + (3 << 48) for i in t0}
+
+    for bad in (-1, 1 << 15):
+        with _pytest.raises(ValueError, match="epoch"):
+            ingest_jsonl(spark, str(raw), epoch=bad)
