@@ -112,6 +112,122 @@ def shuffle_exchange_count(df: DataFrame) -> int:
     return n
 
 
+#: the driver-testdata corpus tables — the scans that are 100 TB at
+#: production scale and therefore the ones whose ReadSchema width the
+#: column-pruning guard pins. Scratch artifacts (per-process indexes,
+#: shard exports, archives) have run-local paths and derived schemas;
+#: their scans are engine-internal, not input scans.
+_CORPUS_TABLES = frozenset(
+    {
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    }
+)
+
+_SCAN_HEADER = re.compile(r"^\(\d+\) Scan parquet\b")
+_NODE_HEADER = re.compile(r"^\(\d+\) ")
+_PARQUET_STEM = re.compile(r"/([a-z_]+)\.parquet\b")
+
+
+def _struct_fields(struct: str) -> list[str]:
+    """Top-level field names of a ``struct<...>`` simpleString —
+    split on depth-0 commas so nested struct/array/map types can't
+    shear a field in half."""
+    assert struct.startswith("struct<") and struct.endswith(">"), struct
+    body = struct[len("struct<"):-1]
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fields.append(body[start:i])
+            start = i + 1
+    if body[start:]:
+        fields.append(body[start:])
+    return [f.split(":", 1)[0] for f in fields]
+
+
+def scan_read_schemas(df: DataFrame) -> list[tuple[str, tuple[str, ...]]]:
+    """``(table, read column names)`` for every parquet FileScan over
+    a CORPUS table in the pre-AQE formatted plan — the raw material of
+    the column-pruning guard (tests/test_plans.py): a projection that
+    stops reaching the scan turns a 2-column read into a full-width
+    one, invisible in rows and in local runtimes but a multiple of the
+    whole job's I/O at 100 TB. Formatted mode prints each scan's
+    ``ReadSchema`` in full (not clamped by maxMetadataStringLength)
+    and expands cached InMemoryRelations' child plans, so the result
+    is stable whether or not another query already persisted the
+    subtree."""
+    with _aqe_off(df.sparkSession):
+        plan = physical_plan(df, "formatted")
+    out: list[tuple[str, tuple[str, ...]]] = []
+    table: str | None = None
+    cols: tuple[str, ...] | None = None
+
+    def flush() -> None:
+        nonlocal table, cols
+        if table is not None and cols is not None:
+            out.append((table, cols))
+        table = cols = None
+
+    in_scan = False
+    for raw in plan.splitlines():
+        line = raw.strip()
+        if _NODE_HEADER.match(line):
+            flush()
+            in_scan = bool(_SCAN_HEADER.match(line))
+            continue
+        if not in_scan:
+            continue
+        if line.startswith("Location:"):
+            stems = set(_PARQUET_STEM.findall(line))
+            hits = stems & _CORPUS_TABLES
+            if len(hits) == 1:
+                table = next(iter(hits))
+        elif line.startswith("ReadSchema:"):
+            cols = tuple(
+                _struct_fields(line[len("ReadSchema:"):].strip())
+            )
+    flush()
+    return out
+
+
+def summarize_scan_schemas(
+    scans: list[tuple[str, tuple[str, ...]]],
+) -> dict[str, dict]:
+    """Per-table ``{"union": sorted cols, "max_scan_width": n}`` over
+    one query's corpus scans — the aggregation BOTH the pin tool
+    (tools/pin_scan_schemas.py) and the guard (tests/test_plans.py)
+    apply, shared so the two can never aggregate differently. The
+    union catches a query reading a column the pin never saw; the
+    per-scan max catches a narrow scan ballooning to a width a
+    different scan of the same table already pinned."""
+    per_table: dict[str, dict] = {}
+    for table, cols in scans:
+        e = per_table.setdefault(
+            table, {"union": set(), "max_scan_width": 0}
+        )
+        e["union"] |= set(cols)
+        e["max_scan_width"] = max(e["max_scan_width"], len(cols))
+    return {
+        t: {
+            "union": sorted(e["union"]),
+            "max_scan_width": e["max_scan_width"],
+        }
+        for t, e in per_table.items()
+    }
+
+
 def python_eval_nodes(df: DataFrame) -> list[str]:
     """Physical nodes that cross into Python, by name: BatchEvalPython
     (row-at-a-time UDF — never acceptable on a data path),

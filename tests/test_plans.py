@@ -178,11 +178,16 @@ import os
 
 from kcbdml9_big_data_processing_spark.plans.inspect import (
     python_eval_nodes,
+    scan_read_schemas,
     shuffle_exchange_count,
+    summarize_scan_schemas,
 )
 
 with open(os.path.join(os.path.dirname(__file__), "plan_ceilings.json")) as _f:
     _SHUFFLE_CEILINGS = json.load(_f)
+
+with open(os.path.join(os.path.dirname(__file__), "scan_schemas.json")) as _f:
+    _SCAN_SCHEMAS = json.load(_f)
 
 #: the only rows whose plan is ALLOWED a Python boundary, and the only
 #: node kind they may use (Arrow-batched mapInPandas — the intended
@@ -208,7 +213,15 @@ def test_plan_shuffles_and_python_boundary(spark, name, monkeypatch):
 
     2. PYTHON BOUNDARY — row-at-a-time BatchEvalPython must appear in
        NO plan, and the Arrow boundaries (mapInPandas) only in the two
-       multimodal rows whose operator IS the Python boundary."""
+       multimodal rows whose operator IS the Python boundary.
+
+    3. COLUMN PRUNING — every corpus-table FileScan's ReadSchema must
+       stay inside the columns pinned in tests/scan_schemas.json: no
+       column the pin never saw, and no single scan wider than the
+       pinned per-scan maximum. A projection that stops reaching the
+       scan is invisible in rows and local runtimes but multiplies
+       the whole job's I/O at 100 TB; reading FEWER columns (or a
+       scan disappearing behind a cache/index) is always allowed."""
     if name.startswith("stream_"):
         pytest.skip("streaming: plan per micro-batch")
     from kcbdml9_big_data_processing_spark.queries import dedup as _dedup
@@ -245,6 +258,53 @@ def test_plan_shuffles_and_python_boundary(spark, name, monkeypatch):
         " rerun tools/pin_plan_ceilings.py and justify the extra"
         " exchange in the commit."
     )
+
+    pinned_scans = _SCAN_SCHEMAS.get(name)
+    assert pinned_scans is not None, (
+        f"{name}: no pinned scan schemas — run tools/pin_scan_schemas.py"
+    )
+    for table, e in summarize_scan_schemas(scan_read_schemas(df)).items():
+        pin = pinned_scans.get(table)
+        assert pin is not None, (
+            f"{name}: scans corpus table {table} the pin never saw —"
+            " if intended, rerun tools/pin_scan_schemas.py"
+        )
+        extra = set(e["union"]) - set(pin["union"])
+        assert not extra, (
+            f"{name}: reads unpinned columns {sorted(extra)} from"
+            f" {table} — a projection stopped reaching the scan, or"
+            " rerun tools/pin_scan_schemas.py and justify the wider"
+            " read in the commit"
+        )
+        assert e["max_scan_width"] <= pin["max_scan_width"], (
+            f"{name}: a single {table} scan reads"
+            f" {e['max_scan_width']} columns, wider than the pinned"
+            f" per-scan max {pin['max_scan_width']}"
+        )
+
+
+def test_scan_schema_guard_is_falsifiable(spark):
+    """A widened read shows up exactly where the guard looks: the
+    narrow aggregate reads 2 lineitem columns; concatenating every
+    column into the projection widens the same scan to the table's
+    full width, growing both the union and the per-scan max."""
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    narrow = summarize_scan_schemas(
+        scan_read_schemas(li.groupBy("l_returnflag").sum("l_quantity"))
+    )
+    assert set(narrow["lineitem"]["union"]) == {"l_returnflag", "l_quantity"}
+    assert narrow["lineitem"]["max_scan_width"] == 2
+    wide = summarize_scan_schemas(
+        scan_read_schemas(
+            li.select(F.length(F.concat_ws("|", *li.columns)).alias("x"))
+            .groupBy()
+            .sum("x")
+        )
+    )
+    assert wide["lineitem"]["max_scan_width"] == len(li.columns)
+    assert set(wide["lineitem"]["union"]) == set(li.columns)
 
 
 def test_shuffle_guard_is_falsifiable(spark):
