@@ -69,6 +69,26 @@ def _epoch_prefixed(id_col: Column, epoch: int) -> Column:
     return F.lit(epoch << 48).cast("long") + id_col
 
 
+def content_doc_ids(
+    df: DataFrame, epoch: int = 0, text_col: str = "text"
+) -> DataFrame:
+    """Assign (or overwrite) ``doc_id`` as the epoch-namespaced 48-bit
+    content hash — the id recipe the batch ingest fronts use, exposed
+    for sources that aren't files: a STREAMING ingest's micro-batches
+    (the speed layer landing documents for the next daily
+    run_incremental — the lambda handoff tests/test_llm_e2e.py pins),
+    or any frame whose upstream carries no ids. Deterministic and
+    portable (reproducible from (epoch, text)); identical texts get
+    identical ids within an epoch, which is exactly the exact-dedup
+    semantics downstream (content-keyed canonical choice). Use the
+    landing day's ``epoch`` so the landed batch satisfies
+    run_incremental's monotonic-id precondition against any archive
+    curated at a lower epoch — see :func:`_epoch_prefixed`."""
+    return df.withColumn(
+        "doc_id", _epoch_prefixed(_h48(F.col(text_col)), epoch)
+    )
+
+
 def ingest_text_dir(spark: SparkSession, path: str, epoch: int = 0) -> DataFrame:
     """One document per text file under ``path`` (``wholetext``): the
     file's full content is ``text``, its path is ``source``, and

@@ -72,12 +72,16 @@ def curate_stream(
     content hash. Returns the curated stream (original columns plus
     ``content_hash``), ready for any sink."""
     cfg = config or IngestCurationConfig()
-    norm = F.sha2(
-        F.regexp_replace(F.lower(F.trim(F.col(cfg.text_col))), _WS, " "), 256
-    )
+    # THE shared content identity (queries.dedup.content_hash_expr):
+    # the stream and the batch curator must agree on what "same
+    # content" means, or a doc the stream admits as unique could be
+    # exact-dup by batch rules and vice versa — one definition, zero
+    # drift (a hand-copied hash lived here through r13)
+    from ..queries.dedup import content_hash_expr
+
     return (
         stream.where(_quality_ok(cfg))
-        .withColumn("content_hash", norm)
+        .withColumn("content_hash", content_hash_expr(cfg.text_col))
         .withWatermark(cfg.ts_col, cfg.dedup_watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )

@@ -239,3 +239,136 @@ def test_daily_incremental_ingest_composes_with_epoch_ids(spark, tmp_path):
     # epoch bounds are validated
     with _pytest.raises(ValueError, match="epoch"):
         ingest_jsonl(spark, str(day1), epoch=1 << 15)
+
+
+def test_lambda_handoff_stream_landing_feeds_incremental_curator(
+    spark, tmp_path
+):
+    """The LAMBDA HANDOFF: the speed layer (streaming curated ingest)
+    lands quality-passing, within-stream-deduplicated documents into a
+    parquet landing area with epoch-namespaced content ids
+    (sources.corpus.content_doc_ids — raw crawl streams carry no ids),
+    and the batch layer curates the landed day as run_incremental's
+    batch against the day-0 archive + persisted index. What only this
+    composition exercises: the stream's state-store dedup is
+    WITHIN-STREAM only — a document already in the ARCHIVE sails
+    through the speed layer and must be caught by the batch exact
+    stage via the index's stored hash map; the landed frame carries
+    the stream's extra columns (ts, content_hash) and the curator must
+    consume it unchanged; and both layers must agree on content
+    identity (curate_stream now shares queries.dedup.content_hash_expr
+    instead of a hand-copied hash)."""
+    import datetime as dt
+    import hashlib
+    import json
+
+    from pyspark.sql import types as T
+
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        CurationConfig,
+        TrainingDataCurator,
+    )
+    from kcbdml9_big_data_processing_spark.queries.dedup import (
+        build_dedup_index,
+    )
+    from kcbdml9_big_data_processing_spark.sources.corpus import (
+        content_doc_ids,
+        ingest_jsonl,
+    )
+    from kcbdml9_big_data_processing_spark.sources.files import (
+        read_file_stream,
+    )
+    from kcbdml9_big_data_processing_spark.streaming.curation import (
+        IngestCurationConfig,
+        start_curated_ingest,
+    )
+
+    def h48(s):
+        return int(hashlib.sha256(s.encode()).hexdigest()[:12], 16)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "wanders far across the wide green valley looking for food"
+    )
+    other = (
+        "an entirely different document about spark shuffles and "
+        "partition pruning with plenty of distinct words to pass "
+        "every quality heuristic in the default configuration"
+    )
+    fresh = (
+        "a third topic entirely concerning watermarks state stores "
+        "and checkpoint recovery across streaming micro batch "
+        "executions with many further distinct words"
+    )
+
+    # --- day 0 (batch layer): curate the archive, build the index
+    day0 = tmp_path / "day0.jsonl"
+    day0.write_text(
+        "\n".join(json.dumps({"text": t}) for t in (base, other)) + "\n"
+    )
+    curator = TrainingDataCurator(CurationConfig(jaccard_min=0.3))
+    kept0, _ = curator.run(ingest_jsonl(spark, str(day0))[0])
+    kept0 = kept0.select("doc_id", "text")
+    idx = str(tmp_path / "ngram_idx")
+    build_dedup_index(kept0, idx)
+
+    # --- day 1 (speed layer): raw crawl stream of (ts, text) — NO ids
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        (t0, fresh),  # genuinely new
+        (t0, fresh),  # redelivery -> suppressed WITHIN the stream
+        (t0, other),  # already archived -> passes the stream, batch's job
+        (t0, base + " tonight"),  # near-dup of base -> batch's job
+        (t0, "tiny"),  # quality-fail -> never lands
+    ]
+    src = str(tmp_path / "crawl")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    landing = str(tmp_path / "landing")
+
+    def land(batch_df, batch_id):
+        content_doc_ids(batch_df, epoch=1).write.mode("append").parquet(
+            landing
+        )
+
+    q = start_curated_ingest(
+        read_file_stream(spark, src, schema, fmt="parquet"),
+        land,
+        str(tmp_path / "ckpt"),
+        IngestCurationConfig(),
+        query_name="lambda_handoff_ingest",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(landing)
+    landed_rows = {r["text"]: r for r in landed.collect()}
+    # stream-side guarantees: quality-fail never landed, the
+    # redelivered doc landed ONCE, extra columns rode along
+    assert set(landed_rows) == {fresh, other, base + " tonight"}
+    assert landed.count() == 3
+    assert {"ts", "content_hash", "doc_id"} <= set(landed.columns)
+    assert all(r["doc_id"] >= (1 << 48) for r in landed_rows.values())
+
+    # --- day 1 (batch layer): the landed frame IS the batch
+    kept1, dec1 = curator.run_incremental(landed, kept0, idx)
+    dec = {
+        r["doc_id"]: (r["reason"], r["canonical_id"]) for r in dec1.collect()
+    }
+    assert dec[landed_rows[other]["doc_id"]] == ("exact_dup", h48(other))
+    assert dec[landed_rows[base + " tonight"]["doc_id"]] == (
+        "near_dup",
+        h48(base),
+    )
+    assert dec[landed_rows[fresh]["doc_id"]] == ("kept", None)
+    assert {r["doc_id"] for r in kept1.collect()} == {
+        landed_rows[fresh]["doc_id"]
+    }
