@@ -683,9 +683,206 @@ def _audit_shards_main(argv: list[str], spark=None) -> int:
     return 0
 
 
+def _curate_main(argv: list[str], spark=None) -> int:
+    """``curate``: the engine's core job from the shell — full-corpus
+    curation (jobs/training_data.TrainingDataCurator.run) or the daily
+    incremental batch (run_incremental, when ``--archive`` +
+    ``--index`` are given). Closes the operational loop the other
+    verbs bracket: ``ingest`` lands the corpus, ``curate`` produces
+    the kept set + decision record (and maintains the near-dup index
+    artifact the NEXT day's increment needs), ``export-shards`` ships
+    it. Per-reason decision counts print as the job summary."""
+    ap = argparse.ArgumentParser(prog="kcbdml9-spark curate")
+    ap.add_argument(
+        "--docs", required=True, help="documents-schema parquet (the batch)"
+    )
+    ap.add_argument("--out-kept", required=True, help="kept corpus parquet")
+    ap.add_argument(
+        "--out-decisions", required=True, help="decision-record parquet"
+    )
+    ap.add_argument(
+        "--archive",
+        default=None,
+        help="INCREMENTAL: kept parquet of a prior full run (with"
+        " --index; ids must be epoch-monotonic vs the batch)",
+    )
+    ap.add_argument(
+        "--index",
+        default=None,
+        help="INCREMENTAL: the persisted n-gram dedup index built over"
+        " exactly that archive",
+    )
+    ap.add_argument(
+        "--benchmark",
+        default=None,
+        help="FULL RUN: eval-set parquet (text column) to decontaminate"
+        " against before curation",
+    )
+    ap.add_argument(
+        "--build-index",
+        default=None,
+        metavar="PATH",
+        help="FULL RUN: build the n-gram dedup index over the kept set"
+        " here afterwards — the artifact the next day's --index needs",
+    )
+    ap.add_argument(
+        "--extend-index",
+        action="store_true",
+        help="INCREMENTAL: append the batch's kept docs to --index"
+        " afterwards, keeping it current for the next batch",
+    )
+    # quality-gate / near-dup thresholds (CurationConfig)
+    ap.add_argument("--min-words", type=int, default=5)
+    ap.add_argument("--max-stopword-ratio", type=float, default=0.9)
+    ap.add_argument("--min-lexical-diversity", type=float, default=0.1)
+    ap.add_argument("--jaccard-min", type=float, default=0.5)
+    # full-run-only policy stages (run_incremental raises on these)
+    ap.add_argument("--max-repeated-spans", type=int, default=None)
+    ap.add_argument("--scrub-repeated-spans", action="store_true")
+    ap.add_argument("--span-tokens", type=int, default=16)
+    ap.add_argument("--min-rarity", type=float, default=None)
+    ap.add_argument("--max-rarity", type=float, default=None)
+    # trained model gate (the train -> curate loop)
+    ap.add_argument(
+        "--model-weights",
+        default=None,
+        metavar="JSON",
+        help="weights file from the train verb; arms the model quality"
+        " gate",
+    )
+    ap.add_argument("--min-model-mean-milli", type=int, default=0)
+    ap.add_argument(
+        "--model-ngram-max",
+        type=int,
+        default=2,
+        help="MUST match the order the weights were trained with",
+    )
+    ap.add_argument(
+        "--writer-lock-ttl",
+        type=float,
+        default=None,
+        metavar="SEC",
+        help="hold the index writer lock while building/extending"
+        " (single writer per index root); steal locks staler than SEC",
+    )
+    args = ap.parse_args(argv)
+
+    incremental = args.archive is not None or args.index is not None
+    if incremental and (args.archive is None or args.index is None):
+        print(
+            "curate: incremental mode needs BOTH --archive and --index"
+            " (the index must have been built over exactly that"
+            " archive)",
+            file=sys.stderr,
+        )
+        return 2
+    if incremental and args.benchmark is not None:
+        print(
+            "curate: --benchmark decontamination is a full-run stage;"
+            " run it on the periodic full curation",
+            file=sys.stderr,
+        )
+        return 2
+    if incremental and args.build_index is not None:
+        print(
+            "curate: --build-index is the full run's artifact step; an"
+            " incremental batch extends with --extend-index",
+            file=sys.stderr,
+        )
+        return 2
+    if args.extend_index and not incremental:
+        print(
+            "curate: --extend-index extends an incremental run's"
+            " --index; a full run creates one with --build-index",
+            file=sys.stderr,
+        )
+        return 2
+
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .jobs.training_data import CurationConfig, TrainingDataCurator
+    from .queries import similarity as S
+    from .queries.dedup import build_dedup_index, extend_dedup_index
+
+    weights = None
+    if args.model_weights is not None:
+        with open(args.model_weights) as f:
+            weights = json.load(f)
+
+    cfg = CurationConfig(
+        min_words=args.min_words,
+        max_stopword_ratio=args.max_stopword_ratio,
+        min_lexical_diversity=args.min_lexical_diversity,
+        jaccard_min=args.jaccard_min,
+        max_repeated_spans=args.max_repeated_spans,
+        scrub_repeated_spans=args.scrub_repeated_spans,
+        span_tokens=args.span_tokens,
+        min_rarity=args.min_rarity,
+        max_rarity=args.max_rarity,
+        quality_model_weights=weights,
+        min_model_mean_milli=args.min_model_mean_milli,
+        quality_model_ngram_max=args.model_ngram_max,
+    )
+
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="kcbdml9-curate")
+    lock_scope = S.scoped_writer_lock_ttl(args.writer_lock_ttl)
+    cleanup: list = []
+    try:
+        with lock_scope:
+            docs = spark.read.parquet(args.docs)
+            curator = TrainingDataCurator(cfg)
+            if incremental:
+                archive = spark.read.parquet(args.archive)
+                kept, dec = curator.run_incremental(
+                    docs, archive, args.index, cleanup=cleanup
+                )
+            else:
+                bench = (
+                    spark.read.parquet(args.benchmark)
+                    if args.benchmark is not None
+                    else None
+                )
+                kept, dec = curator.run(docs, bench, cleanup=cleanup)
+            kept.write.mode("overwrite").parquet(args.out_kept)
+            dec.write.mode("overwrite").parquet(args.out_decisions)
+            # the index maintenance consumes the WRITTEN kept set:
+            # same rows, and the read-back frame keeps the artifact
+            # step decoupled from the run's cached lineage
+            kept_stored = spark.read.parquet(args.out_kept).select(
+                "doc_id", "text"
+            )
+            if args.build_index is not None:
+                build_dedup_index(kept_stored, args.build_index)
+            if args.extend_index:
+                extend_dedup_index(kept_stored, args.index)
+        for r in (
+            spark.read.parquet(args.out_decisions)
+            .groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("reason")
+            .collect()
+        ):
+            print(f"{r['reason']}: {r['n']}")
+        print(f"wrote {args.out_kept} + {args.out_decisions}")
+    finally:
+        for f in cleanup:
+            f.unpersist()
+        if own_session:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
+    if argv and argv[0] == "curate":
+        return _curate_main(argv[1:])
     if argv and argv[0] == "index":
         return _index_main(argv[1:])
     if argv and argv[0] == "train":

@@ -380,3 +380,131 @@ def test_cli_audit_shards(spark, tmp_path, capsys):
     assert "--only-shards 1" in captured.err  # in-range retry kept
     assert "9" not in captured.err.split("--only-shards 1")[1].split("stale")[0]
     assert "stale out-of-range" in captured.err and "shard=9" in captured.err
+
+
+def test_cli_curate_full_then_incremental(spark, tmp_path):
+    """The curate verb closes the shell pipeline (ingest -> curate ->
+    export-shards): day-0 full run builds the kept set, decision
+    record, and the n-gram index artifact (--build-index); day-1 runs
+    the SAME verb in incremental mode (--archive + --index) over an
+    epoch-1 ingest, extends the index (--extend-index), and the
+    decisions point at day-0 canonicals. Invalid mode combinations
+    exit 2 before touching Spark."""
+    import hashlib
+    import json
+    import os
+
+    from kcbdml9_big_data_processing_spark.__main__ import (
+        _curate_main,
+        _ingest_main,
+    )
+
+    def h48(s):
+        return int(hashlib.sha256(s.encode()).hexdigest()[:12], 16)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "wanders far across the wide green valley looking for food"
+    )
+    other = (
+        "an entirely different document about spark shuffles and "
+        "partition pruning with plenty of distinct words to pass "
+        "every quality heuristic in the default configuration"
+    )
+    fresh = (
+        "a third topic entirely concerning watermarks state stores "
+        "and checkpoint recovery across streaming micro batch "
+        "executions with many further distinct words"
+    )
+
+    def jsonl(name, texts):
+        p = tmp_path / name
+        p.write_text(
+            "\n".join(json.dumps({"text": t}) for t in texts) + "\n"
+        )
+        return str(p)
+
+    day0_docs = str(tmp_path / "day0_docs")
+    assert _ingest_main(
+        ["--jsonl", jsonl("day0.jsonl", [base, other, "tiny"]),
+         "--out", day0_docs],
+        spark=spark,
+    ) == 0
+
+    kept0 = str(tmp_path / "kept0")
+    dec0 = str(tmp_path / "dec0")
+    idx = str(tmp_path / "idx")
+    assert _curate_main(
+        ["--docs", day0_docs, "--out-kept", kept0, "--out-decisions",
+         dec0, "--jaccard-min", "0.3", "--build-index", idx],
+        spark=spark,
+    ) == 0
+    assert {r["doc_id"] for r in spark.read.parquet(kept0).collect()} == {
+        h48(base), h48(other)
+    }
+    d0 = {r["doc_id"]: r["reason"]
+          for r in spark.read.parquet(dec0).collect()}
+    assert d0[h48("tiny")] == "quality"
+    assert os.path.isdir(idx)
+
+    # day 1: near-dup of base, exact dup of other, fresh — epoch 1
+    day1_docs = str(tmp_path / "day1_docs")
+    assert _ingest_main(
+        ["--jsonl",
+         jsonl("day1.jsonl", [base + " tonight", other.upper(), fresh]),
+         "--out", day1_docs, "--epoch", "1"],
+        spark=spark,
+    ) == 0
+    kept1 = str(tmp_path / "kept1")
+    dec1 = str(tmp_path / "dec1")
+    assert _curate_main(
+        ["--docs", day1_docs, "--out-kept", kept1, "--out-decisions",
+         dec1, "--jaccard-min", "0.3", "--archive", kept0,
+         "--index", idx, "--extend-index", "--writer-lock-ttl", "3600"],
+        spark=spark,
+    ) == 0
+    d1 = {r["reason"]: r["canonical_id"]
+          for r in spark.read.parquet(dec1).collect()}
+    assert d1["exact_dup"] == h48(other)
+    assert d1["near_dup"] == h48(base)
+    assert d1["kept"] is None
+    kept1_ids = {r["doc_id"] for r in spark.read.parquet(kept1).collect()}
+    assert len(kept1_ids) == 1 and all(i >= (1 << 48) for i in kept1_ids)
+
+    # the extended index sees day-1's kept doc: a day-2 near-dup of
+    # FRESH resolves to fresh's day-1 id
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        CurationConfig,
+        TrainingDataCurator,
+    )
+    from kcbdml9_big_data_processing_spark.sources.corpus import ingest_jsonl
+
+    batch2 = ingest_jsonl(
+        spark, jsonl("day2.jsonl", [fresh + " indeed"]), epoch=2
+    )[0]
+    archive1 = spark.read.parquet(kept0).select("doc_id", "text").unionByName(
+        spark.read.parquet(kept1).select("doc_id", "text")
+    )
+    _, dec2 = TrainingDataCurator(CurationConfig(jaccard_min=0.3)).run_incremental(
+        batch2, archive1, idx
+    )
+    row2 = dec2.collect()[0]
+    assert row2["reason"] == "near_dup"
+    assert row2["canonical_id"] in kept1_ids
+
+    # invalid combinations exit 2 without touching Spark
+    common = ["--docs", day1_docs, "--out-kept", kept1,
+              "--out-decisions", dec1]
+    assert _curate_main([*common, "--archive", kept0], spark=spark) == 2
+    assert _curate_main([*common, "--index", idx], spark=spark) == 2
+    assert _curate_main(
+        [*common, "--archive", kept0, "--index", idx,
+         "--benchmark", day0_docs],
+        spark=spark,
+    ) == 2
+    assert _curate_main(
+        [*common, "--archive", kept0, "--index", idx,
+         "--build-index", idx],
+        spark=spark,
+    ) == 2
+    assert _curate_main([*common, "--extend-index"], spark=spark) == 2
