@@ -797,6 +797,20 @@ def _curate_main(argv: list[str], spark=None) -> int:
             file=sys.stderr,
         )
         return 2
+    if incremental and (
+        args.max_repeated_spans is not None
+        or args.scrub_repeated_spans
+        or args.min_rarity is not None
+        or args.max_rarity is not None
+    ):
+        # same contract the library enforces (run_incremental raises):
+        # surface it as a clean usage error, not a traceback
+        print(
+            "curate: span/rarity policies are full-corpus-statistics"
+            " stages; apply them on the periodic full run",
+            file=sys.stderr,
+        )
+        return 2
 
     import json
 

@@ -508,3 +508,13 @@ def test_cli_curate_full_then_incremental(spark, tmp_path):
         spark=spark,
     ) == 2
     assert _curate_main([*common, "--extend-index"], spark=spark) == 2
+    assert _curate_main(
+        [*common, "--archive", kept0, "--index", idx,
+         "--scrub-repeated-spans"],
+        spark=spark,
+    ) == 2
+    assert _curate_main(
+        [*common, "--archive", kept0, "--index", idx,
+         "--min-rarity", "0.1"],
+        spark=spark,
+    ) == 2
