@@ -54,6 +54,20 @@ with its detection sibling (exit 1 lists the shards to retry):
 
     python -m kcbdml9_big_data_processing_spark audit-shards
         --path ROOT [--reference PARQUET | --sf DIR]
+
+And the curation job itself (r13) — full corpus run, or the daily
+incremental batch when --archive + --index are given:
+
+    python -m kcbdml9_big_data_processing_spark curate
+        --docs PARQUET --out-kept PATH --out-decisions PATH
+        [--archive KEPT_PARQUET --index DIR [--extend-index]]
+        [--benchmark PARQUET] [--build-index DIR]
+        [--jaccard-min X] [--min-words N] [...quality thresholds]
+        [--model-weights weights.json [--min-model-mean-milli N]]
+        [--writer-lock-ttl SEC]
+
+closing the shell pipeline end to end: ingest -> curate ->
+export-shards, with the index artifact maintained across days.
 """
 
 from __future__ import annotations
@@ -794,6 +808,17 @@ def _curate_main(argv: list[str], spark=None) -> int:
         print(
             "curate: --extend-index extends an incremental run's"
             " --index; a full run creates one with --build-index",
+            file=sys.stderr,
+        )
+        return 2
+    if args.writer_lock_ttl is not None and not (
+        args.build_index is not None or args.extend_index
+    ):
+        # mirror export-shards: an inapplicable lock flag must not be
+        # a silent no-op the operator mistakes for protection
+        print(
+            "curate: --writer-lock-ttl guards the index write steps —"
+            " pair it with --build-index or --extend-index",
             file=sys.stderr,
         )
         return 2

@@ -139,15 +139,17 @@ _PARQUET_STEM = re.compile(r"/([a-z_]+)\.parquet\b")
 
 def _struct_fields(struct: str) -> list[str]:
     """Top-level field names of a ``struct<...>`` simpleString —
-    split on depth-0 commas so nested struct/array/map types can't
-    shear a field in half."""
+    split on depth-0 commas, where depth counts BOTH ``<>`` (nested
+    struct/array/map) and ``()`` (parameterized scalars:
+    ``decimal(12,2)``, ``char(8)`` — their commas sheared a phantom
+    field until the r13 review executed the parser on one)."""
     assert struct.startswith("struct<") and struct.endswith(">"), struct
     body = struct[len("struct<"):-1]
     fields, depth, start = [], 0, 0
     for i, ch in enumerate(body):
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             fields.append(body[start:i])
@@ -192,8 +194,19 @@ def scan_read_schemas(df: DataFrame) -> list[tuple[str, tuple[str, ...]]]:
         if line.startswith("Location:"):
             stems = set(_PARQUET_STEM.findall(line))
             hits = stems & _CORPUS_TABLES
-            if len(hits) == 1:
-                table = next(iter(hits))
+            if not hits:
+                continue
+            # a multi-root scan over corpus tables, or a location
+            # string Spark truncated (which can HIDE further roots),
+            # cannot be attributed to one table — fail loudly rather
+            # than silently skipping (a hole in the pruning guard) or
+            # pinning every column under the first stem
+            if len(hits) > 1 or "..." in line:
+                raise AssertionError(
+                    "ambiguous corpus scan location (multi-root or"
+                    f" truncated) — split the scan per table: {line}"
+                )
+            table = next(iter(hits))
         elif line.startswith("ReadSchema:"):
             cols = tuple(
                 _struct_fields(line[len("ReadSchema:"):].strip())

@@ -69,8 +69,38 @@ def _epoch_prefixed(id_col: Column, epoch: int) -> Column:
     return F.lit(epoch << 48).cast("long") + id_col
 
 
+def unique_doc_ids(df: DataFrame) -> DataFrame:
+    """Enforce the engine-wide doc_id-uniqueness invariant on an
+    arbitrary documents-shaped frame: one row per ``doc_id``, survivor
+    chosen DETERMINISTICALLY as the minimum over the struct of all
+    other columns (lexicographic — the same total-order rule
+    :func:`ingest_jsonl` applies to id collisions, so re-running under
+    any partitioning picks the same row). Duplicate ids would sail
+    straight through exact dedup — its canonical choice keys ON
+    doc_id, so two rows sharing an id both satisfy ``doc_id ==
+    canonical`` and BOTH survive into the kept corpus and the postings
+    index (double-counted shingles). Apply this wherever rows
+    accumulate outside a single ingest call — e.g. reading back a
+    streaming landing area, where a document redelivered after the
+    dedup watermark evicted its hash lands a second time (the bounded
+    -state trade streaming/curation.py documents). Columns must be
+    orderable (struct min); frames carrying maps should drop them
+    first."""
+    others = [c for c in df.columns if c != "doc_id"]
+    if not others:
+        return df.dropDuplicates(["doc_id"])
+    return (
+        df.groupBy("doc_id")
+        .agg(F.min(F.struct(*others)).alias("__survivor"))
+        .select("doc_id", "__survivor.*")
+    )
+
+
 def content_doc_ids(
-    df: DataFrame, epoch: int = 0, text_col: str = "text"
+    df: DataFrame,
+    epoch: int = 0,
+    text_col: str = "text",
+    unique: bool = True,
 ) -> DataFrame:
     """Assign (or overwrite) ``doc_id`` as the epoch-namespaced 48-bit
     content hash — the id recipe the batch ingest fronts use, exposed
@@ -78,15 +108,23 @@ def content_doc_ids(
     (the speed layer landing documents for the next daily
     run_incremental — the lambda handoff tests/test_llm_e2e.py pins),
     or any frame whose upstream carries no ids. Deterministic and
-    portable (reproducible from (epoch, text)); identical texts get
-    identical ids within an epoch, which is exactly the exact-dedup
-    semantics downstream (content-keyed canonical choice). Use the
-    landing day's ``epoch`` so the landed batch satisfies
+    portable (reproducible from (epoch, text)). Identical texts get
+    identical ids, so a frame with repeated texts would violate the
+    engine-wide doc_id-uniqueness invariant the ingest fronts enforce
+    — by default the result is collapsed to one row per id
+    (:func:`unique_doc_ids`); pass ``unique=False`` only when the
+    caller already guarantees distinct texts per frame (e.g. a
+    curate_stream micro-batch, whose state store dedups by the same
+    content identity). NOTE the invariant is per-FRAME: rows
+    accumulated across calls (a day's landing area) can still repeat
+    an id — run :func:`unique_doc_ids` at the consumption point. Use
+    the landing day's ``epoch`` so the landed batch satisfies
     run_incremental's monotonic-id precondition against any archive
     curated at a lower epoch — see :func:`_epoch_prefixed`."""
-    return df.withColumn(
+    out = df.withColumn(
         "doc_id", _epoch_prefixed(_h48(F.col(text_col)), epoch)
     )
+    return unique_doc_ids(out) if unique else out
 
 
 def ingest_text_dir(spark: SparkSession, path: str, epoch: int = 0) -> DataFrame:

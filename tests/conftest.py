@@ -11,6 +11,15 @@ from kcbdml9_big_data_processing_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def h48_py(s: str) -> int:
+    """Pure-Python twin of the engine's portable 48-bit id hash
+    (operators/sampling.h48) — ONE copy for every test that predicts
+    doc_ids; five hand-copies had accumulated by the r13 review."""
+    import hashlib
+
+    return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="pytest", shuffle_partitions=4)

@@ -5,7 +5,6 @@ ingested frame feeds the engine end to end."""
 
 from __future__ import annotations
 
-import hashlib
 import json
 
 from kcbdml9_big_data_processing_spark.sources.corpus import (
@@ -15,8 +14,7 @@ from kcbdml9_big_data_processing_spark.sources.corpus import (
 )
 
 
-def _h48_py(s: str) -> int:
-    return int(hashlib.sha256(s.encode("utf-8")).hexdigest()[:12], 16)
+from conftest import h48_py as _h48_py
 
 
 def test_ingest_text_dir_one_doc_per_file(spark, tmp_path):

@@ -144,8 +144,9 @@ def test_daily_incremental_ingest_composes_with_epoch_ids(spark, tmp_path):
     day-2 flow composes and the decisions point at day-1 canonicals;
     without it the guard refuses loudly instead of silently
     mis-canonicalizing."""
-    import hashlib
     import json
+
+    from conftest import h48_py as h48
 
     from kcbdml9_big_data_processing_spark.jobs.training_data import (
         CurationConfig,
@@ -156,9 +157,6 @@ def test_daily_incremental_ingest_composes_with_epoch_ids(spark, tmp_path):
         extend_dedup_index,
     )
     from kcbdml9_big_data_processing_spark.sources.corpus import ingest_jsonl
-
-    def h48(s):
-        return int(hashlib.sha256(s.encode()).hexdigest()[:12], 16)
 
     def jsonl(path, texts):
         path.write_text(
@@ -259,10 +257,11 @@ def test_lambda_handoff_stream_landing_feeds_incremental_curator(
     identity (curate_stream now shares queries.dedup.content_hash_expr
     instead of a hand-copied hash)."""
     import datetime as dt
-    import hashlib
     import json
 
     from pyspark.sql import types as T
+
+    from conftest import h48_py as h48
 
     from kcbdml9_big_data_processing_spark.jobs.training_data import (
         CurationConfig,
@@ -274,6 +273,7 @@ def test_lambda_handoff_stream_landing_feeds_incremental_curator(
     from kcbdml9_big_data_processing_spark.sources.corpus import (
         content_doc_ids,
         ingest_jsonl,
+        unique_doc_ids,
     )
     from kcbdml9_big_data_processing_spark.sources.files import (
         read_file_stream,
@@ -282,9 +282,6 @@ def test_lambda_handoff_stream_landing_feeds_incremental_curator(
         IngestCurationConfig,
         start_curated_ingest,
     )
-
-    def h48(s):
-        return int(hashlib.sha256(s.encode()).hexdigest()[:12], 16)
 
     base = (
         "the quick brown fox jumps over the lazy dog and then "
@@ -347,9 +344,33 @@ def test_lambda_handoff_stream_landing_feeds_incremental_curator(
         query_name="lambda_handoff_ingest",
         trigger_available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain did not finish"
 
-    landed = spark.read.parquet(landing)
+    # FRESH gets redelivered twice more, hours apart: the first
+    # redelivery is still suppressed (its hash is in state) but
+    # advances the watermark past the stored event time, EVICTING the
+    # hash at batch end; the second redelivery is then re-admitted —
+    # the bounded-state trade streaming/curation.py documents — so the
+    # landing holds the same doc_id twice across files. That is the
+    # case unique_doc_ids exists for at the batch layer's read.
+    for i, delta_h in enumerate((1, 2), start=2):
+        spark.createDataFrame(
+            [(t0 + dt.timedelta(hours=delta_h), fresh)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        qn = start_curated_ingest(
+            read_file_stream(spark, src, schema, fmt="parquet"),
+            land,
+            str(tmp_path / "ckpt"),
+            IngestCurationConfig(),
+            query_name=f"lambda_handoff_ingest_{i}",
+            trigger_available_now=True,
+        )
+        assert qn.awaitTermination(120), "availableNow drain timed out"
+
+    raw_landing = spark.read.parquet(landing)
+    assert raw_landing.count() == 4  # the re-admitted dup landed
+    assert raw_landing.select("doc_id").distinct().count() == 3
+    landed = unique_doc_ids(raw_landing)
     landed_rows = {r["text"]: r for r in landed.collect()}
     # stream-side guarantees: quality-fail never landed, the
     # redelivered doc landed ONCE, extra columns rode along

@@ -390,17 +390,15 @@ def test_cli_curate_full_then_incremental(spark, tmp_path):
     epoch-1 ingest, extends the index (--extend-index), and the
     decisions point at day-0 canonicals. Invalid mode combinations
     exit 2 before touching Spark."""
-    import hashlib
     import json
     import os
+
+    from conftest import h48_py as h48
 
     from kcbdml9_big_data_processing_spark.__main__ import (
         _curate_main,
         _ingest_main,
     )
-
-    def h48(s):
-        return int(hashlib.sha256(s.encode()).hexdigest()[:12], 16)
 
     base = (
         "the quick brown fox jumps over the lazy dog and then "
@@ -508,6 +506,10 @@ def test_cli_curate_full_then_incremental(spark, tmp_path):
         spark=spark,
     ) == 2
     assert _curate_main([*common, "--extend-index"], spark=spark) == 2
+    # an inapplicable lock flag is a usage error, not a silent no-op
+    assert _curate_main(
+        [*common, "--writer-lock-ttl", "3600"], spark=spark
+    ) == 2
     assert _curate_main(
         [*common, "--archive", kept0, "--index", idx,
          "--scrub-repeated-spans"],

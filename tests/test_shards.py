@@ -123,15 +123,13 @@ def test_shard_assignment_differential_fuzz(spark):
     exact 'shard:<salt>:<id>' / 'pos:<salt>:<id>' strings — pinning
     the h48 recipe end to end (hex substring length, base conversion,
     role prefixes, decimal id rendering)."""
-    import hashlib
     import random
+
+    from conftest import h48_py
 
     rng = random.Random(12)
     ids = sorted(rng.sample(range(0, 10**12), 64))
     for salt, n_shards in [(0, 8), (7, 3), (12, 64)]:
-        def h48_py(s: str) -> int:
-            return int(hashlib.sha256(s.encode()).hexdigest()[:12], 16)
-
         want = {
             i: (
                 h48_py(f"shard:{salt}:{i}") % n_shards,
