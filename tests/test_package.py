@@ -520,3 +520,88 @@ def test_cli_curate_full_then_incremental(spark, tmp_path):
          "--min-rarity", "0.1"],
         spark=spark,
     ) == 2
+
+
+def test_cli_train_feeds_curate_model_gate(spark, tmp_path):
+    """The train -> curate loop THROUGH THE SHELL: the train verb fits
+    integer milli-weights from a labeled parquet and writes the JSON
+    artifact; the curate verb loads it via --model-weights and the
+    model gate drops exactly the docs the pure-Python scorer says fall
+    below --min-model-mean-milli (no magic constants — the threshold
+    is derived from the fitted model's own class scores)."""
+    import json
+    import random
+
+    from kcbdml9_big_data_processing_spark.__main__ import (
+        _curate_main,
+        _train_main,
+    )
+    from kcbdml9_big_data_processing_spark.operators.quality_model import (
+        classifier_score_py,
+    )
+
+    rng = random.Random(7)
+    good = [
+        "the quick brown fox jumps over the lazy dog",
+        "clear concise prose wins the day",
+        "well formed sentences carry structure and meaning",
+    ]
+    bad = [
+        "zzz qqq xxx kkk jjj nnn ppp",
+        "buy now click here spam offer deal",
+        "garbled noise tokens qqq zzz kkk vvv",
+    ]
+    labeled = []
+    for i in range(100):
+        words = rng.choice(good if i % 2 == 0 else bad).split()
+        rng.shuffle(words)
+        labeled.append((" ".join(words), 1 - i % 2))
+    labels_path = str(tmp_path / "labels")
+    spark.createDataFrame(labeled, "text string, label int").write.parquet(
+        labels_path
+    )
+
+    weights_path = str(tmp_path / "weights.json")
+    assert _train_main(
+        ["--labels", labels_path, "--dim", "64", "--iters", "6",
+         "--out", weights_path],
+        spark=spark,
+    ) == 0
+    with open(weights_path) as f:
+        w = json.load(f)
+    assert any(w)
+
+    # curation corpus: distinct docs, one per class phrase — all pass
+    # the heuristic gate; the model gate must separate them
+    corpus = [(i + 1, t) for i, t in enumerate(good + bad)]
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(
+        docs_path
+    )
+    # threshold between the classes' mean milli-scores, from the
+    # python twin of the serving scorer
+    milli = {
+        d: s * 1000 / n
+        for d, (n, s) in (
+            (d, classifier_score_py(t, w)) for d, t in corpus
+        )
+    }
+    lo = max(milli[d] for d in (4, 5, 6))  # bad docs
+    hi = min(milli[d] for d in (1, 2, 3))  # good docs
+    assert lo < hi, (lo, hi)  # the fitted model separates
+    thr = int((lo + hi) / 2)
+
+    kept_p = str(tmp_path / "kept")
+    dec_p = str(tmp_path / "dec")
+    assert _curate_main(
+        ["--docs", docs_path, "--out-kept", kept_p,
+         "--out-decisions", dec_p, "--model-weights", weights_path,
+         "--min-model-mean-milli", str(thr)],
+        spark=spark,
+    ) == 0
+    dec = {r["doc_id"]: r["reason"]
+           for r in spark.read.parquet(dec_p).collect()}
+    assert {d for d, r in dec.items() if r == "quality"} == {4, 5, 6}
+    assert {r["doc_id"] for r in spark.read.parquet(kept_p).collect()} == {
+        1, 2, 3
+    }
