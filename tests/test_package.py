@@ -605,3 +605,40 @@ def test_cli_train_feeds_curate_model_gate(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(kept_p).collect()} == {
         1, 2, 3
     }
+
+
+def test_cli_curate_benchmark_decontamination(spark, tmp_path):
+    """curate --benchmark drives the decontamination stage from the
+    shell: a doc sharing a word-3-gram with the eval set drops with
+    reason contaminated before any other stage sees it."""
+    from kcbdml9_big_data_processing_spark.__main__ import _curate_main
+
+    clean = (
+        "an entirely different document about spark shuffles and "
+        "partition pruning with plenty of distinct words to pass "
+        "every quality heuristic in the default configuration"
+    )
+    leaky = (
+        "this passage quotes the held out evaluation question verbatim "
+        "inside otherwise original prose with many distinct words"
+    )
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, clean), (2, leaky)], "doc_id long, text string"
+    ).write.parquet(docs_path)
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [("the held out evaluation question appears here",)], "text string"
+    ).write.parquet(bench_path)
+
+    kept_p = str(tmp_path / "kept")
+    dec_p = str(tmp_path / "dec")
+    assert _curate_main(
+        ["--docs", docs_path, "--out-kept", kept_p,
+         "--out-decisions", dec_p, "--benchmark", bench_path],
+        spark=spark,
+    ) == 0
+    dec = {r["doc_id"]: r["reason"]
+           for r in spark.read.parquet(dec_p).collect()}
+    assert dec == {1: "kept", 2: "contaminated"}
+    assert {r["doc_id"] for r in spark.read.parquet(kept_p).collect()} == {1}
