@@ -232,3 +232,44 @@ def test_train_classifier_bit_matches_twin_on_arbitrary_corpora(spark, rows):
     df = spark.createDataFrame(rows, "text string, label int")
     got = train_classifier(df, dim=16, iters=1, lr_num=1 << 16)
     assert got == train_classifier_py(rows, dim=16, iters=1, lr_num=1 << 16)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="ab ", min_size=0, max_size=8),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_content_doc_ids_unique_and_partition_invariant(spark, rows):
+    """content_doc_ids' uniqueness enforcement is DETERMINISTIC under
+    any partitioning and input order: one row per (epoch<<48)+h48(text)
+    id, survivor = lexicographic minimum over the struct of remaining
+    columns — verified against a pure-Python twin on arbitrary inputs
+    (the tiny alphabet makes duplicate texts likely). The survivor rule
+    is the invariant the review fix claimed; this is its pin."""
+    from conftest import h48_py
+
+    from kcbdml9_big_data_processing_spark.sources.corpus import (
+        content_doc_ids,
+    )
+
+    want: dict[int, tuple] = {}
+    for text, tag in rows:
+        i = (3 << 48) + h48_py(text)
+        cand = (text, tag)
+        if i not in want or cand < want[i]:
+            want[i] = cand
+    expect = sorted((i, t, g) for i, (t, g) in want.items())
+
+    df = spark.createDataFrame(rows, "text string, tag long")
+    for frame in (df, df.repartition(5), df.orderBy(F.desc("tag"))):
+        out = content_doc_ids(frame, epoch=3)
+        got = sorted(
+            (r["doc_id"], r["text"], r["tag"]) for r in out.collect()
+        )
+        assert got == expect
