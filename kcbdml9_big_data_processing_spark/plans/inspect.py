@@ -215,6 +215,41 @@ def scan_read_schemas(df: DataFrame) -> list[tuple[str, tuple[str, ...]]]:
     return out
 
 
+def pushed_predicate_count(df: DataFrame) -> int:
+    """Number of SUBSTANTIVE pushed predicates across all scans in the
+    pre-AQE plan — the fourth registry-wide guard's raw number
+    (tests/test_plans.py): a predicate that stops reaching the parquet
+    scan still returns correct rows from a post-scan Filter, invisible
+    locally, but at 100 TB the scan now reads every row group the
+    pushed form would have skipped. Counts top-level atoms inside each
+    ``PushedFilters: [...]`` EXCLUDING bare ``IsNotNull`` — a regressed
+    comparison leaves its IsNotNull residue behind (verified: a
+    non-pushable abs() predicate still pushes IsNotNull), so counting
+    scans-with-any-pushed-filter would not move when the real
+    predicate slides off. Guarded as a FLOOR (pinned by
+    tools/pin_scan_schemas.py): fewer substantive predicates than the
+    pin means a filter regressed; more is an improvement and passes."""
+    with _aqe_off(df.sparkSession):
+        plan = physical_plan(df, "formatted")
+    n = 0
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+        body = m.group(1)
+        depth, start = 0, 0
+        atoms = []
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                atoms.append(body[start:i].strip())
+                start = i + 1
+        if body[start:].strip():
+            atoms.append(body[start:].strip())
+        n += sum(1 for a in atoms if a and not a.startswith("IsNotNull"))
+    return n
+
+
 def summarize_scan_schemas(
     scans: list[tuple[str, tuple[str, ...]]],
 ) -> dict[str, dict]:

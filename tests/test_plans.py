@@ -177,6 +177,7 @@ import json
 import os
 
 from kcbdml9_big_data_processing_spark.plans.inspect import (
+    pushed_predicate_count,
     python_eval_nodes,
     scan_read_schemas,
     shuffle_exchange_count,
@@ -188,6 +189,11 @@ with open(os.path.join(os.path.dirname(__file__), "plan_ceilings.json")) as _f:
 
 with open(os.path.join(os.path.dirname(__file__), "scan_schemas.json")) as _f:
     _SCAN_SCHEMAS = json.load(_f)
+
+with open(
+    os.path.join(os.path.dirname(__file__), "pushed_filter_floors.json")
+) as _f:
+    _PUSHED_FLOORS = json.load(_f)
 
 #: the only rows whose plan is ALLOWED a Python boundary, and the only
 #: node kind they may use (Arrow-batched mapInPandas — the intended
@@ -221,7 +227,14 @@ def test_plan_shuffles_and_python_boundary(spark, name, monkeypatch):
        pinned per-scan maximum. A projection that stops reaching the
        scan is invisible in rows and local runtimes but multiplies
        the whole job's I/O at 100 TB; reading FEWER columns (or a
-       scan disappearing behind a cache/index) is always allowed."""
+       scan disappearing behind a cache/index) is always allowed.
+
+    4. PUSHED-FILTER FLOOR — at least as many scans must carry a
+       non-empty PushedFilters as tests/pushed_filter_floors.json
+       pins: a predicate that slides off the scan into a post-scan
+       Filter still returns correct rows but stops skipping row
+       groups at 100 TB. More pushed scans is an improvement and
+       passes."""
     if name.startswith("stream_"):
         pytest.skip("streaming: plan per micro-batch")
     from kcbdml9_big_data_processing_spark.queries import dedup as _dedup
@@ -282,6 +295,20 @@ def test_plan_shuffles_and_python_boundary(spark, name, monkeypatch):
             f" per-scan max {pin['max_scan_width']}"
         )
 
+    floor = _PUSHED_FLOORS.get(name)
+    assert floor is not None, (
+        f"{name}: no pinned pushed-filter floor — run"
+        " tools/pin_scan_schemas.py"
+    )
+    pushed = pushed_predicate_count(df)
+    assert pushed >= floor, (
+        f"{name}: only {pushed} scans carry pushed filters, below the"
+        f" pinned floor {floor} — a predicate stopped reaching its"
+        " scan; if the new plan shape is intended (e.g. a filter"
+        " legitimately folded away), rerun tools/pin_scan_schemas.py"
+        " and justify it in the commit"
+    )
+
 
 def test_scan_schema_guard_is_falsifiable(spark):
     """A widened read shows up exactly where the guard looks: the
@@ -305,6 +332,23 @@ def test_scan_schema_guard_is_falsifiable(spark):
     )
     assert wide["lineitem"]["max_scan_width"] == len(li.columns)
     assert set(wide["lineitem"]["union"]) == set(li.columns)
+
+
+def test_pushed_filter_floor_is_falsifiable(spark):
+    """The floor's number moves exactly when pushdown breaks: a plain
+    comparison pushes (count 1); wrapping the column in a
+    non-pushable expression slides the predicate off the scan
+    (count 0) while returning the same rows."""
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    pushed = li.where(F.col("l_quantity") < 10)
+    assert pushed_predicate_count(pushed.select("l_orderkey")) == 1
+    # abs() is not a data-source filter — Catalyst keeps it in a
+    # post-scan Filter (a bare +0 would be constant-folded back into
+    # pushable form, which the first draft of this test learned)
+    unpushed = li.where(F.abs(F.col("l_quantity")) < 10)
+    assert pushed_predicate_count(unpushed.select("l_orderkey")) == 0
 
 
 def test_shuffle_guard_is_falsifiable(spark):

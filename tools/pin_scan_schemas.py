@@ -1,5 +1,7 @@
-"""Regenerate tests/scan_schemas.json: the per-query corpus-scan
-column sets the column-pruning guard in tests/test_plans.py enforces.
+"""Regenerate tests/scan_schemas.json (per-query corpus-scan column
+sets for the column-pruning guard) AND tests/pushed_filter_floors.json
+(per-query count of substantive pushed predicates (IsNotNull excluded), guarded as a
+floor) — the two scan-discipline pins tests/test_plans.py enforces.
 
     PYTHONPATH=/root/repo python tools/pin_scan_schemas.py
 
@@ -28,10 +30,12 @@ sys.path.insert(0, os.path.join(_REPO, "tests"))
 from conftest import SF_SMOKE as SF  # noqa: E402
 
 OUT = os.path.join(_REPO, "tests", "scan_schemas.json")
+OUT_FLOORS = os.path.join(_REPO, "tests", "pushed_filter_floors.json")
 
 
 def main() -> int:
     from kcbdml9_big_data_processing_spark.plans.inspect import (
+        pushed_predicate_count,
         scan_read_schemas,
         summarize_scan_schemas as summarize,
     )
@@ -45,20 +49,26 @@ def main() -> int:
     spark = get_spark(app_name="pin_scan_schemas")
     _dedup._SKIP_RESULT_TRUNCATION = True
     out = {}
+    floors = {}
     for name, spec in sorted(QUERIES.items()):
         if name.startswith("stream_"):
             continue
         _PREPARED_PLANS.clear()
-        out[name] = summarize(scan_read_schemas(spec.fn(spark, SF)))
+        df = spec.fn(spark, SF)
+        out[name] = summarize(scan_read_schemas(df))
+        floors[name] = pushed_predicate_count(df)
         widths = {
             t: f"{e['max_scan_width']}/{len(e['union'])}"
             for t, e in out[name].items()
         }
-        print(f"{name}: {widths}")
+        print(f"{name}: {widths} pushed={floors[name]}")
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"wrote {OUT} ({len(out)} queries)")
+    with open(OUT_FLOORS, "w") as f:
+        json.dump(floors, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT} + {OUT_FLOORS} ({len(out)} queries)")
     return 0
 
 
