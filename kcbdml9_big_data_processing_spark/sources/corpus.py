@@ -120,10 +120,30 @@ def content_doc_ids(
     an id — run :func:`unique_doc_ids` at the consumption point. Use
     the landing day's ``epoch`` so the landed batch satisfies
     run_incremental's monotonic-id precondition against any archive
-    curated at a lower epoch — see :func:`_epoch_prefixed`."""
-    out = df.withColumn(
-        "doc_id", _epoch_prefixed(_h48(F.col(text_col)), epoch)
+    curated at a lower epoch — see :func:`_epoch_prefixed`.
+
+    NULL text is refused AT EXECUTION (``raise_error`` inside the id
+    expression — construction stays lazy): sha2(NULL) would stamp a
+    NULL id, which the uniqueness pass then MERGES across distinct
+    null-text rows (null groups as one key — silent row loss) and
+    every downstream doc_id join drops invisibly. The ingest fronts
+    QUARANTINE missing text (ingest_jsonl's rejects frame); callers of
+    this front must filter or quarantine dirty rows first — the
+    lambda-handoff flow already does (curate_stream's quality gate
+    drops null text before the landing sink ever sees it)."""
+    text = F.col(text_col)
+    ids = F.when(
+        text.isNotNull(), _epoch_prefixed(_h48(text), epoch)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "content_doc_ids: NULL text cannot take a content id —"
+                " quarantine or filter dirty rows before id assignment"
+                " (ingest_jsonl's rejects posture)"
+            )
+        )
     )
+    out = df.withColumn("doc_id", ids)
     return unique_doc_ids(out) if unique else out
 
 

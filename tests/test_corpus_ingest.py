@@ -204,3 +204,24 @@ def test_epoch_prefix_namespaces_ids(spark, tmp_path):
     for bad in (-1, 1 << 15):
         with _pytest.raises(ValueError, match="epoch"):
             ingest_jsonl(spark, str(raw), epoch=bad)
+
+
+def test_content_doc_ids_refuses_null_text_at_execution(spark):
+    """sha2(NULL) would stamp a NULL id, which the uniqueness pass then
+    MERGES across distinct null-text rows (null groups as one key —
+    silent row loss) and every downstream doc_id join drops invisibly;
+    content_doc_ids instead raises AT EXECUTION (construction stays
+    lazy) telling the caller to quarantine first, the ingest_jsonl
+    rejects posture."""
+    import pytest
+
+    from kcbdml9_big_data_processing_spark.sources.corpus import (
+        content_doc_ids,
+    )
+
+    dirty = spark.createDataFrame(
+        [("a b c", 1), (None, 2)], "text string, tag long"
+    )
+    out = content_doc_ids(dirty, epoch=1)  # lazy: no error yet
+    with pytest.raises(Exception, match="NULL text"):
+        out.collect()
