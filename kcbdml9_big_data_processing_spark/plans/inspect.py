@@ -59,14 +59,30 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df, "simple")
 
 
+def _pushed_filter_bodies(plan: str) -> list[str]:
+    """The bracket contents of every ``PushedFilters: [...]`` line.
+    Parsed per line from first ``[`` to LAST ``]`` — a non-greedy
+    regex stops at the first ``]``, which lives INSIDE an In-filter
+    (``In(col, [A,R])``) and silently truncates every predicate after
+    it (caught by executing the first draft on a real In plan)."""
+    out = []
+    for line in plan.splitlines():
+        line = line.strip()
+        if not line.startswith("PushedFilters:"):
+            continue
+        lo, hi = line.find("["), line.rfind("]")
+        if lo != -1 and hi > lo:
+            out.append(line[lo + 1 : hi])
+    return out
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All non-empty PushedFilters entries across scans."""
-    plan = physical_plan(df, "formatted")
-    out = []
-    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
-        if m.group(1).strip():
-            out.append(m.group(1))
-    return out
+    return [
+        b
+        for b in _pushed_filter_bodies(physical_plan(df, "formatted"))
+        if b.strip()
+    ]
 
 
 def partition_filters(df: DataFrame) -> list[str]:
@@ -232,14 +248,13 @@ def pushed_predicate_count(df: DataFrame) -> int:
     with _aqe_off(df.sparkSession):
         plan = physical_plan(df, "formatted")
     n = 0
-    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
-        body = m.group(1)
+    for body in _pushed_filter_bodies(plan):
         depth, start = 0, 0
         atoms = []
         for i, ch in enumerate(body):
-            if ch == "(":
+            if ch in "([":
                 depth += 1
-            elif ch == ")":
+            elif ch in ")]":
                 depth -= 1
             elif ch == "," and depth == 0:
                 atoms.append(body[start:i].strip())
