@@ -38,8 +38,9 @@ artifact classifier_score and CurationConfig.quality_model_weights
 consume. And raw corpora land from the shell (r10):
 
     python -m kcbdml9_big_data_processing_spark ingest
-        (--text-dir DIR | --jsonl PATH) --out DOCS_PARQUET
-        [--rejects-out PATH]
+        (--text-dir DIR | --jsonl PATH | --csv PATH) --out DOCS_PARQUET
+        [--rejects-out PATH] [--epoch N]
+        [--csv-columns C,C,... --csv-sep S --csv-header]
 
 And the deterministic training-shard export + failed-shard retry
 (r13 — the retry was library-only before):
@@ -414,18 +415,33 @@ def _train_main(argv: list[str], spark=None) -> int:
 
 
 def _ingest_main(argv: list[str], spark=None) -> int:
-    """``ingest``: land a raw corpus (text-file dir or JSON-lines) as
-    a documents-schema parquet table, with JSONL rejects quarantined
-    to their own path — the shell front door to sources/corpus.py."""
+    """``ingest``: land a raw corpus (text-file dir, JSON-lines, or
+    CSV/TSV) as a documents-schema parquet table, with line-format
+    rejects quarantined to their own path — the shell front door to
+    sources/corpus.py."""
     ap = argparse.ArgumentParser(prog="kcbdml9-spark ingest")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--text-dir", help="directory of raw text files (one doc per file)")
     src.add_argument("--jsonl", help="JSON-lines path/glob")
+    src.add_argument("--csv", help="CSV/TSV path/glob (line-oriented)")
     ap.add_argument("--out", required=True, help="documents parquet output path")
     ap.add_argument(
         "--rejects-out",
         default=None,
-        help="parquet path for quarantined JSONL lines (default <out>_rejects)",
+        help="parquet path for quarantined lines (default <out>_rejects)",
+    )
+    ap.add_argument(
+        "--csv-columns",
+        default="text",
+        metavar="C,C,...",
+        help="the CSV file's columns in order (documents-schema names;"
+        " must include text)",
+    )
+    ap.add_argument("--csv-sep", default=",", help="field separator (\\t for TSV)")
+    ap.add_argument(
+        "--csv-header",
+        action="store_true",
+        help="drop lines equal to the header row sep.join(columns)",
     )
     ap.add_argument(
         "--epoch",
@@ -437,7 +453,7 @@ def _ingest_main(argv: list[str], spark=None) -> int:
     )
     args = ap.parse_args(argv)
 
-    from .sources.corpus import ingest_jsonl, ingest_text_dir
+    from .sources.corpus import ingest_csv, ingest_jsonl, ingest_text_dir
 
     own_session = spark is None
     if own_session:
@@ -451,9 +467,30 @@ def _ingest_main(argv: list[str], spark=None) -> int:
             print(f"wrote {args.out}")
         else:
             cleanup: list = []
-            docs, rejects = ingest_jsonl(
-                spark, args.jsonl, cleanup=cleanup, epoch=args.epoch
-            )
+            if args.jsonl:
+                docs, rejects = ingest_jsonl(
+                    spark, args.jsonl, cleanup=cleanup, epoch=args.epoch
+                )
+            else:
+                # argparse renders a literal backslash-t; accept both
+                sep = args.csv_sep.replace("\\t", "\t")
+                try:
+                    docs, rejects = ingest_csv(
+                        spark,
+                        args.csv,
+                        columns=tuple(
+                            c.strip()
+                            for c in args.csv_columns.split(",")
+                            if c.strip()
+                        ),
+                        sep=sep,
+                        header=args.csv_header,
+                        cleanup=cleanup,
+                        epoch=args.epoch,
+                    )
+                except ValueError as e:  # bad --csv-columns: usage error
+                    print(f"ingest: {e}", file=sys.stderr)
+                    return 2
             docs.write.mode("overwrite").parquet(args.out)
             rej_path = args.rejects_out or f"{args.out}_rejects"
             rejects.write.mode("overwrite").parquet(rej_path)

@@ -233,6 +233,21 @@ def ingest_jsonl(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
         ).alias("d"),
     )
+    return _quarantine_and_conform(parsed, cleanup, epoch)
+
+
+def _quarantine_and_conform(
+    parsed: DataFrame, cleanup: list[DataFrame] | None, epoch: int
+) -> tuple[DataFrame, DataFrame]:
+    """The shared back half of every line-oriented ingest front
+    (JSONL, CSV): ``parsed`` carries the verbatim line as ``raw`` and
+    the PERMISSIVE parse as a struct ``d`` with the documents fields
+    plus the corrupt-record column. Flags malformed / missing_text,
+    derives defaulted fields (content-h48 doc_id, length n_chars),
+    epoch-prefixes ids, enforces doc_id uniqueness with the
+    deterministic min-survivor window, and returns (docs, rejects)."""
+    from pyspark.sql import Window
+
     malformed = F.col("d").isNull() | F.col(f"d.{_CORRUPT}").isNotNull()
     no_text = F.col("d.text").isNull()
     flagged = parsed.select(
@@ -272,3 +287,70 @@ def ingest_jsonl(
         )
     )
     return docs, rejects
+
+
+def ingest_csv(
+    spark: SparkSession,
+    path: str,
+    columns: tuple[str, ...] = ("text",),
+    sep: str = ",",
+    header: bool = False,
+    cleanup: list[DataFrame] | None = None,
+    epoch: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV/TSV ingestion with the same quarantine policy as
+    :func:`ingest_jsonl` — the other line-oriented corpus delivery
+    format (dataset dumps ship as TSV as often as JSONL). ``columns``
+    names the file's columns IN ORDER; they must be documents-schema
+    fields and include ``text`` (types come from the pinned schema —
+    never inferred). Returns ``(docs, rejects)``: docs is
+    documents-shaped with UNIQUE epoch-prefixed ids (defaults derived
+    exactly as in ingest_jsonl), rejects carries every excluded line
+    VERBATIM with reason malformed / missing_text / duplicate_doc_id.
+
+    Mechanics: raw text lines + ``from_csv`` PERMISSIVE with a corrupt
+    -record column, so a wrong-arity or type-mismatched row lands in
+    rejects byte-verbatim instead of half-parsed — then the shared
+    :func:`_quarantine_and_conform` back half. Line-oriented by
+    construction: fields with EMBEDDED NEWLINES (multiline CSV) are
+    not supported — each physical line is one record, matching the
+    quarantine's verbatim-line contract. With ``header=True`` every
+    line byte-equal to the header row (``sep.join(columns)``) is
+    dropped — per file, since all files of one layout share it; a
+    data row that equals the header verbatim is degenerate under the
+    quality gate anyway."""
+    fields = {f.name: f for f in DOCUMENTS_SCHEMA}
+    unknown = [c for c in columns if c not in fields]
+    if unknown:
+        raise ValueError(
+            f"ingest_csv: unknown columns {unknown} — choose from"
+            f" {list(fields)} (documents schema; types are pinned)"
+        )
+    if "text" not in columns:
+        raise ValueError("ingest_csv: columns must include 'text'")
+    csv_schema = T.StructType(
+        [fields[c] for c in columns] + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    raw = spark.read.text(path)
+    if header:
+        raw = raw.where(F.col("value") != F.lit(sep.join(columns)))
+    d = F.from_csv(
+        "value",
+        csv_schema.simpleString(),
+        {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": _CORRUPT,
+            "sep": sep,
+        },
+    )
+    # conform the partial parse to the full documents field set so the
+    # shared back half sees one shape regardless of the file's layout
+    full = F.struct(
+        *[
+            (d[c] if c in columns else F.lit(None).cast(fields[c].dataType)).alias(c)
+            for c in fields
+        ],
+        d[_CORRUPT].alias(_CORRUPT),
+    )
+    parsed = raw.select(F.col("value").alias("raw"), full.alias("d"))
+    return _quarantine_and_conform(parsed, cleanup, epoch)

@@ -225,3 +225,115 @@ def test_content_doc_ids_refuses_null_text_at_execution(spark):
     out = content_doc_ids(dirty, epoch=1)  # lazy: no error yet
     with pytest.raises(Exception, match="NULL text"):
         out.collect()
+
+
+def test_ingest_csv_quarantine_and_defaults(spark, tmp_path):
+    """CSV front: pinned types (never inferred), PERMISSIVE quarantine
+    byte-verbatim with the same three reasons as JSONL, defaults
+    (content-h48 doc_id, length n_chars) derived identically, epoch
+    prefix applied to explicit AND derived ids, header line dropped."""
+    from kcbdml9_big_data_processing_spark.sources.corpus import ingest_csv
+
+    p = tmp_path / "c.csv"
+    p.write_text(
+        "doc_id,text,n_chars\n"  # header
+        "7,hello world from csv,20\n"  # explicit id
+        ",a second document here,\n"  # derived id + n_chars
+        ",a second document here,\n"  # same line again -> dup id
+        "x,bad id type,3\n"  # type mismatch -> malformed verbatim
+        "9,,4\n"  # missing text
+    )
+    docs, rejects = ingest_csv(
+        spark,
+        str(p),
+        columns=("doc_id", "text", "n_chars"),
+        header=True,
+        epoch=1,
+    )
+    rows = {r["doc_id"]: r for r in docs.collect()}
+    assert set(rows) == {
+        (1 << 48) + 7,
+        (1 << 48) + _h48_py("a second document here"),
+    }
+    got = rows[(1 << 48) + 7]
+    assert (got["text"], got["n_chars"], got["lang"], got["source"]) == (
+        "hello world from csv", 20, None, None,
+    )
+    derived = rows[(1 << 48) + _h48_py("a second document here")]
+    assert derived["n_chars"] == len("a second document here")
+    rej = {r["raw"]: r["reason"] for r in rejects.collect()}
+    assert rej == {
+        ",a second document here,": "duplicate_doc_id",
+        "x,bad id type,3": "malformed",
+        "9,,4": "missing_text",
+    }
+
+    # bad layouts refuse at construction
+    import pytest
+
+    with pytest.raises(ValueError, match="text"):
+        ingest_csv(spark, str(p), columns=("doc_id",))
+    with pytest.raises(ValueError, match="unknown"):
+        ingest_csv(spark, str(p), columns=("text", "body"))
+
+
+def test_ingest_csv_tsv_and_curator_composition(spark, tmp_path):
+    """TSV separator, quoted embedded separators, and the landed frame
+    feeds the curator unchanged (the composition every ingest front
+    must satisfy)."""
+    from kcbdml9_big_data_processing_spark.jobs.training_data import (
+        CurationConfig,
+        TrainingDataCurator,
+    )
+    from kcbdml9_big_data_processing_spark.sources.corpus import ingest_csv
+
+    good = (
+        "an entirely different document about spark shuffles and "
+        "partition pruning with plenty of distinct words to pass "
+        "every quality heuristic in the default configuration"
+    )
+    tsv = tmp_path / "c.tsv"
+    tsv.write_text(f"{good}\ten\ntiny\ten\n")
+    docs, rejects = ingest_csv(
+        spark, str(tsv), columns=("text", "lang"), sep="\t"
+    )
+    assert rejects.count() == 0
+    assert {(r["text"], r["lang"]) for r in docs.collect()} == {
+        (good, "en"), ("tiny", "en"),
+    }
+    kept, dec = TrainingDataCurator(CurationConfig()).run(docs)
+    assert {r["text"] for r in kept.collect()} == {good}
+    assert {r["reason"] for r in dec.collect()} == {"kept", "quality"}
+
+    # quoted field with an embedded separator survives intact
+    q = tmp_path / "q.csv"
+    q.write_text('"alpha, beta gamma delta epsilon zeta",en\n')
+    docs2, rej2 = ingest_csv(spark, str(q), columns=("text", "lang"))
+    assert rej2.count() == 0
+    assert docs2.first()["text"] == "alpha, beta gamma delta epsilon zeta"
+
+
+def test_cli_ingest_csv(spark, tmp_path):
+    """The --csv front door: TSV sep escape, rejects parquet, epoch;
+    bad --csv-columns exits 2 with the library's message."""
+    from kcbdml9_big_data_processing_spark.__main__ import _ingest_main
+
+    p = tmp_path / "c.tsv"
+    p.write_text("text\tlang\nhello shell world from tsv\ten\n\ten\n")
+    out = str(tmp_path / "docs")
+    assert _ingest_main(
+        ["--csv", str(p), "--out", out, "--csv-columns", "text,lang",
+         "--csv-sep", "\\t", "--csv-header", "--epoch", "2"],
+        spark=spark,
+    ) == 0
+    docs = spark.read.parquet(out)
+    assert docs.count() == 1
+    r = docs.first()
+    assert r["text"] == "hello shell world from tsv" and r["lang"] == "en"
+    assert r["doc_id"] >= (2 << 48)
+    rej = spark.read.parquet(out + "_rejects")
+    assert {x["reason"] for x in rej.collect()} == {"missing_text"}
+    assert _ingest_main(
+        ["--csv", str(p), "--out", out, "--csv-columns", "lang"],
+        spark=spark,
+    ) == 2
