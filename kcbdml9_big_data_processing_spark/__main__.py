@@ -452,6 +452,17 @@ def _ingest_main(argv: list[str], spark=None) -> int:
         " the incremental curator's monotonic-id precondition",
     )
     args = ap.parse_args(argv)
+    if not 0 <= args.epoch < (1 << 15):
+        # one check for all three fronts: the library raises the same
+        # bound, but only the CSV path's layout handler caught it —
+        # the same bad flag must not traceback on one front and exit 2
+        # on another (r13 second review pass)
+        print(
+            f"ingest: --epoch must be in [0, {(1 << 15) - 1}], got"
+            f" {args.epoch}",
+            file=sys.stderr,
+        )
+        return 2
 
     from .sources.corpus import ingest_csv, ingest_jsonl, ingest_text_dir
 

@@ -59,16 +59,19 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df, "simple")
 
 
-def _pushed_filter_bodies(plan: str) -> list[str]:
-    """The bracket contents of every ``PushedFilters: [...]`` line.
-    Parsed per line from first ``[`` to LAST ``]`` — a non-greedy
-    regex stops at the first ``]``, which lives INSIDE an In-filter
-    (``In(col, [A,R])``) and silently truncates every predicate after
-    it (caught by executing the first draft on a real In plan)."""
+def _filter_bodies(plan: str, label: str) -> list[str]:
+    """The bracket contents of every ``<label>: [...]`` line
+    (PushedFilters / PartitionFilters). Parsed per line from first
+    ``[`` to LAST ``]`` — a non-greedy regex stops at the first
+    ``]``, which lives INSIDE an In-filter (``In(col, [A,R])``) and
+    silently truncates every predicate after it (caught by executing
+    the first draft on a real In plan; the same defect then found in
+    the PartitionFilters parser on the second review pass)."""
     out = []
+    prefix = f"{label}:"
     for line in plan.splitlines():
         line = line.strip()
-        if not line.startswith("PushedFilters:"):
+        if not line.startswith(prefix):
             continue
         lo, hi = line.find("["), line.rfind("]")
         if lo != -1 and hi > lo:
@@ -80,18 +83,19 @@ def pushed_filters(df: DataFrame) -> list[str]:
     """All non-empty PushedFilters entries across scans."""
     return [
         b
-        for b in _pushed_filter_bodies(physical_plan(df, "formatted"))
+        for b in _filter_bodies(physical_plan(df, "formatted"), "PushedFilters")
         if b.strip()
     ]
 
 
 def partition_filters(df: DataFrame) -> list[str]:
-    plan = physical_plan(df, "formatted")
-    out = []
-    for m in re.finditer(r"PartitionFilters: \[(.*?)\]", plan):
-        if m.group(1).strip():
-            out.append(m.group(1))
-    return out
+    return [
+        b
+        for b in _filter_bodies(
+            physical_plan(df, "formatted"), "PartitionFilters"
+        )
+        if b.strip()
+    ]
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
@@ -248,7 +252,7 @@ def pushed_predicate_count(df: DataFrame) -> int:
     with _aqe_off(df.sparkSession):
         plan = physical_plan(df, "formatted")
     n = 0
-    for body in _pushed_filter_bodies(plan):
+    for body in _filter_bodies(plan, "PushedFilters"):
         depth, start = 0, 0
         atoms = []
         for i, ch in enumerate(body):

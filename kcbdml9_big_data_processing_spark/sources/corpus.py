@@ -220,8 +220,6 @@ def ingest_jsonl(
     ``rejects`` are lazy; a caller consuming BOTH can pass
     ``cleanup`` to persist the shared parse for one scan (the repo's
     cache-handover convention: the caller unpersists)."""
-    from pyspark.sql import Window
-
     schema = T.StructType(
         list(DOCUMENTS_SCHEMA) + [T.StructField(_CORRUPT, T.StringType())]
     )
@@ -326,6 +324,10 @@ def ingest_csv(
             f"ingest_csv: unknown columns {unknown} — choose from"
             f" {list(fields)} (documents schema; types are pinned)"
         )
+    if len(set(columns)) != len(columns):
+        # caught in review: a repeated name sailed past here and died
+        # later as an opaque AMBIGUOUS_REFERENCE AnalysisException
+        raise ValueError(f"ingest_csv: duplicate columns in {list(columns)}")
     if "text" not in columns:
         raise ValueError("ingest_csv: columns must include 'text'")
     csv_schema = T.StructType(

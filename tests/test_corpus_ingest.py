@@ -275,6 +275,8 @@ def test_ingest_csv_quarantine_and_defaults(spark, tmp_path):
         ingest_csv(spark, str(p), columns=("doc_id",))
     with pytest.raises(ValueError, match="unknown"):
         ingest_csv(spark, str(p), columns=("text", "body"))
+    with pytest.raises(ValueError, match="duplicate"):
+        ingest_csv(spark, str(p), columns=("text", "text"))
 
 
 def test_ingest_csv_tsv_and_curator_composition(spark, tmp_path):
@@ -337,3 +339,9 @@ def test_cli_ingest_csv(spark, tmp_path):
         ["--csv", str(p), "--out", out, "--csv-columns", "lang"],
         spark=spark,
     ) == 2
+    # an out-of-range epoch exits 2 on EVERY front, not just csv
+    for front in (["--csv", str(p)], ["--jsonl", str(p)],
+                  ["--text-dir", str(p.parent)]):
+        assert _ingest_main(
+            [*front, "--out", out, "--epoch", str(1 << 15)], spark=spark
+        ) == 2

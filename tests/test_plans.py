@@ -229,12 +229,12 @@ def test_plan_shuffles_and_python_boundary(spark, name, monkeypatch):
        the whole job's I/O at 100 TB; reading FEWER columns (or a
        scan disappearing behind a cache/index) is always allowed.
 
-    4. PUSHED-FILTER FLOOR — at least as many scans must carry a
-       non-empty PushedFilters as tests/pushed_filter_floors.json
-       pins: a predicate that slides off the scan into a post-scan
-       Filter still returns correct rows but stops skipping row
-       groups at 100 TB. More pushed scans is an improvement and
-       passes."""
+    4. PUSHED-FILTER FLOOR — at least as many SUBSTANTIVE pushed
+       predicates (across all scans, IsNotNull residue excluded) as
+       tests/pushed_filter_floors.json pins: a predicate that slides
+       off the scan into a post-scan Filter still returns correct
+       rows but stops skipping row groups at 100 TB. More pushed
+       predicates is an improvement and passes."""
     if name.startswith("stream_"):
         pytest.skip("streaming: plan per micro-batch")
     from kcbdml9_big_data_processing_spark.queries import dedup as _dedup
@@ -302,11 +302,11 @@ def test_plan_shuffles_and_python_boundary(spark, name, monkeypatch):
     )
     pushed = pushed_predicate_count(df)
     assert pushed >= floor, (
-        f"{name}: only {pushed} scans carry pushed filters, below the"
-        f" pinned floor {floor} — a predicate stopped reaching its"
-        " scan; if the new plan shape is intended (e.g. a filter"
-        " legitimately folded away), rerun tools/pin_scan_schemas.py"
-        " and justify it in the commit"
+        f"{name}: only {pushed} substantive pushed predicates across"
+        f" the scans, below the pinned floor {floor} — a predicate"
+        " stopped reaching its scan; if the new plan shape is intended"
+        " (e.g. a filter legitimately folded away), rerun"
+        " tools/pin_scan_schemas.py and justify it in the commit"
     )
 
 
