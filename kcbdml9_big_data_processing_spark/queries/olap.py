@@ -533,12 +533,13 @@ def approx_value_percentiles(
     the returned value's exact rank interval [count(<v), count(≤v)]
     and checks p·n lands inside it ± (n/accuracy + 1) — the same
     bounded-error-witness construction that driver-gates
-    user_reach_approx, here pytest-pinned at two SFs
-    (tests/test_approx.py) rather than registry-gated: the
-    verification pass doubles the scan cost, which belongs in an
-    audit job, not the hot path (production callers run the first
-    aggregation alone). Library operator, no registry row by design —
-    the train_classifier posture.
+    user_reach_approx, pytest-pinned at two SFs (tests/test_approx.py)
+    AND driver-gated since r14 through grouped_stats_suite's
+    ``approx_percentiles`` variant (exact n + the bound booleans vs an
+    oracle emitting constant TRUE — the sketch values themselves are
+    engine-specific and stay out of the hash). The verification pass
+    doubles the scan cost, so production callers on the hot path run
+    the first aggregation alone and leave the witness to audit jobs.
 
     Emits (event_type, n, p50, p90, p99, r50_ok, r90_ok, r99_ok);
     the p-values are engine-specific sketch outputs (never
@@ -1036,6 +1037,11 @@ def join_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM events
             )
             GROUP BY event_type
+        ),
+        apx AS MATERIALIZED (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY event_type
         )
         SELECT 'event_type_stats' AS variant, event_type AS key,
                'n_events' AS metric, CAST(n_events AS DOUBLE) AS value FROM ets
@@ -1054,6 +1060,17 @@ def join_revenue_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'value_percentiles', event_type, 'p90', p90 FROM pct
         UNION ALL
         SELECT 'value_percentiles', event_type, 'p99', p99 FROM pct
+        UNION ALL
+        SELECT 'approx_percentiles', event_type, 'n', CAST(n AS DOUBLE) FROM apx
+        UNION ALL
+        SELECT 'approx_percentiles', event_type, 'r50_ok',
+               CAST(1.0 AS DOUBLE) FROM apx
+        UNION ALL
+        SELECT 'approx_percentiles', event_type, 'r90_ok',
+               CAST(1.0 AS DOUBLE) FROM apx
+        UNION ALL
+        SELECT 'approx_percentiles', event_type, 'r99_ok',
+               CAST(1.0 AS DOUBLE) FROM apx
         UNION ALL
         SELECT 'customer_order_distribution', CAST(c_count AS VARCHAR),
                'custdist', CAST(custdist AS DOUBLE)
@@ -1081,9 +1098,12 @@ def grouped_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-statistics family, melted to (variant, key, metric,
     value): multi-measure profile with exact distinct
     (event_type_stats), exact nearest-rank percentiles
-    (value_percentiles), the Q13 orders-per-customer histogram
-    (customer_order_distribution), and the Q4 EXISTS counts
-    (late_shipped_priority_counts). Every constituent keeps its plan;
+    (value_percentiles), the GK-sketch percentile swap's self-witness
+    (approx_percentiles — exact counts + bound booleans; the
+    engine-specific sketch values stay out of the hash), the Q13
+    orders-per-customer histogram (customer_order_distribution), and
+    the Q4 EXISTS counts (late_shipped_priority_counts). Every
+    constituent keeps its plan;
     the melt is a per-row stack() — no extra shuffle. All values are
     exactly-representable doubles (counts < 2^53, fixed-point
     averages, rank-selected raw values), so the cross-engine hash
@@ -1110,6 +1130,24 @@ def grouped_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (metric, value)"
             ),
         ).select("variant", "key", "metric", "value")
+        # r14: the GK-sketch swap's self-witness, driver-gated the same
+        # way as user_reach_approx — the sketch values themselves are
+        # engine-specific (never hash-comparable), so the row carries
+        # the exact group count plus the exact-rank bound booleans; the
+        # oracle recomputes n and emits constant TRUE, so the hash
+        # matches iff approx_percentile genuinely landed inside its
+        # contractual n/accuracy rank bound on this data.
+        apx = approx_value_percentiles(spark, sf_dir).select(
+            F.lit("approx_percentiles").alias("variant"),
+            F.col("event_type").alias("key"),
+            F.expr(
+                "stack(4,"
+                " 'n', CAST(n AS DOUBLE),"
+                " 'r50_ok', CAST(r50_ok AS DOUBLE),"
+                " 'r90_ok', CAST(r90_ok AS DOUBLE),"
+                " 'r99_ok', CAST(r99_ok AS DOUBLE)) AS (metric, value)"
+            ),
+        ).select("variant", "key", "metric", "value")
         cod = customer_order_distribution(spark, sf_dir).select(
             F.lit("customer_order_distribution").alias("variant"),
             F.col("c_count").cast("string").alias("key"),
@@ -1122,7 +1160,7 @@ def grouped_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("n_orders").alias("metric"),
             F.col("n_orders").cast("double").alias("value"),
         )
-        return ets.unionAll(pct).unionAll(cod).unionAll(late)
+        return ets.unionAll(pct).unionAll(apx).unionAll(cod).unionAll(late)
 
     # r11: four static pipelines over immutable inputs — prepared once
     # per process (exp_plan_vs_exec: 0.64 s construction vs 0.79 exec)
