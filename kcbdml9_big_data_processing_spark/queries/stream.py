@@ -23,6 +23,7 @@ from ..functions.exact import dsum
 from ..operators.metrics import conform_metric, windowed_sum
 from ..sources.parquet import read_table
 from ..streaming.sources import read_documents_stream, read_events_stream
+from ..streaming.telemetry import record_bounded_run
 from .parity import NINETY_SECONDS, _metric_oracle
 from .registry import register
 
@@ -139,6 +140,7 @@ def _drain_to_parquet(df: DataFrame, name: str):
     ckpt = scratch_dir(f"{name}_ckpt_")
     q = (
         df.writeStream.format("parquet")
+        .queryName(name)
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
@@ -233,6 +235,7 @@ def stream_bytes_90s_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for q in queries:
         q.awaitTermination()
+        record_bounded_run("stream_bytes_90s_suite", q)
     return (
         spark.table("stream_antenna_90s")
         .unionAll(spark.table("stream_user_90s"))
@@ -267,6 +270,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicates(["event_id"])
     q, read_back = _drain_to_parquet(deduped, "stream_dedup_events")
     q.awaitTermination()
+    record_bounded_run("stream_dedup_events", q)
     return read_back()
 
 
@@ -316,6 +320,7 @@ def stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated = curate_stream(doubled)
     q, read_back = _drain_to_parquet(curated.drop("ts"), "stream_curated_ingest")
     q.awaitTermination()
+    record_bounded_run("stream_curated_ingest", q)
     return read_back()
 
 
@@ -430,6 +435,8 @@ def stream_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2, read_enrich = _drain_to_parquet(enriched, "stream_join_enrich")
     q1.awaitTermination()
     q2.awaitTermination()
+    record_bounded_run("stream_join_suite", q1)
+    record_bounded_run("stream_join_suite", q2)
     near = (
         read_pairs()
         .groupBy("event_id")
@@ -541,6 +548,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    record_bounded_run("stream_running_totals", q)
     emissions = spark.table("stream_running_totals")
     w = Window.partitionBy("key").orderBy(F.col("n_updates").desc())
     return (

@@ -141,7 +141,7 @@ def test_bnlj_build_sides_are_scalar(spark, name, monkeypatch):
     curation suites normally return would hide exactly the scalar
     crossJoins this guard exists to watch)."""
     if name.startswith("stream_"):
-        pytest.skip("streaming: plan per micro-batch")
+        pytest.skip("streaming: plan per micro-batch; state guards in test_stream_state.py")
     from kcbdml9_big_data_processing_spark.queries import dedup as _dedup
 
     monkeypatch.setattr(_dedup, "_SKIP_RESULT_TRUNCATION", True)
@@ -236,7 +236,7 @@ def test_plan_shuffles_and_python_boundary(spark, name, monkeypatch):
        rows but stops skipping row groups at 100 TB. More pushed
        predicates is an improvement and passes."""
     if name.startswith("stream_"):
-        pytest.skip("streaming: plan per micro-batch")
+        pytest.skip("streaming: plan per micro-batch; state guards in test_stream_state.py")
     from kcbdml9_big_data_processing_spark.queries import dedup as _dedup
 
     monkeypatch.setattr(_dedup, "_SKIP_RESULT_TRUNCATION", True)

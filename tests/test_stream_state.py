@@ -1,0 +1,157 @@
+"""Structural state guards for the streaming rows — the streaming
+counterpart of tests/test_plans.py's four batch guards (r13 verdict
+next-round #2). Batch plan pins can't see stream rows (plan per
+micro-batch), and the streaming scale-killer is unbounded STATE, so
+the pins here are state-shaped instead of plan-shaped:
+
+1. Every registered ``stream_*`` row's bounded replay must run
+   exactly the state operators tests/stream_state_ceilings.json pins
+   (per StreamExecution handle, exact name sequence — an edit that
+   adds a stateful op, swaps dedup for dedupWithinWatermark, or
+   starts keeping join state on the stream-static side fails), and
+   its peak state rows must stay under the pinned ceiling
+   (regenerate via tools/pin_stream_state.py when the shape
+   legitimately changes).
+2. The eviction predicate (telemetry.state_plateaus) is FALSIFIABLE:
+   over the same multi-batch event-time-ordered replay, the
+   watermarked ingest-dedup pipeline plateaus while its
+   watermark-free twin accumulates every key and must FAIL the
+   predicate — proving the guard detects exactly the
+   unbounded-state bug it exists to catch.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from kcbdml9_big_data_processing_spark.queries import QUERIES
+from kcbdml9_big_data_processing_spark.streaming import telemetry
+
+_PINS_PATH = os.path.join(os.path.dirname(__file__), "stream_state_ceilings.json")
+with open(_PINS_PATH) as _f:
+    _PINS = json.load(_f)
+
+STREAM_ROWS = sorted(n for n in QUERIES if n.startswith("stream_"))
+
+
+def test_every_stream_row_is_pinned():
+    """A new stream_* registration without a state pin must fail
+    loudly here, not silently skip the guard."""
+    assert sorted(_PINS) == STREAM_ROWS, (
+        "stream rows and tests/stream_state_ceilings.json diverge —"
+        " run tools/pin_stream_state.py"
+    )
+
+
+@pytest.mark.parametrize("name", STREAM_ROWS)
+def test_stream_row_state_operators_and_ceiling(spark, name):
+    """Run the row's real bounded replay and hold its recorded
+    per-handle state telemetry to the pin: exact operator name
+    sequence, peak rows under the ceiling."""
+    telemetry.LAST_STATE.pop(name, None)
+    QUERIES[name].fn(spark, SF_SMOKE)
+    got = telemetry.summarize_row(name)
+    pin = _PINS[name]
+    assert sorted(got) == sorted(pin), (
+        f"{name}: StreamExecution handles changed {sorted(got)} vs"
+        f" pinned {sorted(pin)} — run tools/pin_stream_state.py if"
+        " intentional"
+    )
+    for handle, s in got.items():
+        assert s["operators"] == pin[handle]["operators"], (
+            f"{name}/{handle}: state operators {s['operators']} vs"
+            f" pinned {pin[handle]['operators']} — a stateful-shape"
+            " change; rerun tools/pin_stream_state.py if intentional"
+        )
+        assert s["peak_rows"] <= pin[handle]["rows_ceiling"], (
+            f"{name}/{handle}: peak state rows {s['peak_rows']} over"
+            f" ceiling {pin[handle]['rows_ceiling']} — state volume"
+            " regressed (rows carried through state, or an eviction"
+            " path dropped); rerun tools/pin_stream_state.py only if"
+            " the growth is intentional"
+        )
+
+
+# --- eviction plateau + falsifiability -------------------------------------
+
+_BATCHES = 8
+_KEYS_PER_BATCH = 50
+
+
+def _replay_dedup(spark, tmp_path, within_watermark: bool):
+    """Drive the ingest-dedup stage over _BATCHES event-time-ordered
+    micro-batches (one file write + processAllAvailable each, so
+    batch order IS event-time order) and return the recorded state
+    series. ``within_watermark=True`` is the production ingest shape
+    (dropDuplicatesWithinWatermark — state evicted once a key can no
+    longer be redelivered); False is the unbounded twin
+    (dropDuplicates on the key alone — state never evicted, the
+    exact bug the plateau predicate exists to catch). All keys are
+    distinct so total state in the twin equals total keys."""
+    src_dir = str(tmp_path / f"src_{within_watermark}")
+    os.makedirs(src_dir)
+    base = dt.datetime(2024, 1, 1)
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", "90 seconds")
+    )
+    if within_watermark:
+        deduped = stream.dropDuplicatesWithinWatermark(["k"])
+    else:
+        deduped = stream.dropDuplicates(["k"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .queryName(f"plateau_{within_watermark}")
+        .option("path", str(tmp_path / f"out_{within_watermark}"))
+        .option("checkpointLocation", str(tmp_path / f"ck_{within_watermark}"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for i in range(_BATCHES):
+            rows = [
+                (i * _KEYS_PER_BATCH + j, base + dt.timedelta(seconds=i * 120))
+                for j in range(_KEYS_PER_BATCH)
+            ]
+            spark.createDataFrame(rows, "k long, ts timestamp").coalesce(
+                1
+            ).write.mode("append").parquet(src_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return telemetry.state_series(q)
+
+
+def test_watermarked_dedup_state_plateaus_and_guard_is_falsifiable(
+    spark, tmp_path
+):
+    """The structural eviction guard both ways: the watermarked
+    pipeline's peak state stays bounded by the lateness horizon
+    (~2 batches of keys, far under total), and the SAME predicate
+    rejects the watermark-free twin whose state reaches every key it
+    ever saw — without the second half the first would be
+    unfalsifiable (a predicate that always returns True would pass)."""
+    total = _BATCHES * _KEYS_PER_BATCH
+    evicting = _replay_dedup(spark, tmp_path, within_watermark=True)
+    assert telemetry.state_plateaus(evicting, total, max_fraction=0.5), (
+        "watermarked dedup state did not plateau:"
+        f" peak={telemetry.peak_state_rows(evicting)} of {total} keys"
+    )
+    # tighter than the guard band: the horizon (90 s) spans <2 of the
+    # 120 s batch steps, so peak should be ~2 batches of keys
+    assert telemetry.peak_state_rows(evicting) <= 3 * _KEYS_PER_BATCH
+
+    unbounded = _replay_dedup(spark, tmp_path, within_watermark=False)
+    assert telemetry.peak_state_rows(unbounded) == total
+    assert not telemetry.state_plateaus(unbounded, total, max_fraction=0.5), (
+        "plateau predicate failed to reject the unbounded twin —"
+        " the guard is vacuous"
+    )
