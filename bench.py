@@ -17,6 +17,16 @@ Each query is materialized with the noop datasource writer — full
 computation (scan→shuffle→agg) with zero driver-side collect cost, so
 the number reflects the engine, not Py4J row transfer.
 
+Window hygiene (r13 verdict #3): the 1-min load average is read
+BEFORE any Spark work and stamped into the record as
+``loadavg_at_start``; above ~1 (override $SPARK_GRAFT_MAX_START_LOAD)
+the sweep warns and marks itself ``dirty_start: true`` — a
+self-carrying disqualifier, so totals from foreign-load windows can
+never be mistaken for clean baselines. Pass --refuse-dirty (or set
+$SPARK_GRAFT_REFUSE_DIRTY=1) to exit 3 instead of proceeding; --force
+overrides the refusal. The default is warn-and-stamp because the
+driver's unattended per-round run must still produce a record.
+
 Env: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      $SPARK_GRAFT_CPUS (default os.cpu_count()).
 """
@@ -35,8 +45,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (round-trip correctness proofs, not read-path benchmarks)
 EXCLUDE = {"archive_partition_roundtrip", "bucketed_join_roundtrip"}
 
+#: 1-min load average ABOVE which a sweep is starting in a dirty
+#: window (r13 verdict: sweeps started under foreign load read
+#: 40-70% slow with per-row outliers, yet the calibrated gate shows
+#: zero flags — so the record must carry its own disqualifier).
+#: Judged BEFORE the sweep: the load right AFTER one is bench's own
+#: 32 threads decaying. Override with $SPARK_GRAFT_MAX_START_LOAD.
+_MAX_START_LOAD = 1.0
+
+
+def _start_load_gate(argv: list[str]) -> tuple[float | None, bool]:
+    """Read the 1-min load average before any Spark work and apply
+    the dirty-window policy: always stamp it into the record; above
+    the threshold, WARN and mark the record ``dirty_start`` (default
+    — the driver's unattended run must still produce a record), or
+    REFUSE with exit 3 when --refuse-dirty / $SPARK_GRAFT_REFUSE_DIRTY
+    is set and --force is not. Returns (loadavg, dirty)."""
+    try:
+        load = round(os.getloadavg()[0], 3)
+    except OSError:  # platform without getloadavg
+        return None, False
+    limit = float(
+        os.environ.get("SPARK_GRAFT_MAX_START_LOAD", str(_MAX_START_LOAD))
+    )
+    dirty = load > limit
+    if dirty:
+        print(
+            f"bench: DIRTY START — 1-min loadavg {load} > {limit} before"
+            " the sweep; this record is not comparable to clean-window"
+            " baselines (it will carry dirty_start=true). Wait for the"
+            " host to quiesce, or pass --force with --refuse-dirty to"
+            " proceed anyway.",
+            file=sys.stderr,
+        )
+        refuse = (
+            "--refuse-dirty" in argv
+            or os.environ.get("SPARK_GRAFT_REFUSE_DIRTY", "") == "1"
+        )
+        if refuse and "--force" not in argv:
+            sys.exit(3)
+    return load, dirty
+
 
 def main() -> None:
+    loadavg_at_start, dirty_start = _start_load_gate(sys.argv[1:])
     from kcbdml9_big_data_processing_spark.queries import QUERIES
     from kcbdml9_big_data_processing_spark.session import get_spark
 
@@ -178,6 +230,8 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": runs,
         "aggregation": "median",
+        "loadavg_at_start": loadavg_at_start,
+        "dirty_start": dirty_start,
         "calib_cpu_sec": calib_cpu,
         "calib_cpu_samples": calib_cpu_samples,
         "calib_sched_sec": calib_sched,

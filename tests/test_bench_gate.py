@@ -136,3 +136,45 @@ def test_regressions_window_ratio_clamped_and_raw_fallback(monkeypatch):
     )
     assert flagged == {"q": {"prev_sec": 1.0, "now_sec": 5.0}}
     assert masked == {}
+
+
+def test_start_load_gate_clean_window(monkeypatch):
+    import os as _os
+
+    monkeypatch.setattr(_os, "getloadavg", lambda: (0.2, 0.3, 0.4))
+    load, dirty = bench._start_load_gate([])
+    assert load == 0.2 and dirty is False
+
+
+def test_start_load_gate_stamps_dirty_and_warns(monkeypatch, capsys):
+    """Default policy: a dirty start WARNS and stamps, never refuses —
+    the driver's unattended run must still produce a record that
+    carries its own disqualifier."""
+    import os as _os
+
+    monkeypatch.setattr(_os, "getloadavg", lambda: (7.5, 2.0, 1.0))
+    load, dirty = bench._start_load_gate([])
+    assert load == 7.5 and dirty is True
+    assert "DIRTY START" in capsys.readouterr().err
+
+
+def test_start_load_gate_refuses_on_request_force_overrides(monkeypatch):
+    import os as _os
+
+    import pytest as _pytest
+
+    monkeypatch.setattr(_os, "getloadavg", lambda: (3.0, 1.0, 1.0))
+    with _pytest.raises(SystemExit) as e:
+        bench._start_load_gate(["--refuse-dirty"])
+    assert e.value.code == 3
+    load, dirty = bench._start_load_gate(["--refuse-dirty", "--force"])
+    assert dirty is True  # forced through, still disqualified in-record
+
+
+def test_start_load_gate_threshold_override(monkeypatch):
+    import os as _os
+
+    monkeypatch.setattr(_os, "getloadavg", lambda: (1.4, 1.0, 1.0))
+    monkeypatch.setenv("SPARK_GRAFT_MAX_START_LOAD", "2.0")
+    load, dirty = bench._start_load_gate([])
+    assert dirty is False
