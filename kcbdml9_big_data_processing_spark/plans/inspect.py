@@ -399,3 +399,61 @@ def bnlj_build_sides(df: DataFrame) -> list[tuple[str, bool, str]]:
 
     walk(root)
     return out
+
+
+_FIELD_AT_DEPTH = re.compile(r"[<,]\s*([A-Za-z0-9_]+):")
+
+
+def _type_carries_field(simple_type: str, colname: str) -> bool:
+    """Does a ``simpleString`` data type (possibly a nested
+    struct/array/map) carry a field named ``colname``? Matches field
+    positions only (``<name:`` / ``,name:``), so a column named
+    ``context`` never false-positives a search for ``text``. Scalar
+    types carry nothing."""
+    return any(
+        m == colname for m in _FIELD_AT_DEPTH.findall(simple_type)
+    )
+
+
+def shuffle_exchanges_carrying(
+    df: DataFrame, colname: str
+) -> list[tuple[bool, bool]]:
+    """For every ShuffleExchangeExec in the pre-AQE physical plan:
+    ``(carries, duplicate_scoped)`` where ``carries`` is True when the
+    exchange's output includes ``colname`` — as a direct attribute OR
+    buried inside a struct (a partial ``min(struct(...))`` hides the
+    heavy column inside an opaque ``min#N`` attribute; the formatted
+    Input list can't see it, the attribute's dataType can) — and
+    ``duplicate_scoped`` is True when a LeftSemi join sits in the
+    exchange's subtree (the unique_doc_ids posture: heavy bytes may
+    ride a shuffle only AFTER the duplicate-id semi filter has shrunk
+    the input to the violation set). Broadcast exchanges are not
+    listed — replicating a provably-tiny frame is the intended scale
+    shape, not data movement to pin."""
+    with _aqe_off(df.sparkSession):
+        root = df._jdf.queryExecution().executedPlan()
+
+    out: list[tuple[bool, bool]] = []
+
+    def attr_carries(attr) -> bool:
+        if attr.name() == colname:
+            return True
+        return _type_carries_field(attr.dataType().simpleString(), colname)
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "ShuffleExchangeExec":
+            attrs = node.output()
+            carries = any(
+                attr_carries(attrs.apply(i)) for i in range(attrs.size())
+            )
+            out.append((carries, "LeftSemi" in node.toString()))
+        if name == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(root)
+    return out

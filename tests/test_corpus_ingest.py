@@ -345,3 +345,64 @@ def test_cli_ingest_csv(spark, tmp_path):
         assert _ingest_main(
             [*front, "--out", out, "--epoch", str(1 << 15)], spark=spark
         ) == 2
+
+
+def test_unique_doc_ids_text_shuffles_only_for_duplicates(spark):
+    """The r13 'what's wrong #1' fix, pinned structurally: on a real
+    corpus scan, unique_doc_ids' plan may carry text through a shuffle
+    ONLY below the LeftSemi duplicate-id filter (the violation-set
+    subset) — the full-corpus aggregation exchange moves (doc_id,
+    partial count) and nothing else, and the clean path crosses no
+    shuffle at all (broadcast anti join). The dataType-aware helper
+    matters here: the survivor min(struct(...)) hides text inside an
+    opaque partial-agg attribute that a column-name scan of the
+    formatted plan can never see."""
+    from kcbdml9_big_data_processing_spark.plans.inspect import (
+        shuffle_exchanges_carrying,
+    )
+    from kcbdml9_big_data_processing_spark.sources.corpus import (
+        unique_doc_ids,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    from conftest import SF_SMOKE
+
+    out = unique_doc_ids(read_table(spark, SF_SMOKE, "documents"))
+    exchanges = shuffle_exchanges_carrying(out, "text")
+    assert exchanges, "uniqueness plan lost its aggregation exchanges?"
+    text_bearing = [dup for carries, dup in exchanges if carries]
+    assert text_bearing, (
+        "expected the survivor min-struct exchange (duplicate subset)"
+    )
+    assert all(text_bearing), (
+        "a text-carrying exchange outside the LeftSemi duplicate"
+        " filter: full-corpus text is riding a shuffle again"
+    )
+    # the duplicate-id detection exchange itself is text-free
+    assert any(not carries for carries, _ in exchanges)
+
+
+def test_unique_doc_ids_survivor_rule_unchanged(spark):
+    """The hash-first rewrite keeps the survivor rule bit-identical:
+    lexicographic min over the struct of non-id columns, singleton ids
+    untouched — including a duplicate group whose texts tie and only
+    a LATER column breaks the tie."""
+    from kcbdml9_big_data_processing_spark.sources.corpus import (
+        unique_doc_ids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "bbb", "en"),
+            (1, "aaa", "fr"),   # min text wins
+            (2, "solo", "de"),  # singleton passes through
+            (3, "same", "zz"),
+            (3, "same", "aa"),  # text ties -> lang breaks it
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = sorted(
+        tuple(r) for r in unique_doc_ids(df).collect()
+    )
+    assert got == [(1, "aaa", "fr"), (2, "solo", "de"), (3, "same", "aa")]
+    assert unique_doc_ids(df.select("doc_id")).count() == 3
