@@ -485,15 +485,16 @@ def _ingest_main(argv: list[str], spark=None) -> int:
             else:
                 # argparse renders a literal backslash-t; accept both
                 sep = args.csv_sep.replace("\\t", "\t")
+                cols = tuple(
+                    c.strip()
+                    for c in args.csv_columns.split(",")
+                    if c.strip()
+                )
                 try:
                     docs, rejects = ingest_csv(
                         spark,
                         args.csv,
-                        columns=tuple(
-                            c.strip()
-                            for c in args.csv_columns.split(",")
-                            if c.strip()
-                        ),
+                        columns=cols,
                         sep=sep,
                         header=args.csv_header,
                         cleanup=cleanup,
@@ -502,6 +503,30 @@ def _ingest_main(argv: list[str], spark=None) -> int:
                 except ValueError as e:  # bad --csv-columns: usage error
                     print(f"ingest: {e}", file=sys.stderr)
                     return 2
+                if args.csv_header:
+                    # r13 ADVICE: a --csv-header that matched nothing
+                    # means the declared layout disagrees with the
+                    # file (wrong --csv-columns order, wrong
+                    # --csv-sep) — warn before the header is silently
+                    # ingested as data. limit(1) early-exits the scan.
+                    from .sources.corpus import _csv_header_predicate
+
+                    matched = (
+                        spark.read.text(args.csv)
+                        .where(_csv_header_predicate(cols, sep))
+                        .limit(1)
+                        .count()
+                    )
+                    if not matched:
+                        print(
+                            "ingest: warning: --csv-header is set but"
+                            " no line matched the header"
+                            f" {sep.join(cols)!r} — check"
+                            " --csv-columns order and --csv-sep (the"
+                            " real header line is being ingested as"
+                            " a document)",
+                            file=sys.stderr,
+                        )
             docs.write.mode("overwrite").parquet(args.out)
             rej_path = args.rejects_out or f"{args.out}_rejects"
             rejects.write.mode("overwrite").parquet(rej_path)
@@ -683,6 +708,15 @@ def _audit_shards_main(argv: list[str], spark=None) -> int:
     )
     ap.add_argument("--salt", type=int, default=None)
     ap.add_argument("--id-col", default=None)
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write the full audit frame as parquet here; stdout then"
+        " prints only FAILING shards plus a summary line — at a"
+        " 10^6-shard export the per-shard report itself would be the"
+        " driver bottleneck (one collected row per shard), so the"
+        " report ships distributed and only failures surface",
+    )
     args = ap.parse_args(argv)
 
     from .sinks.shards import audit_training_shards
@@ -701,14 +735,25 @@ def _audit_shards_main(argv: list[str], spark=None) -> int:
             ref = read_table(spark, args.sf, "documents")
         from .sinks.shards import read_export_meta
 
-        rows = audit_training_shards(
+        audit = audit_training_shards(
             spark,
             args.path,
             reference=ref,
             n_shards=args.n_shards,
             salt=args.salt,
             id_col=args.id_col,
-        ).collect()
+        )
+        if args.out:
+            # distributed report: the frame never rides the driver;
+            # only failing rows (bounded by the failure count) and two
+            # scalar counts are collected for the stdout summary
+            audit.write.mode("overwrite").parquet(args.out)
+            report = spark.read.parquet(args.out)
+            rows = report.where(~report["ok"]).collect()
+            n_audited = report.count()
+            print(f"audit report: {n_audited} shards -> {args.out}")
+        else:
+            rows = audit.collect()
         meta = read_export_meta(spark, args.path)
         n_shards = meta["n_shards"] if meta else args.n_shards
         bad = [r["shard"] for r in rows if not r["ok"]]
@@ -867,6 +912,19 @@ def _curate_main(argv: list[str], spark=None) -> int:
         print(
             "curate: --writer-lock-ttl guards the index write steps —"
             " pair it with --build-index or --extend-index",
+            file=sys.stderr,
+        )
+        return 2
+    if args.model_weights is None and (
+        args.min_model_mean_milli != 0 or args.model_ngram_max != 2
+    ):
+        # r13 ADVICE: CurationConfig ignores both knobs when weights
+        # is None — mirror the --writer-lock-ttl posture so an inert
+        # flag is a usage error, never a no-op mistaken for a gate
+        print(
+            "curate: --min-model-mean-milli / --model-ngram-max tune"
+            " the model quality gate — they do nothing without"
+            " --model-weights (the train verb's output)",
             file=sys.stderr,
         )
         return 2

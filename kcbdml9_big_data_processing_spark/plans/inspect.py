@@ -248,7 +248,18 @@ def pushed_predicate_count(df: DataFrame) -> int:
     scans-with-any-pushed-filter would not move when the real
     predicate slides off. Guarded as a FLOOR (pinned by
     tools/pin_scan_schemas.py): fewer substantive predicates than the
-    pin means a filter regressed; more is an improvement and passes."""
+    pin means a filter regressed; more is an improvement and passes.
+
+    Known parser limitation (r13 ADVICE): the depth tracker counts
+    every ``(`` ``[`` — including ones inside STRING LITERAL values
+    (``EqualTo(source,a)b)``, an In-list entry containing brackets),
+    which would mis-split atoms for predicates over free-text
+    literals with unbalanced brackets. Acceptable for the fixed query
+    registry because the pins are generated by THIS SAME parser (pin
+    and guard mis-split identically, so the floor still only moves
+    when a predicate genuinely appears/disappears) — but if a future
+    query filters on a bracket-bearing literal and its floor fails
+    confusingly, suspect this parser before the plan."""
     with _aqe_off(df.sparkSession):
         plan = physical_plan(df, "formatted")
     n = 0

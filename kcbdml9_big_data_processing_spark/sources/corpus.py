@@ -317,6 +317,28 @@ def _quarantine_and_conform(
     return docs, rejects
 
 
+def _csv_header_predicate(columns: tuple[str, ...], sep: str) -> Column:
+    """Is this raw line the layout's header row? Field-wise
+    comparison after stripping a trailing ``\\r`` (CRLF files) and
+    trimming each field ('text, lang') — byte equality missed both
+    and let the header land silently as a junk data row (r13 ADVICE).
+    Also the CLI's did-any-line-match probe for the no-header-found
+    warning. Quoted header fields are out of scope: headers are bare
+    column names by construction (``columns`` validates against the
+    documents schema)."""
+    import re as _re
+
+    line = F.regexp_replace(F.col("value"), "\r$", "")
+    # lambda, not bare F.trim: trim's optional second param makes
+    # transform() treat it as a binary (element, index) callback, and
+    # trim(x, i) silently trims the index DIGIT instead of whitespace
+    norm = F.array_join(
+        F.transform(F.split(line, _re.escape(sep), -1), lambda x: F.trim(x)),
+        sep,
+    )
+    return norm == F.lit(sep.join(columns))
+
+
 def ingest_csv(
     spark: SparkSession,
     path: str,
@@ -343,10 +365,14 @@ def ingest_csv(
     construction: fields with EMBEDDED NEWLINES (multiline CSV) are
     not supported — each physical line is one record, matching the
     quarantine's verbatim-line contract. With ``header=True`` every
-    line byte-equal to the header row (``sep.join(columns)``) is
-    dropped — per file, since all files of one layout share it; a
-    data row that equals the header verbatim is degenerate under the
-    quality gate anyway."""
+    line that IS the header row is dropped — per file, since all
+    files of one layout share it; the match is field-wise after
+    trimming a trailing ``\\r`` and per-field whitespace (r13 ADVICE:
+    a CRLF file, or a header written ``'text, lang'``, never matched
+    the old byte-equality and its header landed silently as a junk
+    data row — all-string layouts have no type mismatch to flag it).
+    A data row that equals the header up to field whitespace is
+    degenerate under the quality gate anyway."""
     fields = {f.name: f for f in DOCUMENTS_SCHEMA}
     unknown = [c for c in columns if c not in fields]
     if unknown:
@@ -365,7 +391,7 @@ def ingest_csv(
     )
     raw = spark.read.text(path)
     if header:
-        raw = raw.where(F.col("value") != F.lit(sep.join(columns)))
+        raw = raw.where(~_csv_header_predicate(columns, sep))
     d = F.from_csv(
         "value",
         csv_schema.simpleString(),

@@ -406,3 +406,59 @@ def test_unique_doc_ids_survivor_rule_unchanged(spark):
     )
     assert got == [(1, "aaa", "fr"), (2, "solo", "de"), (3, "same", "aa")]
     assert unique_doc_ids(df.select("doc_id")).count() == 3
+
+
+def test_ingest_csv_header_matches_crlf_and_padded(spark, tmp_path):
+    """r13 ADVICE: header=True must drop a CRLF-terminated header and
+    one written with per-field whitespace ('text, lang') — byte
+    equality missed both and the header landed silently as a junk
+    document (all-string layouts have no type mismatch to flag it)."""
+    from kcbdml9_big_data_processing_spark.sources.corpus import ingest_csv
+
+    p = tmp_path / "crlf.csv"
+    with open(p, "wb") as f:
+        f.write(b"text, lang\r\n")
+        f.write(b"a real document body,en\r\n")
+    docs, rejects = ingest_csv(
+        spark, str(p), columns=("text", "lang"), header=True
+    )
+    got = docs.collect()
+    assert len(got) == 1
+    # the \r is a data artifact of CRLF lines, not the header test's
+    # concern — the point is the header row produced NO document
+    assert got[0]["text"].startswith("a real document body")
+    assert not [r for r in got if r["text"].startswith("text")]
+
+
+def test_cli_ingest_csv_warns_when_header_never_matched(
+    spark, tmp_path, capsys
+):
+    """r13 ADVICE, CLI side: --csv-header with a layout that matches
+    no line (wrong column order here) warns to stderr instead of
+    silently ingesting the real header as a document."""
+    from kcbdml9_big_data_processing_spark.__main__ import _ingest_main
+
+    p = tmp_path / "h.csv"
+    p.write_text("lang,text\nen,a body of text\n")
+    out = str(tmp_path / "docs_parquet")
+    rc = _ingest_main(
+        [
+            "--csv", str(p), "--out", out,
+            "--csv-columns", "text,lang", "--csv-header",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "no line matched the header" in err
+
+    # and the matching layout stays quiet
+    rc = _ingest_main(
+        [
+            "--csv", str(p), "--out", out,
+            "--csv-columns", "lang,text", "--csv-header",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "no line matched" not in capsys.readouterr().err

@@ -510,6 +510,15 @@ def test_cli_curate_full_then_incremental(spark, tmp_path):
     assert _curate_main(
         [*common, "--writer-lock-ttl", "3600"], spark=spark
     ) == 2
+    # r13 ADVICE: model-gate knobs without --model-weights were
+    # silently inert (CurationConfig ignores them when weights is
+    # None) — now the same usage-error posture as --writer-lock-ttl
+    assert _curate_main(
+        [*common, "--min-model-mean-milli", "100"], spark=spark
+    ) == 2
+    assert _curate_main(
+        [*common, "--model-ngram-max", "3"], spark=spark
+    ) == 2
     assert _curate_main(
         [*common, "--archive", kept0, "--index", idx,
          "--scrub-repeated-spans"],
@@ -642,3 +651,50 @@ def test_cli_curate_benchmark_decontamination(spark, tmp_path):
            for r in spark.read.parquet(dec_p).collect()}
     assert dec == {1: "kept", 2: "contaminated"}
     assert {r["doc_id"] for r in spark.read.parquet(kept_p).collect()} == {1}
+
+
+def test_cli_audit_shards_out_report(spark, tmp_path, capsys):
+    """audit-shards --out ships the full audit frame as parquet and
+    prints only failures plus a summary line — the 10^6-shard posture
+    (r13 what's-wrong #2: the default mode collects one row per shard
+    onto the driver, which IS the bottleneck at that scale). Clean
+    export: exit 0, no per-shard stdout rows, one report row per
+    shard, all ok. Lost shard: exit 1, ONLY the failing shard prints,
+    the repair hint still names it, and the parquet report records
+    the failure for downstream tooling."""
+    import shutil
+
+    from kcbdml9_big_data_processing_spark.__main__ import (
+        _audit_shards_main,
+        _export_shards_main,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "audit_out_shards")
+    report = str(tmp_path / "audit_report")
+    assert _export_shards_main(
+        ["--sf", sf, "--out", out, "--n-shards", "4", "--salt", "3"],
+        spark=spark,
+    ) == 0
+    assert _audit_shards_main(
+        ["--path", out, "--sf", sf, "--out", report], spark=spark
+    ) == 0
+    captured = capsys.readouterr()
+    assert "audit report: 4 shards" in captured.out
+    assert "shard=" not in captured.out  # no per-shard spam
+    rep = spark.read.parquet(report)
+    assert rep.count() == 4
+    assert rep.where(~rep["ok"]).count() == 0
+
+    shutil.rmtree(f"{out}/shard=2")
+    rc = _audit_shards_main(
+        ["--path", out, "--sf", sf, "--out", report], spark=spark
+    )
+    captured = capsys.readouterr()
+    assert rc == 1
+    assert "shard=2" in captured.out  # the failure DOES surface
+    assert "shard=0" not in captured.out  # healthy shards stay quiet
+    assert "--only-shards 2" in captured.err
+    rep = spark.read.parquet(report)
+    bad = [r["shard"] for r in rep.where(~rep["ok"]).collect()]
+    assert bad == [2]
