@@ -155,3 +155,51 @@ def test_watermarked_dedup_state_plateaus_and_guard_is_falsifiable(
         "plateau predicate failed to reject the unbounded twin —"
         " the guard is vacuous"
     )
+
+
+def test_live_listener_captures_state_series(spark, tmp_path):
+    """make_state_listener — the unbounded-deployment adapter: a real
+    StreamingQueryListener feeds LAST_STATE['live'] per batch with the
+    SAME row shape the bounded replays record, so peak_state_rows /
+    state_plateaus run unchanged on a live series (the monitoring
+    watchdog and the test guard share one code path). Listener
+    callbacks arrive asynchronously on a JVM-driven thread — the
+    assertion polls briefly after the drain."""
+    import time
+
+    listener = telemetry.make_state_listener()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "live_src")
+        os.makedirs(src)
+        for i in range(2):
+            spark.createDataFrame(
+                [(i * 10 + j,) for j in range(10)], "k long"
+            ).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .dropDuplicates(["k"])
+            .writeStream.format("noop")
+            .queryName("live_probe")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        series = None
+        for _ in range(100):
+            series = telemetry.LAST_STATE.get("live", {}).get("live_probe")
+            if series and len(series) >= 2:
+                break
+            time.sleep(0.2)
+        assert series and len(series) >= 2, "listener never delivered"
+        assert telemetry.peak_state_rows(series) == 20  # all distinct keys
+        names = {
+            op["name"] for b in series for op in b["operators"] if b["operators"]
+        }
+        assert names == {"dedupe"}
+    finally:
+        spark.streams.removeListener(listener)
+        telemetry.LAST_STATE.pop("live", None)
