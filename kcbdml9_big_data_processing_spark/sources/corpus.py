@@ -114,11 +114,19 @@ def unique_doc_ids(df: DataFrame) -> DataFrame:
         df.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > 1)
-        .select("doc_id")
+        .select(F.col("doc_id").alias("__dup_id"))
     )
-    clean = df.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+    # eqNullSafe, not plain equality: the ingest fronts never emit a
+    # NULL doc_id (content_doc_ids refuses at execution), but this is
+    # a public invariant-enforcer for ARBITRARY frames, and a plain
+    # join key treats NULL != NULL — multiple null-id rows would all
+    # sail through the anti join where the old groupBy collapsed them
+    # to one (r14 self-review). Null-safe equality keeps the null
+    # group a group, exactly like groupBy does.
+    on = F.col("doc_id").eqNullSafe(F.col("__dup_id"))
+    clean = df.join(F.broadcast(dup_ids), on, "left_anti")
     winners = (
-        df.join(F.broadcast(dup_ids), "doc_id", "left_semi")
+        df.join(F.broadcast(dup_ids), on, "left_semi")
         .groupBy("doc_id")
         .agg(F.min(F.struct(*others)).alias("__survivor"))
         .select("doc_id", "__survivor.*")

@@ -462,3 +462,25 @@ def test_cli_ingest_csv_warns_when_header_never_matched(
     )
     assert rc == 0
     assert "no line matched" not in capsys.readouterr().err
+
+
+def test_unique_doc_ids_collapses_null_id_group(spark):
+    """r14 self-review: the violation-set rewrite must keep the NULL
+    id group a GROUP (eqNullSafe join keys) — a plain join key treats
+    NULL != NULL, so multiple null-id rows would all pass the anti
+    join where the old groupBy collapsed them to one deterministic
+    survivor. The ingest fronts never emit null ids; this pins the
+    public arbitrary-frame contract."""
+    from kcbdml9_big_data_processing_spark.sources.corpus import (
+        unique_doc_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "bb"), (None, "aa"), (1, "x"), (None, "cc")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        ((r["doc_id"], r["text"]) for r in unique_doc_ids(df).collect()),
+        key=lambda t: (t[0] is None, t[0], t[1]),
+    )
+    assert got == [(1, "x"), (None, "aa")]
