@@ -803,9 +803,40 @@ def _curate_main(argv: list[str], spark=None) -> int:
     ap.add_argument(
         "--docs", required=True, help="documents-schema parquet (the batch)"
     )
-    ap.add_argument("--out-kept", required=True, help="kept corpus parquet")
+    ap.add_argument("--out-kept", default=None, help="kept corpus parquet")
     ap.add_argument(
-        "--out-decisions", required=True, help="decision-record parquet"
+        "--out-decisions", default=None, help="decision-record parquet"
+    )
+    # crash-safe run-root mode (r14 verdict #1): the root manages kept/
+    # decisions/index itself — versioned run dirs, one meta commit
+    ap.add_argument(
+        "--run-root",
+        default=None,
+        metavar="ROOT",
+        help="CRASH-SAFE MODE: stage kept+decisions+index maintenance"
+        " under ROOT/runs/r{N} and publish with one run_meta append;"
+        " first run is full, later runs incremental against the last"
+        " published run (jobs/runs.py). Replaces --out-kept/"
+        "--out-decisions/--archive/--index/--build-index/"
+        "--extend-index.",
+    )
+    ap.add_argument(
+        "--full",
+        action="store_true",
+        help="RUN-ROOT: force a periodic full re-curation + index"
+        " rebuild instead of the default incremental",
+    )
+    ap.add_argument(
+        "--retry-torn",
+        action="store_true",
+        help="RUN-ROOT: discard a crashed prior attempt's staged"
+        " outputs and redo the batch",
+    )
+    ap.add_argument(
+        "--repair-index",
+        action="store_true",
+        help="RUN-ROOT: a torn extend may have left partial postings —"
+        " rebuild the index over the committed archive, then redo",
     )
     ap.add_argument(
         "--archive",
@@ -857,12 +888,17 @@ def _curate_main(argv: list[str], spark=None) -> int:
         help="weights file from the train verb; arms the model quality"
         " gate",
     )
-    ap.add_argument("--min-model-mean-milli", type=int, default=0)
+    # None sentinels, real defaults applied after the weights check
+    # (r14 ADVICE: re-hardcoding the defaults in the inert-flag guard
+    # desyncs if one drifts, and an EXPLICIT --model-ngram-max 2
+    # without weights slipped through silently)
+    ap.add_argument("--min-model-mean-milli", type=int, default=None)
     ap.add_argument(
         "--model-ngram-max",
         type=int,
-        default=2,
-        help="MUST match the order the weights were trained with",
+        default=None,
+        help="MUST match the order the weights were trained with"
+        " (default 2)",
     )
     ap.add_argument(
         "--writer-lock-ttl",
@@ -873,6 +909,40 @@ def _curate_main(argv: list[str], spark=None) -> int:
         " (single writer per index root); steal locks staler than SEC",
     )
     args = ap.parse_args(argv)
+
+    if args.run_root is not None:
+        managed = {
+            "--out-kept": args.out_kept,
+            "--out-decisions": args.out_decisions,
+            "--archive": args.archive,
+            "--index": args.index,
+            "--build-index": args.build_index,
+        }
+        clashing = [k for k, v in managed.items() if v is not None]
+        if args.extend_index:
+            clashing.append("--extend-index")
+        if clashing:
+            print(
+                "curate: --run-root manages outputs, archive and index"
+                f" itself — drop {', '.join(clashing)}",
+                file=sys.stderr,
+            )
+            return 2
+    else:
+        if args.out_kept is None or args.out_decisions is None:
+            print(
+                "curate: pass --out-kept and --out-decisions, or"
+                " --run-root for the crash-safe managed layout",
+                file=sys.stderr,
+            )
+            return 2
+        if args.full or args.retry_torn or args.repair_index:
+            print(
+                "curate: --full/--retry-torn/--repair-index are"
+                " --run-root recovery flags",
+                file=sys.stderr,
+            )
+            return 2
 
     incremental = args.archive is not None or args.index is not None
     if incremental and (args.archive is None or args.index is None):
@@ -905,7 +975,9 @@ def _curate_main(argv: list[str], spark=None) -> int:
         )
         return 2
     if args.writer_lock_ttl is not None and not (
-        args.build_index is not None or args.extend_index
+        args.build_index is not None
+        or args.extend_index
+        or args.run_root is not None  # run-root always writes the index
     ):
         # mirror export-shards: an inapplicable lock flag must not be
         # a silent no-op the operator mistakes for protection
@@ -916,11 +988,14 @@ def _curate_main(argv: list[str], spark=None) -> int:
         )
         return 2
     if args.model_weights is None and (
-        args.min_model_mean_milli != 0 or args.model_ngram_max != 2
+        args.min_model_mean_milli is not None
+        or args.model_ngram_max is not None
     ):
         # r13 ADVICE: CurationConfig ignores both knobs when weights
         # is None — mirror the --writer-lock-ttl posture so an inert
-        # flag is a usage error, never a no-op mistaken for a gate
+        # flag is a usage error, never a no-op mistaken for a gate.
+        # None sentinels (r14 ADVICE), so an EXPLICITLY passed default
+        # value without weights is caught too.
         print(
             "curate: --min-model-mean-milli / --model-ngram-max tune"
             " the model quality gate — they do nothing without"
@@ -967,8 +1042,13 @@ def _curate_main(argv: list[str], spark=None) -> int:
         min_rarity=args.min_rarity,
         max_rarity=args.max_rarity,
         quality_model_weights=weights,
-        min_model_mean_milli=args.min_model_mean_milli,
-        quality_model_ngram_max=args.model_ngram_max,
+        min_model_mean_milli=(
+            0 if args.min_model_mean_milli is None
+            else args.min_model_mean_milli
+        ),
+        quality_model_ngram_max=(
+            2 if args.model_ngram_max is None else args.model_ngram_max
+        ),
     )
 
     own_session = spark is None
@@ -979,6 +1059,49 @@ def _curate_main(argv: list[str], spark=None) -> int:
     lock_scope = S.scoped_writer_lock_ttl(args.writer_lock_ttl)
     cleanup: list = []
     try:
+        if args.run_root is not None:
+            from .jobs.runs import TornRunError, curate_run_root
+
+            try:
+                with lock_scope:
+                    docs = spark.read.parquet(args.docs)
+                    bench = (
+                        spark.read.parquet(args.benchmark)
+                        if args.benchmark is not None
+                        else None
+                    )
+                    summary = curate_run_root(
+                        spark,
+                        args.run_root,
+                        docs,
+                        cfg,
+                        benchmark=bench,
+                        full=args.full,
+                        retry_torn=args.retry_torn,
+                        repair_index=args.repair_index,
+                        cleanup=cleanup,
+                    )
+            except TornRunError as e:
+                print(f"curate: {e}", file=sys.stderr)
+                return 4
+            except ValueError as e:
+                # library-enforced mode constraints (benchmark / span /
+                # rarity on an incremental run) as clean usage errors
+                print(f"curate: {e}", file=sys.stderr)
+                return 2
+            for r in (
+                spark.read.parquet(f"{summary['dir']}/decisions")
+                .groupBy("reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("reason")
+                .collect()
+            ):
+                print(f"{r['reason']}: {r['n']}")
+            print(
+                f"published run r{summary['run_id']}"
+                f" ({summary['mode']}) at {summary['dir']}"
+            )
+            return 0
         with lock_scope:
             docs = spark.read.parquet(args.docs)
             curator = TrainingDataCurator(cfg)

@@ -1,0 +1,306 @@
+"""Run-level crash-safe commit for the curate pipeline (r14 verdict
+"what's wrong" #2 / next-round #1).
+
+A curate run produces THREE artifacts whose lockstep is the
+daily-incremental contract: the kept corpus (the next run's archive),
+the decision record, and the near-dup index maintenance (built over
+exactly that kept set, or extended by exactly this batch). The legacy
+CLI path writes them as three separate parquet jobs — each one
+committer-atomic, but a crash BETWEEN them tears the RUN: a kept set
+without its decision record, or an archive ahead of its index, which
+is precisely the state ``run_incremental``'s own preconditions
+reject. (The reference has the same weakness one level down: its
+batch job appends four tables with no transaction —
+BatchJobImpl.scala:90-100; SURVEY.md §7.4 flagged it, and the index
+family fixed it for indexes in r10/r11.)
+
+This module lifts the index family's recipe (versioned dirs + a tiny
+append-only meta table as the single atomicity point —
+queries/similarity._gen_begin/_gen_commit) to the RUN level:
+
+- every run stages ALL its outputs under ``{root}/runs/r{N:06d}``
+  (kept, decisions, step markers);
+- the index lives at ``{root}/index`` and keeps its own generation
+  machinery (a full run's build commits a fresh generation; an
+  incremental run's extend appends — bracketed by markers, below);
+- the run goes live only at the single ``{root}/run_meta`` append.
+  Readers (the next run, external consumers) resolve the current
+  archive as the max-run_id row's ``{dir}/kept`` — an unpublished run
+  dir is INVISIBLE.
+
+Torn-run detection and idempotent retry: the next run_id is always
+``latest committed + 1``, so a crashed attempt and its retry compute
+the SAME run dir. Finding that dir already present means the prior
+attempt tore somewhere before its meta append; the recovery depends
+on how far it got, read off the staged markers:
+
+- ``index_done`` present — every write finished, only the publish is
+  missing: the retry APPENDS THE META ROW AND MOVES ON (auto-resume;
+  the new batch then curates against the just-published archive as
+  the next run). Nothing recomputes.
+- ``index_started`` present without ``index_done``, on an INCREMENTAL
+  intent — the extend may have appended partial postings/hashes to
+  the index's current generation, and extend is not idempotent (a
+  redo would double-append whatever landed). The retry REFUSES until
+  ``repair_index=True`` rebuilds the index from the last COMMITTED
+  archive (a fresh generation supersedes the poisoned one — the
+  generation layer's whole point), clears the torn dir, and redoes
+  the batch.
+- anything earlier (including a full run's partial index BUILD, which
+  stages into a generation dir and is safely redoable) — the torn dir
+  is dead weight: ``retry_torn=True`` deletes it and redoes the run;
+  without the flag the attempt refuses loudly (an operator must opt
+  into discarding staged bytes).
+
+Single writer per root assumed, exactly as for the index generations
+(two concurrent curate runs would stage into the same run dir); the
+opt-in index writer lock (similarity.enable_index_writer_locking)
+covers the index legs, and a deployment needing run-level mutual
+exclusion schedules one curate job per root — the same posture as
+compact_dedup_index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_RUN_META_SCHEMA = "run_id int, dir string, mode string"
+_INTENT_SCHEMA = "mode string"
+_MARK_SCHEMA = "ok boolean"
+
+
+class TornRunError(RuntimeError):
+    """A prior curate attempt on this root crashed before its meta
+    commit; the message names the recovery (``retry_torn`` /
+    ``repair_index``)."""
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    p, fs = _hadoop_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    p, fs = _hadoop_path(spark, path)
+    fs.delete(p, True)
+
+
+def _write_stage(df: DataFrame, path: str) -> None:
+    """One staged artifact write (kept / decisions) — a seam the
+    kill-between-writes tests monkeypatch to crash the run at exact
+    points of the matrix."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def _mark(spark: SparkSession, path: str) -> None:
+    """Stage a step marker: a one-row parquet table (committer-atomic
+    like every other write here — a crashed marker write is absent,
+    which is the conservative reading for every marker below)."""
+    spark.createDataFrame([(True,)], _MARK_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _marked(spark: SparkSession, path: str) -> bool:
+    from ..queries.dedup import _dir_has_parquet
+
+    return _dir_has_parquet(spark, path)
+
+
+def run_dir(root: str, run_id: int) -> str:
+    return f"{root}/runs/r{run_id:06d}"
+
+
+def index_root(root: str) -> str:
+    return f"{root}/index"
+
+
+def latest_run(spark: SparkSession, root: str) -> dict | None:
+    """Newest COMMITTED run's meta row as a dict, or None on a fresh
+    root. Absence decided by a driver-side FS check, not a caught read
+    error (the _gen_meta_row posture: a transient failure must
+    propagate, not misread as 'fresh root' and silently re-run a full
+    curation)."""
+    meta_dir = f"{root}/run_meta"
+    if not _exists(spark, meta_dir):
+        return None
+    row = (
+        spark.read.schema(_RUN_META_SCHEMA)
+        .parquet(meta_dir)
+        .orderBy(F.col("run_id").desc())
+        .first()
+    )
+    return None if row is None else row.asDict()
+
+
+def _commit(
+    spark: SparkSession, root: str, run_id: int, rdir: str, mode: str
+) -> None:
+    """THE commit point: one append-only meta row flips the run live."""
+    spark.createDataFrame(
+        [(run_id, rdir, mode)], _RUN_META_SCHEMA
+    ).write.mode("append").parquet(f"{root}/run_meta")
+
+
+def _intent(spark: SparkSession, rdir: str) -> str | None:
+    path = f"{rdir}/intent"
+    if not _marked(spark, path):
+        return None
+    row = spark.read.schema(_INTENT_SCHEMA).parquet(path).first()
+    return None if row is None else row["mode"]
+
+
+def _resolve_torn(
+    spark: SparkSession,
+    root: str,
+    prior: dict | None,
+    run_id: int,
+    rdir: str,
+    retry_torn: bool,
+    repair_index: bool,
+) -> bool:
+    """Handle an existing-but-unpublished run dir per the module
+    docstring. Returns True when the torn run was PUBLISHED (caller
+    advances to the next run_id), False when the dir was cleared for
+    a redo; raises TornRunError when recovery needs an operator
+    decision not yet granted."""
+    import sys
+
+    intent = _intent(spark, rdir)
+    if _marked(spark, f"{rdir}/index_done") and intent is not None:
+        print(
+            f"curate: publishing torn-but-complete prior run r{run_id}"
+            f" ({intent}) — every artifact was staged, only the meta"
+            " commit was lost; nothing recomputes.",
+            file=sys.stderr,
+        )
+        _commit(spark, root, run_id, rdir, intent)
+        return True
+    if _marked(spark, f"{rdir}/index_started") and intent == "incremental":
+        if not repair_index:
+            raise TornRunError(
+                f"torn curate run at {rdir}: its index extend started"
+                " but never finished, so the index's current"
+                " generation may hold PARTIAL postings for this batch"
+                " (extend is not redo-safe). Re-run with"
+                " repair_index=True (--repair-index) to rebuild the"
+                " index over the last committed archive — a fresh"
+                " generation supersedes the partial one — then the"
+                " batch redoes cleanly."
+            )
+        if prior is None:  # can't happen: incremental implies a prior
+            raise TornRunError(
+                f"torn incremental run at {rdir} with no committed"
+                " prior run — root metadata is inconsistent"
+            )
+        from ..queries.dedup import build_dedup_index
+
+        print(
+            f"curate: repairing index at {index_root(root)} — full"
+            f" rebuild over the committed archive (run"
+            f" r{prior['run_id']}'s kept set); the partial generation"
+            " is superseded and vacuumable.",
+            file=sys.stderr,
+        )
+        archive = spark.read.parquet(f"{prior['dir']}/kept").select(
+            "doc_id", "text"
+        )
+        build_dedup_index(archive, index_root(root))
+        _delete(spark, rdir)
+        return False
+    if not retry_torn:
+        raise TornRunError(
+            f"torn curate run at {rdir}: a prior attempt crashed"
+            " before its meta commit (the run is unpublished and"
+            " invisible to readers). Re-run with retry_torn=True"
+            " (--retry-torn) to discard the staged partial outputs"
+            " and redo the batch."
+        )
+    print(
+        f"curate: clearing torn prior attempt at {rdir} and redoing"
+        " the batch.",
+        file=sys.stderr,
+    )
+    _delete(spark, rdir)
+    return False
+
+
+def curate_run_root(
+    spark: SparkSession,
+    root: str,
+    docs: DataFrame,
+    cfg,
+    benchmark: DataFrame | None = None,
+    full: bool = False,
+    retry_torn: bool = False,
+    repair_index: bool = False,
+    cleanup: list[DataFrame] | None = None,
+) -> dict:
+    """One crash-safe curate run against ``root``: full curation on a
+    fresh root (or with ``full=True`` — the periodic re-freeze, which
+    also REBUILDS the index), else the daily incremental batch against
+    the last committed run's kept set and the standing index. All
+    outputs stage under a versioned run dir and publish at one meta
+    append; see the module docstring for the crash matrix. Returns
+    ``{"run_id", "dir", "mode"}`` of the PUBLISHED run."""
+    from ..queries.dedup import build_dedup_index, extend_dedup_index
+    from .training_data import TrainingDataCurator
+
+    prior = latest_run(spark, root)
+    nxt = 1 if prior is None else int(prior["run_id"]) + 1
+    rdir = run_dir(root, nxt)
+    if _exists(spark, rdir):
+        if _resolve_torn(
+            spark, root, prior, nxt, rdir, retry_torn, repair_index
+        ):
+            prior = latest_run(spark, root)
+            nxt += 1
+            rdir = run_dir(root, nxt)
+        else:
+            prior = latest_run(spark, root)  # unchanged; re-read for safety
+
+    mode = "full" if (prior is None or full) else "incremental"
+    if mode == "incremental" and benchmark is not None:
+        raise ValueError(
+            "curate: --benchmark decontamination is a full-run stage;"
+            " pass --full to re-freeze the corpus with it"
+        )
+    spark.createDataFrame([(mode,)], _INTENT_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{rdir}/intent")
+
+    curator = TrainingDataCurator(cfg)
+    if mode == "incremental":
+        archive = spark.read.parquet(f"{prior['dir']}/kept")
+        kept, dec = curator.run_incremental(
+            docs, archive, index_root(root), cleanup=cleanup
+        )
+    else:
+        kept, dec = curator.run(docs, benchmark, cleanup=cleanup)
+    _write_stage(kept, f"{rdir}/kept")
+    _write_stage(dec, f"{rdir}/decisions")
+    # index maintenance consumes the WRITTEN kept set (same rows;
+    # decouples the artifact step from the run's cached lineage)
+    kept_stored = spark.read.parquet(f"{rdir}/kept").select(
+        "doc_id", "text"
+    )
+    if mode == "full":
+        # generation-committed and redo-safe on its own; no markers
+        # needed — a torn build is invisible behind gen_meta
+        build_dedup_index(kept_stored, index_root(root))
+        _mark(spark, f"{rdir}/index_done")
+    else:
+        # bracket the ONE non-idempotent step so a torn retry knows
+        # whether the index may hold this batch's partial postings
+        _mark(spark, f"{rdir}/index_started")
+        extend_dedup_index(kept_stored, index_root(root))
+        _mark(spark, f"{rdir}/index_done")
+    _commit(spark, root, nxt, rdir, mode)
+    return {"run_id": nxt, "dir": rdir, "mode": mode}

@@ -435,12 +435,21 @@ def shuffle_exchanges_carrying(
     buried inside a struct (a partial ``min(struct(...))`` hides the
     heavy column inside an opaque ``min#N`` attribute; the formatted
     Input list can't see it, the attribute's dataType can) — and
-    ``duplicate_scoped`` is True when a LeftSemi join sits in the
-    exchange's subtree (the unique_doc_ids posture: heavy bytes may
-    ride a shuffle only AFTER the duplicate-id semi filter has shrunk
-    the input to the violation set). Broadcast exchanges are not
-    listed — replicating a provably-tiny frame is the intended scale
-    shape, not data movement to pin."""
+    ``duplicate_scoped`` is True when a LeftSemi join sits ON THE
+    PATH FEEDING the exchange's copy of the column (the
+    unique_doc_ids posture: heavy bytes may ride a shuffle only AFTER
+    the duplicate-id semi filter has shrunk the input to the
+    violation set). Structural, not textual (r14 ADVICE): the old
+    ``'LeftSemi' in subtree.toString()`` check would have passed a
+    future plan whose semi join sits in an UNRELATED branch below a
+    text-carrying exchange — now the walk descends only through
+    children whose output still carries the column and demands a join
+    node whose ``joinType`` IS LeftSemi on that path.
+    ReusedExchangeExec subtrees are not re-walked (the referenced
+    exchange appears once in the tree and is classified there; the
+    old re-walk double-counted every reused shuffle). Broadcast
+    exchanges are not listed — replicating a provably-tiny frame is
+    the intended scale shape, not data movement to pin."""
     with _aqe_off(df.sparkSession):
         root = df._jdf.queryExecution().executedPlan()
 
@@ -451,17 +460,39 @@ def shuffle_exchanges_carrying(
             return True
         return _type_carries_field(attr.dataType().simpleString(), colname)
 
+    def node_carries(node) -> bool:
+        attrs = node.output()
+        return any(attr_carries(attrs.apply(i)) for i in range(attrs.size()))
+
+    def _join_type(node) -> str | None:
+        try:
+            return node.joinType().toString()
+        except Exception:  # not a join node
+            return None
+
+    def semi_on_column_path(node) -> bool:
+        """A LeftSemi join at-or-below ``node``, reachable walking
+        only through operators whose output carries the column — i.e.
+        the semi filter actually gates the rows whose heavy bytes the
+        exchange moves, not a lookalike in a sibling branch."""
+        if _join_type(node) == "LeftSemi":
+            return True
+        if node.getClass().getSimpleName() == "ReusedExchangeExec":
+            return semi_on_column_path(node.child())
+        ch = node.children()
+        for i in range(ch.size()):
+            c = ch.apply(i)
+            if node_carries(c) and semi_on_column_path(c):
+                return True
+        return False
+
     def walk(node) -> None:
         name = node.getClass().getSimpleName()
         if name == "ShuffleExchangeExec":
-            attrs = node.output()
-            carries = any(
-                attr_carries(attrs.apply(i)) for i in range(attrs.size())
-            )
-            out.append((carries, "LeftSemi" in node.toString()))
+            out.append((node_carries(node), semi_on_column_path(node)))
         if name == "ReusedExchangeExec":
-            walk(node.child())
-            return
+            return  # the referenced exchange is classified at its
+            # single real occurrence — re-walking double-counts it
         ch = node.children()
         for i in range(ch.size()):
             walk(ch.apply(i))

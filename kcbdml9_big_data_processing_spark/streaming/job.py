@@ -52,6 +52,15 @@ class StreamingJobConfig:
     #: another run's offsets/state.
     checkpoint_root: str | None = None
     available_now: bool = False
+    #: opt-in state-growth watchdog (r14 verdict #5): registers a
+    #: telemetry.make_state_listener for the job's lifetime so live
+    #: per-batch state series + all-time peaks are queryable on the
+    #: running job (state_peaks / state_violations / state_plateaus)
+    #: — the production alarm the telemetry module promises, wired
+    #: into the orchestration instead of left as a loose adapter.
+    state_watchdog: bool = False
+    #: per-query live-series ring size (see make_state_listener)
+    state_watchdog_max_batches: int = 256
 
     def __post_init__(self) -> None:
         if self.checkpoint_root is None:
@@ -72,6 +81,7 @@ class StreamingJob:
         self.spark = spark
         self.config = config
         self.queries: list[StreamingQuery] = []
+        self._listener = None
 
     def start(self, source: DataFrame, metric_writer: BatchWriter) -> list[StreamingQuery]:
         """Start one foreachBatch metric query per configured (key,
@@ -80,6 +90,13 @@ class StreamingJob:
         operators/parse.parse_json_payload for the Kafka payload
         path)."""
         cfg = self.config
+        if cfg.state_watchdog and self._listener is None:
+            from .telemetry import make_state_listener
+
+            self._listener = make_state_listener(
+                cfg.state_watchdog_max_batches
+            )
+            self.spark.streams.addListener(self._listener)
         for key, tag in cfg.metrics:
             agg = windowed_sum(
                 source,
@@ -121,7 +138,54 @@ class StreamingJob:
         production mode."""
         self.spark.streams.awaitAnyTermination()
 
+    # -- state-growth watchdog (config.state_watchdog) -----------------
+
+    def _require_watchdog(self):
+        if self._listener is None:
+            raise RuntimeError(
+                "state watchdog not enabled — construct the job with"
+                " StreamingJobConfig(state_watchdog=True) and start()"
+            )
+        return self._listener
+
+    def state_peaks(self) -> dict[str, int]:
+        """All-time peak summed state rows per query name, from the
+        live listener — the number a deployment alarms on (it cannot
+        age out of the series ring)."""
+        return dict(self._require_watchdog().peaks)
+
+    def state_violations(self, max_rows: int) -> dict[str, int]:
+        """Queries whose all-time peak state exceeded ``max_rows`` —
+        the production state-growth alarm: a watermark bug or key-space
+        explosion surfaces as a named query here long before the
+        executor OOM would name it for you."""
+        return {
+            name: peak
+            for name, peak in self._require_watchdog().peaks.items()
+            if peak > max_rows
+        }
+
+    def state_plateaus(
+        self, query_name: str, total_keys: int, max_fraction: float = 0.5
+    ) -> bool:
+        """The eviction predicate over a query's LIVE series (see
+        telemetry.state_plateaus): state bounded away from the total
+        key count means the watermark is actually evicting. Judged on
+        the ring window — pair with :meth:`state_peaks` for the
+        all-time bound."""
+        from .telemetry import LAST_STATE, state_plateaus
+
+        self._require_watchdog()
+        series = LAST_STATE.get("live", {}).get(query_name, [])
+        return state_plateaus(series, total_keys, max_fraction)
+
     def stop(self) -> None:
         for q in self.queries:
             if q.isActive:
                 q.stop()
+        if self._listener is not None:
+            try:
+                self.spark.streams.removeListener(self._listener)
+            except Exception:
+                pass  # session already stopped — nothing to unhook
+            self._listener = None

@@ -142,19 +142,20 @@ def test_start_load_gate_clean_window(monkeypatch):
     import os as _os
 
     monkeypatch.setattr(_os, "getloadavg", lambda: (0.2, 0.3, 0.4))
-    load, dirty = bench._start_load_gate([])
-    assert load == 0.2 and dirty is False
+    load, dirty, waited = bench._start_load_gate([])
+    assert load == 0.2 and dirty is False and waited == 0.0
 
 
 def test_start_load_gate_stamps_dirty_and_warns(monkeypatch, capsys):
-    """Default policy: a dirty start WARNS and stamps, never refuses —
-    the driver's unattended run must still produce a record that
-    carries its own disqualifier."""
+    """Default policy after an exhausted wait: a dirty start WARNS and
+    stamps, never refuses — the driver's unattended run must still
+    produce a record that carries its own disqualifier."""
     import os as _os
 
     monkeypatch.setattr(_os, "getloadavg", lambda: (7.5, 2.0, 1.0))
-    load, dirty = bench._start_load_gate([])
-    assert load == 7.5 and dirty is True
+    monkeypatch.setenv("SPARK_GRAFT_WAIT_QUIET_SEC", "0")
+    load, dirty, waited = bench._start_load_gate([])
+    assert load == 7.5 and dirty is True and waited == 0.0
     assert "DIRTY START" in capsys.readouterr().err
 
 
@@ -164,10 +165,11 @@ def test_start_load_gate_refuses_on_request_force_overrides(monkeypatch):
     import pytest as _pytest
 
     monkeypatch.setattr(_os, "getloadavg", lambda: (3.0, 1.0, 1.0))
+    monkeypatch.setenv("SPARK_GRAFT_WAIT_QUIET_SEC", "0")
     with _pytest.raises(SystemExit) as e:
         bench._start_load_gate(["--refuse-dirty"])
     assert e.value.code == 3
-    load, dirty = bench._start_load_gate(["--refuse-dirty", "--force"])
+    load, dirty, _ = bench._start_load_gate(["--refuse-dirty", "--force"])
     assert dirty is True  # forced through, still disqualified in-record
 
 
@@ -176,5 +178,77 @@ def test_start_load_gate_threshold_override(monkeypatch):
 
     monkeypatch.setattr(_os, "getloadavg", lambda: (1.4, 1.0, 1.0))
     monkeypatch.setenv("SPARK_GRAFT_MAX_START_LOAD", "2.0")
-    load, dirty = bench._start_load_gate([])
-    assert dirty is False
+    load, dirty, waited = bench._start_load_gate([])
+    assert dirty is False and waited == 0.0
+
+
+def test_start_load_gate_waits_until_quiet(monkeypatch, capsys):
+    """r14 verdict #3: a dirty start WAITS (bounded polling) and lands
+    CLEAN when the foreign load decays inside the budget — the
+    unattended sweep records dirty only after a visibly exhausted
+    wait."""
+    import os as _os
+    import time as _time
+
+    loads = iter([4.0, 2.5, 0.8])  # start dirty, quiet on 3rd poll
+    cur = {"v": 4.0}
+
+    def fake_load():
+        try:
+            cur["v"] = next(loads)
+        except StopIteration:
+            pass
+        return (cur["v"], 1.0, 1.0)
+
+    # first call reads 4.0 (the pre-wait read consumes one)
+    monkeypatch.setattr(_os, "getloadavg", fake_load)
+    slept = []
+    monkeypatch.setattr(_time, "sleep", lambda s: slept.append(s))
+    monkeypatch.setenv("SPARK_GRAFT_WAIT_QUIET_SEC", "60")
+    load, dirty, waited = bench._start_load_gate([])
+    assert dirty is False and load == 0.8
+    assert waited == sum(slept) and waited > 0
+    err = capsys.readouterr().err
+    assert "waiting up to" in err and "quieted after" in err
+
+
+def test_start_load_gate_wait_budget_exhausts_dirty(monkeypatch, capsys):
+    import os as _os
+    import time as _time
+
+    monkeypatch.setattr(_os, "getloadavg", lambda: (5.0, 1.0, 1.0))
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    monkeypatch.setenv("SPARK_GRAFT_WAIT_QUIET_SEC", "45")
+    load, dirty, waited = bench._start_load_gate([])
+    assert dirty is True and waited == 45.0
+    err = capsys.readouterr().err
+    assert "exhausted wait" in err and "DIRTY START" in err
+
+
+def test_start_load_gate_malformed_env_falls_back(monkeypatch, capsys):
+    """r14 ADVICE: a malformed env knob must degrade to the default
+    with a stderr note, never kill the sweep before a record exists."""
+    import os as _os
+
+    monkeypatch.setattr(_os, "getloadavg", lambda: (0.2, 0.3, 0.4))
+    monkeypatch.setenv("SPARK_GRAFT_MAX_START_LOAD", "fast")
+    monkeypatch.setenv("SPARK_GRAFT_WAIT_QUIET_SEC", "10 minutes")
+    load, dirty, waited = bench._start_load_gate([])
+    assert dirty is False and waited == 0.0
+    err = capsys.readouterr().err
+    assert "malformed $SPARK_GRAFT_MAX_START_LOAD" in err
+    # the wait knob is only consulted on a dirty start — the malformed
+    # threshold alone must already have fallen back loudly
+
+
+def test_start_load_gate_rejects_unknown_flags(monkeypatch):
+    """r14 ADVICE: a typo'd flag must error (argparse exit 2), not
+    silently no-op like the old substring scan."""
+    import os as _os
+
+    import pytest as _pytest
+
+    monkeypatch.setattr(_os, "getloadavg", lambda: (0.2, 0.3, 0.4))
+    with _pytest.raises(SystemExit) as e:
+        bench._start_load_gate(["--refuse-dirt"])  # the typo'd flag
+    assert e.value.code == 2

@@ -210,9 +210,13 @@ def test_content_doc_ids_refuses_null_text_at_execution(spark):
     """sha2(NULL) would stamp a NULL id, which the uniqueness pass then
     MERGES across distinct null-text rows (null groups as one key —
     silent row loss) and every downstream doc_id join drops invisibly;
-    content_doc_ids instead raises AT EXECUTION (construction stays
-    lazy) telling the caller to quarantine first, the ingest_jsonl
-    rejects posture."""
+    content_doc_ids instead raises when the id expression first
+    EXECUTES, telling the caller to quarantine first (the ingest_jsonl
+    rejects posture). With unique=True (default) the uniqueness pass's
+    violation-set count executes at call time (r15: the enforced
+    broadcast contract), so the refusal surfaces right at the call;
+    with unique=False construction stays lazy and the refusal waits
+    for the first action."""
     import pytest
 
     from kcbdml9_big_data_processing_spark.sources.corpus import (
@@ -222,9 +226,11 @@ def test_content_doc_ids_refuses_null_text_at_execution(spark):
     dirty = spark.createDataFrame(
         [("a b c", 1), (None, 2)], "text string, tag long"
     )
-    out = content_doc_ids(dirty, epoch=1)  # lazy: no error yet
     with pytest.raises(Exception, match="NULL text"):
-        out.collect()
+        content_doc_ids(dirty, epoch=1).collect()
+    lazy = content_doc_ids(dirty, epoch=1, unique=False)  # no error yet
+    with pytest.raises(Exception, match="NULL text"):
+        lazy.collect()
 
 
 def test_ingest_csv_quarantine_and_defaults(spark, tmp_path):
@@ -462,6 +468,46 @@ def test_cli_ingest_csv_warns_when_header_never_matched(
     )
     assert rc == 0
     assert "no line matched" not in capsys.readouterr().err
+
+
+def test_unique_doc_ids_broadcast_cap_falls_back_and_matches(
+    spark, capsys
+):
+    """r14 verdict 'what's wrong' #1: the broadcast contract is now
+    ENFORCED — a mostly-duplicate frame (violation set past the cap)
+    warns loudly, drops the broadcast hint (no BroadcastHashJoin in
+    the plan), and STILL collapses to the identical survivor set the
+    hinted path produces: the fallback degrades the shuffle shape,
+    never the semantics."""
+    from kcbdml9_big_data_processing_spark.plans.inspect import (
+        has_broadcast_hash_join,
+    )
+    from kcbdml9_big_data_processing_spark.sources.corpus import (
+        unique_doc_ids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "bbb"), (1, "aaa"),   # dup group -> min text
+            (2, "solo"),              # singleton
+            (3, "zz"), (3, "aa"), (3, "mm"),  # dup group
+        ],
+        "doc_id long, text string",
+    )
+    hinted = sorted(tuple(r) for r in unique_doc_ids(df).collect())
+    capsys.readouterr()  # discard anything from the hinted run
+    fallback_df = unique_doc_ids(df, max_broadcast_ids=1)
+    err = capsys.readouterr().err
+    assert "falling back to shuffle joins" in err
+    assert not has_broadcast_hash_join(fallback_df), (
+        "the over-cap path must not keep the broadcast hint"
+    )
+    assert sorted(tuple(r) for r in fallback_df.collect()) == hinted
+    assert hinted == [(1, "aaa"), (2, "solo"), (3, "aa")]
+
+    # under the cap the hinted plan is unchanged (the enforced
+    # contract costs one pruned count, not the broadcast shape)
+    assert has_broadcast_hash_join(unique_doc_ids(df))
 
 
 def test_unique_doc_ids_collapses_null_id_group(spark):

@@ -361,3 +361,63 @@ def test_shuffle_guard_is_falsifiable(spark):
         df.repartition(7, "x").groupBy("x").count().repartition(3)
     )
     assert base >= 1 and worse > base
+
+
+def test_shuffle_exchanges_carrying_semi_is_structural(spark):
+    """r14 ADVICE: duplicate_scoped must mean 'a LeftSemi join gates
+    the rows whose bytes this exchange moves' — a semi join in an
+    UNRELATED branch (here: filtering an id list that carries no
+    text) must NOT absolve a text-carrying exchange, as the old
+    substring match of the subtree toString() would have."""
+    from kcbdml9_big_data_processing_spark.plans.inspect import (
+        shuffle_exchanges_carrying,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    wanted = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    # the semi filter runs on a TEXT-FREE branch...
+    ids = docs.select("doc_id").join(F.broadcast(wanted), "doc_id", "left_semi")
+    # ...and full-corpus text then rides the aggregation exchange
+    joined = docs.join(ids.withColumnRenamed("doc_id", "j_id"),
+                       F.col("doc_id") == F.col("j_id"))
+    agg = joined.groupBy("doc_id").agg(
+        F.min(F.struct("text")).alias("t")
+    )
+    exchanges = shuffle_exchanges_carrying(agg, "text")
+    text_bearing = [dup for carries, dup in exchanges if carries]
+    assert text_bearing, "expected a text-carrying exchange"
+    assert not any(text_bearing), (
+        "an unrelated semi join absolved a full-corpus text shuffle —"
+        " the guard regressed to textual matching"
+    )
+
+    # and the REAL posture still passes: the semi join on the
+    # text-carrying path itself
+    guarded = (
+        docs.join(F.broadcast(wanted), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("text")).alias("s"))
+    )
+    g_exchanges = shuffle_exchanges_carrying(guarded, "text")
+    g_text = [dup for carries, dup in g_exchanges if carries]
+    assert g_text and all(g_text)
+
+
+def test_shuffle_exchanges_carrying_no_reused_double_count(spark):
+    """r14 ADVICE: a ReusedExchangeExec references shuffle files
+    already classified at the exchange's single real occurrence —
+    re-walking it double-counted every reused shuffle."""
+    from kcbdml9_big_data_processing_spark.plans.inspect import (
+        shuffle_exchanges_carrying,
+    )
+    from kcbdml9_big_data_processing_spark.sources.parquet import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    base = docs.groupBy("doc_id").agg(F.min("text").alias("t"))
+    two = base.union(base)  # identical subplans -> exchange reuse
+    exchanges = shuffle_exchanges_carrying(two, "text")
+    assert len(exchanges) == 1, (
+        f"expected the one real exchange, got {len(exchanges)} —"
+        " reused exchanges are being re-counted"
+    )

@@ -1,0 +1,292 @@
+"""Run-level crash-safe commit (jobs/runs.py — r14 verdict #1).
+
+The kill-between-writes matrix: a curate run stages kept + decisions
++ index maintenance under a versioned run dir and publishes at ONE
+run_meta append, so every crash point leaves the run either INVISIBLE
+(unpublished, redoable) or LOUDLY NAMED (torn-extend refusal with the
+repair path spelled out) — never a kept set without its decision
+record or an archive ahead of its index, which is exactly the state
+run_incremental's preconditions reject.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kcbdml9_big_data_processing_spark.jobs import runs as R
+from kcbdml9_big_data_processing_spark.jobs.runs import (
+    TornRunError,
+    curate_run_root,
+    latest_run,
+)
+from kcbdml9_big_data_processing_spark.jobs.training_data import (
+    CurationConfig,
+)
+
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+DAY1 = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "a", 44),
+    (2, "pack my box with five dozen liquor jugs today", "en", "a", 46),
+    # exact dup of doc 1 -> the full run keeps the min id only
+    (3, "the quick brown fox jumps over the lazy dog", "en", "b", 44),
+    (4, "sphinx of black quartz judge my vow said nobody", "en", "a", 48),
+]
+DAY2 = [
+    # exact dup of ARCHIVED doc 2 -> the incremental run must drop it
+    (101, "pack my box with five dozen liquor jugs today", "en", "c", 46),
+    (102, "a completely fresh document with many distinct words inside",
+     "en", "c", 60),
+]
+DAY3 = [
+    # exact dup of day-2's kept doc 102 -> proves archive/index moved
+    # in lockstep through the recovery paths
+    (201, "a completely fresh document with many distinct words inside",
+     "en", "d", 60),
+    (202, "another wholly new document carrying plenty of unique words",
+     "en", "d", 60),
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _kept_ids(spark, rdir):
+    return sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{rdir}/kept").collect()
+    )
+
+
+def test_run_root_day1_full_day2_incremental(spark, tmp_path):
+    """Happy path: first run is full (kept + decisions + index build),
+    second auto-resolves incremental against the published archive;
+    both publish exactly one meta row each."""
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    r1 = curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+    assert (r1["run_id"], r1["mode"]) == (1, "full")
+    assert _kept_ids(spark, r1["dir"]) == [1, 2, 4]
+    reasons = {
+        r["reason"]
+        for r in spark.read.parquet(f"{r1['dir']}/decisions").collect()
+    }
+    assert "kept" in reasons and "exact_dup" in reasons
+
+    r2 = curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+    assert (r2["run_id"], r2["mode"]) == (2, "incremental")
+    # 101 duplicates ARCHIVED content -> dropped via the stored hash map
+    assert _kept_ids(spark, r2["dir"]) == [102]
+    assert latest_run(spark, root)["run_id"] == 2
+
+    # a benchmark on an incremental run is a usage error, not a surprise
+    with pytest.raises(ValueError, match="full-run"):
+        curate_run_root(
+            spark, root, _docs(spark, DAY3), cfg,
+            benchmark=_docs(spark, DAY1).select("text"),
+        )
+
+
+def test_run_root_torn_before_decisions_is_invisible(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the kept and decisions writes: the run is
+    unpublished (latest_run unchanged), a blind retry refuses loudly,
+    and retry_torn discards the stage and redoes the batch."""
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+
+    real = R._write_stage
+
+    def crash_on_decisions(df, path):
+        if path.endswith("/decisions"):
+            raise RuntimeError("injected crash before decisions")
+        real(df, path)
+
+    monkeypatch.setattr(R, "_write_stage", crash_on_decisions)
+    with pytest.raises(RuntimeError, match="injected"):
+        curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+    monkeypatch.setattr(R, "_write_stage", real)
+
+    assert latest_run(spark, root)["run_id"] == 1  # torn run invisible
+    with pytest.raises(TornRunError, match="retry-torn"):
+        curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+    r2 = curate_run_root(
+        spark, root, _docs(spark, DAY2), cfg, retry_torn=True
+    )
+    assert (r2["run_id"], r2["mode"]) == (2, "incremental")
+    assert _kept_ids(spark, r2["dir"]) == [102]
+
+
+def test_run_root_torn_mid_extend_requires_repair(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the extend's appends landed but before index_done:
+    the index's generation holds the batch's postings while the run is
+    unpublished — the one non-redoable state. retry_torn alone must
+    refuse (extend is not idempotent); repair_index rebuilds the index
+    from the committed archive (fresh generation supersedes the
+    poisoned one), redoes the batch, and the final index carries each
+    posting exactly once."""
+    from kcbdml9_big_data_processing_spark.queries import dedup as D
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        _gen_current,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+
+    real_extend = D.extend_dedup_index
+
+    def extend_then_crash(new_docs, path):
+        real_extend(new_docs, path)  # the appends HAVE landed
+        raise RuntimeError("injected crash after extend, before marker")
+
+    monkeypatch.setattr(D, "extend_dedup_index", extend_then_crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+    monkeypatch.setattr(D, "extend_dedup_index", real_extend)
+
+    assert latest_run(spark, root)["run_id"] == 1
+    # even an operator willing to discard the stage must be stopped:
+    # the INDEX state is the problem, not the staged files
+    with pytest.raises(TornRunError, match="repair-index"):
+        curate_run_root(
+            spark, root, _docs(spark, DAY2), cfg, retry_torn=True
+        )
+    r2 = curate_run_root(
+        spark, root, _docs(spark, DAY2), cfg, repair_index=True
+    )
+    assert (r2["run_id"], r2["mode"]) == (2, "incremental")
+    assert _kept_ids(spark, r2["dir"]) == [102]
+
+    # lockstep held through the repair: day 3 dedups against day 2's
+    # kept doc via the stored hash map, and every (doc_id, shingle)
+    # posting appears exactly once (the partial generation is gone)
+    r3 = curate_run_root(spark, root, _docs(spark, DAY3), cfg)
+    assert _kept_ids(spark, r3["dir"]) == [202]
+    gdir = _gen_current(spark, R.index_root(root), cached=False)
+    dup_postings = (
+        spark.read.parquet(f"{gdir}/postings")
+        .groupBy("doc_id", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup_postings == 0
+
+
+def test_run_root_crash_before_commit_auto_publishes(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between index_done and the meta append: every artifact is
+    staged, so the NEXT invocation publishes the torn run as-is (no
+    recompute, no flags) and processes its own batch as the following
+    run — against the just-published archive."""
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+
+    real_commit = R._commit
+
+    def crash_commit(spark_, root_, run_id, rdir, mode):
+        raise RuntimeError("injected crash before meta commit")
+
+    monkeypatch.setattr(R, "_commit", crash_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+    monkeypatch.setattr(R, "_commit", real_commit)
+
+    assert latest_run(spark, root)["run_id"] == 1
+    r3 = curate_run_root(spark, root, _docs(spark, DAY3), cfg)
+    # the torn day-2 run was published untouched, day 3 ran after it
+    assert (r3["run_id"], r3["mode"]) == (3, "incremental")
+    assert latest_run(spark, root)["run_id"] == 3
+    r2dir = R.run_dir(root, 2)
+    assert _kept_ids(spark, r2dir) == [102]
+    # 201 duplicates the AUTO-PUBLISHED run's kept doc -> dropped,
+    # proving day 3 curated against day 2's archive, not day 1's
+    assert _kept_ids(spark, r3["dir"]) == [202]
+
+
+def test_run_root_full_flag_rebuilds(spark, tmp_path):
+    """--full on an existing root re-freezes: full curation of the
+    given corpus, index REBUILT over its kept set, archive reset."""
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+    r2 = curate_run_root(
+        spark, root, _docs(spark, DAY1 + DAY2), cfg, full=True
+    )
+    assert (r2["run_id"], r2["mode"]) == (2, "full")
+    assert _kept_ids(spark, r2["dir"]) == [1, 2, 4, 102]
+
+
+def test_curate_cli_run_root(spark, tmp_path, capsys):
+    """CLI wiring: happy path publishes and prints the summary; a
+    manually-planted torn dir exits 4 with the recovery named;
+    --retry-torn clears it; conflicting/misplaced flags exit 2."""
+    from kcbdml9_big_data_processing_spark.__main__ import _curate_main
+
+    d1 = str(tmp_path / "d1")
+    d2 = str(tmp_path / "d2")
+    _docs(spark, DAY1).write.parquet(d1)
+    _docs(spark, DAY2).write.parquet(d2)
+    root = str(tmp_path / "root")
+
+    assert _curate_main(
+        ["--docs", d1, "--run-root", root], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert "published run r1 (full)" in out
+    assert "kept:" in out
+
+    # plant a torn next-run dir: exit 4, loud; --retry-torn recovers
+    (tmp_path / "root" / "runs" / "r000002").mkdir(parents=True)
+    assert _curate_main(
+        ["--docs", d2, "--run-root", root], spark=spark
+    ) == 4
+    assert "retry-torn" in capsys.readouterr().err
+    assert _curate_main(
+        ["--docs", d2, "--run-root", root, "--retry-torn"], spark=spark
+    ) == 0
+    assert "published run r2 (incremental)" in capsys.readouterr().out
+
+    # flag hygiene
+    assert _curate_main(
+        ["--docs", d1, "--run-root", root, "--out-kept", "x",
+         "--out-decisions", "y"],
+        spark=spark,
+    ) == 2
+    assert _curate_main(
+        ["--docs", d1, "--out-kept", "x", "--out-decisions", "y",
+         "--retry-torn"],
+        spark=spark,
+    ) == 2
+    assert _curate_main(["--docs", d1], spark=spark) == 2
+
+
+def test_curate_cli_model_flag_sentinels(spark, tmp_path):
+    """r14 ADVICE: an EXPLICIT --model-ngram-max 2 (the default value)
+    without --model-weights is still an inert-flag usage error — the
+    None sentinels catch it where the re-hardcoded-default check
+    could not."""
+    from kcbdml9_big_data_processing_spark.__main__ import _curate_main
+
+    d1 = str(tmp_path / "d1")
+    _docs(spark, DAY1).write.parquet(d1)
+    assert _curate_main(
+        ["--docs", d1, "--out-kept", str(tmp_path / "k"),
+         "--out-decisions", str(tmp_path / "d"),
+         "--model-ngram-max", "2"],
+        spark=spark,
+    ) == 2
+    assert _curate_main(
+        ["--docs", d1, "--out-kept", str(tmp_path / "k"),
+         "--out-decisions", str(tmp_path / "d"),
+         "--min-model-mean-milli", "0"],
+        spark=spark,
+    ) == 2

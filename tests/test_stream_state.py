@@ -203,3 +203,47 @@ def test_live_listener_captures_state_series(spark, tmp_path):
     finally:
         spark.streams.removeListener(listener)
         telemetry.LAST_STATE.pop("live", None)
+
+
+def test_live_listener_ring_caps_series_but_keeps_peak(spark, tmp_path):
+    """r14 ADVICE: the live series is a ring of the last N batches —
+    the watchdog must not itself hold unbounded driver state over a
+    week-long deployment — while the all-time peak survives trimming
+    in listener.peaks (an alarm must not age out of the window)."""
+    import time
+
+    listener = telemetry.make_state_listener(max_batches=1)
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "ring_src")
+        os.makedirs(src)
+        for i in range(3):
+            spark.createDataFrame(
+                [(i * 10 + j,) for j in range(10)], "k long"
+            ).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .dropDuplicates(["k"])
+            .writeStream.format("noop")
+            .queryName("ring_probe")
+            .option("checkpointLocation", str(tmp_path / "ring_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        peak = 0
+        for _ in range(100):
+            peak = listener.peaks.get("ring_probe", 0)
+            if peak >= 30:
+                break
+            time.sleep(0.2)
+        series = telemetry.LAST_STATE.get("live", {}).get("ring_probe")
+        assert series is not None and len(series) == 1, (
+            "ring did not trim the live series to max_batches"
+        )
+        assert peak == 30, "all-time peak lost to the ring trim"
+    finally:
+        spark.streams.removeListener(listener)
+        telemetry.LAST_STATE.pop("live", None)

@@ -222,6 +222,70 @@ def test_multi_query_orchestration(spark, tmp_path):
     assert (_t(0, 0), "b", 20, "key_bytes_total") in rows
 
 
+def test_job_state_watchdog_surfaces_violations(spark, tmp_path):
+    """r14 verdict #5: the production orchestration can opt into the
+    live state watchdog — a running multi-query job records live
+    per-batch state series, and a state-growth violation surfaces
+    through the JOB API (state_peaks / state_violations), not through
+    a loose listener the operator had to wire by hand."""
+    import time
+
+    from kcbdml9_big_data_processing_spark.streaming import telemetry
+
+    src_dir = str(tmp_path / "src")
+    _write_file(
+        spark,
+        src_dir,
+        [(_t(0, 10), "a", 10), (_t(0, 20), "b", 20), (_t(2, 0), "a", 5)],
+    )
+    stream = read_file_stream(spark, src_dir, SCHEMA, fmt="parquet")
+
+    job = StreamingJob(
+        spark,
+        StreamingJobConfig(
+            metrics=[("key", "watchdog_key_bytes")],
+            window="90 seconds",
+            watermark="15 seconds",
+            checkpoint_root=str(tmp_path / "ckpts"),
+            available_now=True,
+            state_watchdog=True,
+        ),
+    )
+    try:
+        # the writer must process every partition (Spark's state-store
+        # commit validation rejects a foreachBatch that skips them)
+        job.start(stream, lambda batch_df, batch_id: batch_df.count())
+        job.await_all()
+        # listener callbacks land on a JVM thread — poll briefly
+        peaks = {}
+        for _ in range(100):
+            peaks = job.state_peaks()
+            if peaks.get("watchdog_key_bytes", 0) > 0:
+                break
+            time.sleep(0.2)
+        assert peaks.get("watchdog_key_bytes", 0) > 0, (
+            "watchdog recorded no state for the windowed agg"
+        )
+        # the alarm: a ceiling of 0 rows is violated by any state...
+        assert "watchdog_key_bytes" in job.state_violations(0)
+        # ...a generous one is not
+        assert job.state_violations(10_000) == {}
+        # live series is queryable through the plateau predicate too
+        assert job.state_plateaus("watchdog_key_bytes", 10_000)
+    finally:
+        job.stop()
+        telemetry.LAST_STATE.pop("live", None)
+    # stop() unhooked the listener and dropped the handle
+    assert job._listener is None
+
+    # watchdog off -> the API refuses instead of returning empties
+    cold = StreamingJob(spark, StreamingJobConfig())
+    import pytest
+
+    with pytest.raises(RuntimeError, match="state_watchdog"):
+        cold.state_peaks()
+
+
 def test_default_checkpoint_roots_are_unique():
     """Two jobs built with defaults must never share checkpoint state
     (a shared fixed path makes reruns resume another run's offsets)."""

@@ -652,8 +652,39 @@ def main() -> None:
 
         return n, one, corpus.unpersist
 
+    def unique_ids_runner(mult):
+        """uniqueness enforcement with a FIXED violation set vs a
+        growing corpus (r14 verdict #4): the violation-set rework's
+        claim is that text shuffles O(duplicates), not O(corpus) —
+        clean rows pass a broadcast ANTI join with no corpus-side
+        exchange, and the min-struct survivor (the only text-bearing
+        shuffle) runs on the semi-joined duplicate subset alone. With
+        the duplicate COUNT held constant while the corpus multiplies,
+        the recurring cost should be scan-bound (the pruned dup-id
+        count + contract-enforcement count) — near-flat at probe
+        scale, nowhere near the ~linear a full-corpus
+        groupBy(min(struct)) would read."""
+        from kcbdml9_big_data_processing_spark.sources.corpus import (
+            unique_doc_ids,
+        )
+
+        # fixed violation set: ~1% of the BASE corpus's ids appear
+        # twice, independent of mult (the invariant-violation regime:
+        # redeliveries don't multiply with corpus size)
+        dup_rows = base.where(F.col("doc_id") % 97 == 0)
+        corpus = _inflate(base, mult).unionAll(dup_rows).persist()
+        n = corpus.count()
+
+        def one():
+            unique_doc_ids(corpus).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        return n, one, corpus.unpersist
+
     OPS = {
         "exact_dedup": docs_op(lambda c: (exact_dedup(c), [])),
+        "unique_doc_ids": unique_ids_runner,
         # pure per-row projection (hash + literal-vector lookup), no
         # shuffle — the guard is exactly-linear scan cost
         "quality_clf": docs_op(quality_clf_op),
