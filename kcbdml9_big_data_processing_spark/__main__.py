@@ -798,7 +798,16 @@ def _curate_main(argv: list[str], spark=None) -> int:
     verbs bracket: ``ingest`` lands the corpus, ``curate`` produces
     the kept set + decision record (and maintains the near-dup index
     artifact the NEXT day's increment needs), ``export-shards`` ships
-    it. Per-reason decision counts print as the job summary."""
+    it. Per-reason decision counts print as the job summary.
+
+    ``--run-root`` (r15) is the CRASH-SAFE orchestration of the same
+    pipeline (jobs/runs.py): kept/decisions/index maintenance stage
+    under a versioned run dir and publish at one run_meta append, so
+    a mid-run crash can never tear the daily-incremental contract
+    (archive = prior kept set, index in lockstep). First run full,
+    later runs incremental against the last PUBLISHED run; recovery
+    flags --retry-torn / --repair-index; exit 4 = a torn prior
+    attempt needs one of them (stderr names which)."""
     ap = argparse.ArgumentParser(prog="kcbdml9-spark curate")
     ap.add_argument(
         "--docs", required=True, help="documents-schema parquet (the batch)"
