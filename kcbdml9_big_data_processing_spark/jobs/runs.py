@@ -122,22 +122,56 @@ def index_root(root: str) -> str:
     return f"{root}/index"
 
 
-def latest_run(spark: SparkSession, root: str) -> dict | None:
-    """Newest COMMITTED run's meta row as a dict, or None on a fresh
-    root. Absence decided by a driver-side FS check, not a caught read
-    error (the _gen_meta_row posture: a transient failure must
-    propagate, not misread as 'fresh root' and silently re-run a full
-    curation)."""
+def run_rows(spark: SparkSession, root: str) -> list[dict]:
+    """Every COMMITTED run's meta row, ascending by run_id ([] on a
+    fresh root). Absence decided by a driver-side FS check, not a
+    caught read error (the _gen_meta_row posture: a transient failure
+    must propagate, not misread as 'fresh root' and silently re-run a
+    full curation). Bounded driver rows: one ~3-field row per
+    PUBLISHED run — days, not data."""
     meta_dir = f"{root}/run_meta"
     if not _exists(spark, meta_dir):
+        return []
+    return [
+        r.asDict()
+        for r in (
+            spark.read.schema(_RUN_META_SCHEMA)
+            .parquet(meta_dir)
+            .orderBy("run_id")
+            .collect()
+        )
+    ]
+
+
+def latest_run(spark: SparkSession, root: str) -> dict | None:
+    """Newest committed run's meta row as a dict, or None."""
+    rows = run_rows(spark, root)
+    return rows[-1] if rows else None
+
+
+def standing_archive(spark: SparkSession, root: str) -> DataFrame | None:
+    """The standing curated corpus a new incremental batch must honor:
+    the last FULL run's kept set unioned with every incremental kept
+    set published since (a full run rebuilds the index over its own
+    kept set, resetting the lineage). This is exactly the frame
+    run_incremental's preconditions call ``archive`` — with a current
+    index the plan never scans it (the stored hash map answers the
+    exact stage; poison-UDF-pinned in tests/test_pipeline.py), so the
+    union stays an unexecuted lazy plan, but the semantics must hold
+    for the legacy fallback and the monotonic-id guard alike."""
+    rows = run_rows(spark, root)
+    if not rows:
         return None
-    row = (
-        spark.read.schema(_RUN_META_SCHEMA)
-        .parquet(meta_dir)
-        .orderBy(F.col("run_id").desc())
-        .first()
+    start = max(
+        (i for i, r in enumerate(rows) if r["mode"] == "full"), default=0
     )
-    return None if row is None else row.asDict()
+    frames = [
+        spark.read.parquet(f"{r['dir']}/kept") for r in rows[start:]
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _commit(
@@ -204,14 +238,12 @@ def _resolve_torn(
 
         print(
             f"curate: repairing index at {index_root(root)} — full"
-            f" rebuild over the committed archive (run"
-            f" r{prior['run_id']}'s kept set); the partial generation"
-            " is superseded and vacuumable.",
+            " rebuild over the committed STANDING archive (last full"
+            f" run's kept set + increments through r{prior['run_id']});"
+            " the partial generation is superseded and vacuumable.",
             file=sys.stderr,
         )
-        archive = spark.read.parquet(f"{prior['dir']}/kept").select(
-            "doc_id", "text"
-        )
+        archive = standing_archive(spark, root).select("doc_id", "text")
         build_dedup_index(archive, index_root(root))
         _delete(spark, rdir)
         return False
@@ -278,7 +310,7 @@ def curate_run_root(
 
     curator = TrainingDataCurator(cfg)
     if mode == "incremental":
-        archive = spark.read.parquet(f"{prior['dir']}/kept")
+        archive = standing_archive(spark, root)
         kept, dec = curator.run_incremental(
             docs, archive, index_root(root), cleanup=cleanup
         )

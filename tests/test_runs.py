@@ -45,6 +45,11 @@ DAY3 = [
      "en", "d", 60),
     (202, "another wholly new document carrying plenty of unique words",
      "en", "d", 60),
+    # exact dup of DAY-ONE's kept doc 4 -> proves the standing archive
+    # is cumulative (last full run + every increment), not just the
+    # prior run's batch
+    (203, "sphinx of black quartz judge my vow said nobody",
+     "en", "d", 48),
 ]
 
 
@@ -78,6 +83,18 @@ def test_run_root_day1_full_day2_incremental(spark, tmp_path):
     # 101 duplicates ARCHIVED content -> dropped via the stored hash map
     assert _kept_ids(spark, r2["dir"]) == [102]
     assert latest_run(spark, root)["run_id"] == 2
+
+    # the standing archive is CUMULATIVE since the last full run —
+    # day 3 drops dups of day-1 (203) AND day-2 (201) kept content
+    from kcbdml9_big_data_processing_spark.jobs.runs import (
+        standing_archive,
+    )
+
+    assert sorted(
+        r["doc_id"] for r in standing_archive(spark, root).collect()
+    ) == [1, 2, 4, 102]
+    r3 = curate_run_root(spark, root, _docs(spark, DAY3), cfg)
+    assert _kept_ids(spark, r3["dir"]) == [202]
 
     # a benchmark on an incremental run is a usage error, not a surprise
     with pytest.raises(ValueError, match="full-run"):
