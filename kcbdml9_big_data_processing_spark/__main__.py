@@ -810,7 +810,10 @@ def _curate_main(argv: list[str], spark=None) -> int:
     attempt needs one of them (stderr names which)."""
     ap = argparse.ArgumentParser(prog="kcbdml9-spark curate")
     ap.add_argument(
-        "--docs", required=True, help="documents-schema parquet (the batch)"
+        "--docs",
+        default=None,
+        help="documents-schema parquet (the batch); required except"
+        " for --status",
     )
     ap.add_argument("--out-kept", default=None, help="kept corpus parquet")
     ap.add_argument(
@@ -846,6 +849,12 @@ def _curate_main(argv: list[str], spark=None) -> int:
         action="store_true",
         help="RUN-ROOT: a torn extend may have left partial postings —"
         " rebuild the index over the committed archive, then redo",
+    )
+    ap.add_argument(
+        "--status",
+        action="store_true",
+        help="RUN-ROOT: read-only — list published runs and name any"
+        " torn attempt + its recovery; the first move after a crash",
     )
     ap.add_argument(
         "--archive",
@@ -919,6 +928,14 @@ def _curate_main(argv: list[str], spark=None) -> int:
     )
     args = ap.parse_args(argv)
 
+    if args.status and args.run_root is None:
+        print(
+            "curate: --status inspects a --run-root", file=sys.stderr
+        )
+        return 2
+    if args.docs is None and not args.status:
+        print("curate: --docs is required", file=sys.stderr)
+        return 2
     if args.run_root is not None:
         managed = {
             "--out-kept": args.out_kept,
@@ -1069,7 +1086,25 @@ def _curate_main(argv: list[str], spark=None) -> int:
     cleanup: list = []
     try:
         if args.run_root is not None:
-            from .jobs.runs import TornRunError, curate_run_root
+            from .jobs.runs import (
+                TornRunError,
+                curate_run_root,
+                run_status,
+            )
+
+            if args.status:
+                st = run_status(spark, args.run_root)
+                for r in st["runs"]:
+                    print(f"r{r['run_id']} ({r['mode']}) {r['dir']}")
+                if st["torn"] is not None:
+                    t = st["torn"]
+                    print(
+                        f"TORN r{t['run_id']} [{t['state']}] at"
+                        f" {t['dir']} — recovery: {t['recovery']}"
+                    )
+                elif not st["runs"]:
+                    print("no runs published")
+                return 0
 
             try:
                 with lock_scope:

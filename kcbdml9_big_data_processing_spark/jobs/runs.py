@@ -191,6 +191,48 @@ def _intent(spark: SparkSession, rdir: str) -> str | None:
     return None if row is None else row["mode"]
 
 
+def _torn_state(spark: SparkSession, rdir: str) -> tuple[str, str | None]:
+    """Classify an existing-but-unpublished run dir:
+    ``('complete'|'partial_extend'|'partial_stage', intent)`` — the
+    one classification both the recovery path and the read-only
+    status verb apply, so they can never disagree on what a torn dir
+    needs."""
+    intent = _intent(spark, rdir)
+    if _marked(spark, f"{rdir}/index_done") and intent is not None:
+        return "complete", intent
+    if _marked(spark, f"{rdir}/index_started") and intent == "incremental":
+        return "partial_extend", intent
+    return "partial_stage", intent
+
+
+def run_status(spark: SparkSession, root: str) -> dict:
+    """Read-only root inspection: every published run plus the torn
+    next-run attempt (if any) with the recovery it needs — an
+    operator's first move after a crashed curate, side-effect-free."""
+    rows = run_rows(spark, root)
+    nxt = 1 if not rows else int(rows[-1]["run_id"]) + 1
+    rdir = run_dir(root, nxt)
+    torn = None
+    if _exists(spark, rdir):
+        state, intent = _torn_state(spark, rdir)
+        recovery = {
+            "complete": "re-run curate --run-root (publishes as-is,"
+            " nothing recomputes)",
+            "partial_extend": "--repair-index (index generation may"
+            " hold partial postings)",
+            "partial_stage": "--retry-torn (discard staged outputs,"
+            " redo the batch)",
+        }[state]
+        torn = {
+            "run_id": nxt,
+            "dir": rdir,
+            "state": state,
+            "intent": intent,
+            "recovery": recovery,
+        }
+    return {"runs": rows, "torn": torn}
+
+
 def _resolve_torn(
     spark: SparkSession,
     root: str,
@@ -207,8 +249,8 @@ def _resolve_torn(
     decision not yet granted."""
     import sys
 
-    intent = _intent(spark, rdir)
-    if _marked(spark, f"{rdir}/index_done") and intent is not None:
+    state, intent = _torn_state(spark, rdir)
+    if state == "complete":
         print(
             f"curate: publishing torn-but-complete prior run r{run_id}"
             f" ({intent}) — every artifact was staged, only the meta"
@@ -217,7 +259,7 @@ def _resolve_torn(
         )
         _commit(spark, root, run_id, rdir, intent)
         return True
-    if _marked(spark, f"{rdir}/index_started") and intent == "incremental":
+    if state == "partial_extend":
         if not repair_index:
             raise TornRunError(
                 f"torn curate run at {rdir}: its index extend started"

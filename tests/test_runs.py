@@ -261,16 +261,27 @@ def test_curate_cli_run_root(spark, tmp_path, capsys):
     assert "published run r1 (full)" in out
     assert "kept:" in out
 
-    # plant a torn next-run dir: exit 4, loud; --retry-torn recovers
+    # plant a torn next-run dir: exit 4, loud; --status names it
+    # read-only; --retry-torn recovers
     (tmp_path / "root" / "runs" / "r000002").mkdir(parents=True)
     assert _curate_main(
         ["--docs", d2, "--run-root", root], spark=spark
     ) == 4
     assert "retry-torn" in capsys.readouterr().err
+    assert _curate_main(["--run-root", root, "--status"], spark=spark) == 0
+    status_out = capsys.readouterr().out
+    assert "r1 (full)" in status_out
+    assert "TORN r2 [partial_stage]" in status_out
+    assert "--retry-torn" in status_out
     assert _curate_main(
         ["--docs", d2, "--run-root", root, "--retry-torn"], spark=spark
     ) == 0
     assert "published run r2 (incremental)" in capsys.readouterr().out
+    assert _curate_main(["--run-root", root, "--status"], spark=spark) == 0
+    status_out = capsys.readouterr().out
+    assert "r2 (incremental)" in status_out and "TORN" not in status_out
+    assert _curate_main(["--status"], spark=spark) == 2
+    assert _curate_main(["--run-root", root], spark=spark) == 2  # no docs
 
     # flag hygiene
     assert _curate_main(
