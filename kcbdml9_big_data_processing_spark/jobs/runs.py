@@ -320,7 +320,8 @@ def curate_run_root(
     """One crash-safe curate run against ``root``: full curation on a
     fresh root (or with ``full=True`` — the periodic re-freeze, which
     also REBUILDS the index), else the daily incremental batch against
-    the last committed run's kept set and the standing index. All
+    the CUMULATIVE standing archive (:func:`standing_archive`) and the
+    standing index. All
     outputs stage under a versioned run dir and publish at one meta
     append; see the module docstring for the crash matrix. Returns
     ``{"run_id", "dir", "mode"}`` of the PUBLISHED run."""
