@@ -1087,6 +1087,7 @@ def _curate_main(argv: list[str], spark=None) -> int:
     try:
         if args.run_root is not None:
             from .jobs.runs import (
+                RunUsageError,
                 TornRunError,
                 curate_run_root,
                 run_status,
@@ -1128,9 +1129,12 @@ def _curate_main(argv: list[str], spark=None) -> int:
             except TornRunError as e:
                 print(f"curate: {e}", file=sys.stderr)
                 return 4
-            except ValueError as e:
-                # library-enforced mode constraints (benchmark / span /
-                # rarity on an incremental run) as clean usage errors
+            except RunUsageError as e:
+                # ONLY the library's pre-stage mode/flag refusals map
+                # to exit 2 (r15 review: a broad ValueError catch here
+                # disguised data-integrity failures — e.g. a
+                # monotonic-id violation — as flag mistakes and
+                # discarded their tracebacks)
                 print(f"curate: {e}", file=sys.stderr)
                 return 2
             for r in (

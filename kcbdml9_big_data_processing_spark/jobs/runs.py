@@ -65,6 +65,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fs import delete_recursive as _delete
+from ..fs import dir_has_parquet, exists as _exists
+
 _RUN_META_SCHEMA = "run_id int, dir string, mode string"
 _INTENT_SCHEMA = "mode string"
 _MARK_SCHEMA = "ok boolean"
@@ -76,20 +79,12 @@ class TornRunError(RuntimeError):
     ``repair_index``)."""
 
 
-def _hadoop_path(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
-
-
-def _exists(spark: SparkSession, path: str) -> bool:
-    p, fs = _hadoop_path(spark, path)
-    return bool(fs.exists(p))
-
-
-def _delete(spark: SparkSession, path: str) -> None:
-    p, fs = _hadoop_path(spark, path)
-    fs.delete(p, True)
+class RunUsageError(ValueError):
+    """A mode/flag combination curate_run_root refuses BEFORE staging
+    anything (r15 review: the intent marker must never be written on
+    a pure usage error, or a typo'd flag escalates into a torn-run
+    recovery intervention). The CLI maps this to exit 2; every other
+    exception propagates loudly with its traceback."""
 
 
 def _write_stage(df: DataFrame, path: str) -> None:
@@ -109,9 +104,7 @@ def _mark(spark: SparkSession, path: str) -> None:
 
 
 def _marked(spark: SparkSession, path: str) -> bool:
-    from ..queries.dedup import _dir_has_parquet
-
-    return _dir_has_parquet(spark, path)
+    return dir_has_parquet(spark, path)
 
 
 def run_dir(root: str, run_id: int) -> str:
@@ -159,7 +152,14 @@ def standing_archive(spark: SparkSession, root: str) -> DataFrame | None:
     exact stage; poison-UDF-pinned in tests/test_pipeline.py), so the
     union stays an unexecuted lazy plan, but the semantics must hold
     for the legacy fallback and the monotonic-id guard alike."""
-    rows = run_rows(spark, root)
+    return _standing_from_rows(spark, run_rows(spark, root))
+
+
+def _standing_from_rows(
+    spark: SparkSession, rows: list[dict]
+) -> DataFrame | None:
+    """standing_archive over already-loaded meta rows — one run_meta
+    read per invocation instead of one per consumer (r15 review)."""
     if not rows:
         return None
     start = max(
@@ -328,32 +328,46 @@ def curate_run_root(
     from ..queries.dedup import build_dedup_index, extend_dedup_index
     from .training_data import TrainingDataCurator
 
-    prior = latest_run(spark, root)
+    rows = run_rows(spark, root)
+    prior = rows[-1] if rows else None
     nxt = 1 if prior is None else int(prior["run_id"]) + 1
     rdir = run_dir(root, nxt)
     if _exists(spark, rdir):
         if _resolve_torn(
             spark, root, prior, nxt, rdir, retry_torn, repair_index
         ):
-            prior = latest_run(spark, root)
+            rows = run_rows(spark, root)  # the publish just appended
+            prior = rows[-1]
             nxt += 1
             rdir = run_dir(root, nxt)
-        else:
-            prior = latest_run(spark, root)  # unchanged; re-read for safety
 
     mode = "full" if (prior is None or full) else "incremental"
-    if mode == "incremental" and benchmark is not None:
-        raise ValueError(
-            "curate: --benchmark decontamination is a full-run stage;"
-            " pass --full to re-freeze the corpus with it"
-        )
+    # EVERY usage refusal must precede the intent write — staging
+    # anything on a flag mistake turns it into a torn-run recovery
+    # intervention (r15 review)
+    if mode == "incremental":
+        if benchmark is not None:
+            raise RunUsageError(
+                "--benchmark decontamination is a full-run stage; pass"
+                " --full to re-freeze the corpus with it"
+            )
+        if (
+            cfg.max_repeated_spans is not None
+            or cfg.scrub_repeated_spans
+            or cfg.min_rarity is not None
+            or cfg.max_rarity is not None
+        ):
+            raise RunUsageError(
+                "span/rarity policies are full-corpus-statistics"
+                " stages; pass --full to apply them on a re-freeze"
+            )
     spark.createDataFrame([(mode,)], _INTENT_SCHEMA).write.mode(
         "overwrite"
     ).parquet(f"{rdir}/intent")
 
     curator = TrainingDataCurator(cfg)
     if mode == "incremental":
-        archive = standing_archive(spark, root)
+        archive = _standing_from_rows(spark, rows)
         kept, dec = curator.run_incremental(
             docs, archive, index_root(root), cleanup=cleanup
         )

@@ -989,17 +989,11 @@ def dedup_against_index(
 
 def _dir_has_parquet(spark: SparkSession, directory: str) -> bool:
     """Driver-side check for any parquet data file in ``directory``
-    (Hadoop FS API, so it works on whatever filesystem the index
-    lives on)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(directory)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
-        return False
-    for status in fs.listStatus(p):
-        if status.getPath().getName().endswith(".parquet"):
-            return True
-    return False
+    (delegates to the shared fs helper — r15 review consolidated the
+    Hadoop FS dance into one module)."""
+    from ..fs import dir_has_parquet
+
+    return dir_has_parquet(spark, directory)
 
 
 def _copair_rows_self(post: DataFrame, threshold: float) -> DataFrame:

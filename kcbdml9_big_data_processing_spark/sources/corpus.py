@@ -78,7 +78,9 @@ def _epoch_prefixed(id_col: Column, epoch: int) -> Column:
 
 
 def unique_doc_ids(
-    df: DataFrame, max_broadcast_ids: int = _DUP_BROADCAST_CAP
+    df: DataFrame,
+    max_broadcast_ids: int = _DUP_BROADCAST_CAP,
+    cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Enforce the engine-wide doc_id-uniqueness invariant on an
     arbitrary documents-shaped frame: one row per ``doc_id``, survivor
@@ -137,7 +139,14 @@ def unique_doc_ids(
     old single-pass groupBy could not. Persist (or localCheckpoint)
     such a frame before calling; every engine front satisfies the
     precondition by construction (content-hash ids over stored
-    bytes)."""
+    bytes).
+
+    ``cleanup`` (the repo's cache-handover convention — caller
+    unpersists): when given, the dup-id frame is persisted so the
+    enforcement count and BOTH joins read one evaluation of ``df``'s
+    pruned aggregation instead of three — worth passing when ``df``
+    is an expensive lineage rather than a scan; it also narrows the
+    lineage-determinism exposure above to one dup_ids evaluation."""
     others = [c for c in df.columns if c != "doc_id"]
     if not others:
         return df.dropDuplicates(["doc_id"])
@@ -147,6 +156,9 @@ def unique_doc_ids(
         .where(F.col("__n") > 1)
         .select(F.col("doc_id").alias("__dup_id"))
     )
+    if cleanup is not None and not df.isStreaming:
+        dup_ids = dup_ids.persist()
+        cleanup.append(dup_ids)
     small = True
     if not df.isStreaming:  # a stream can't be counted at plan time
         n_dups = dup_ids.count()
@@ -188,6 +200,7 @@ def content_doc_ids(
     epoch: int = 0,
     text_col: str = "text",
     unique: bool = True,
+    cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Assign (or overwrite) ``doc_id`` as the epoch-namespaced 48-bit
     content hash — the id recipe the batch ingest fronts use, exposed
@@ -236,7 +249,7 @@ def content_doc_ids(
         )
     )
     out = df.withColumn("doc_id", ids)
-    return unique_doc_ids(out) if unique else out
+    return unique_doc_ids(out, cleanup=cleanup) if unique else out
 
 
 def ingest_text_dir(spark: SparkSession, path: str, epoch: int = 0) -> DataFrame:

@@ -82,6 +82,11 @@ class StreamingJob:
         self.config = config
         self.queries: list[StreamingQuery] = []
         self._listener = None
+        #: per-job live-series store (r15 review): listeners are
+        #: session-wide, so the watchdog keeps its own dict instead of
+        #: the shared LAST_STATE['live'] — a restarted or concurrent
+        #: job can neither read this job's series nor pollute them
+        self._state_store: dict[str, list[dict]] = {}
 
     def start(self, source: DataFrame, metric_writer: BatchWriter) -> list[StreamingQuery]:
         """Start one foreachBatch metric query per configured (key,
@@ -94,7 +99,7 @@ class StreamingJob:
             from .telemetry import make_state_listener
 
             self._listener = make_state_listener(
-                cfg.state_watchdog_max_batches
+                cfg.state_watchdog_max_batches, store=self._state_store
             )
             self.spark.streams.addListener(self._listener)
         for key, tag in cfg.metrics:
@@ -148,20 +153,31 @@ class StreamingJob:
             )
         return self._listener
 
+    def _own_names(self) -> set[str]:
+        return {q.name for q in self.queries if q.name}
+
     def state_peaks(self) -> dict[str, int]:
         """All-time peak summed state rows per query name, from the
         live listener — the number a deployment alarms on (it cannot
-        age out of the series ring)."""
-        return dict(self._require_watchdog().peaks)
-
-    def state_violations(self, max_rows: int) -> dict[str, int]:
-        """Queries whose all-time peak state exceeded ``max_rows`` —
-        the production state-growth alarm: a watermark bug or key-space
-        explosion surfaces as a named query here long before the
-        executor OOM would name it for you."""
+        age out of the series ring). Restricted to THIS job's queries:
+        the session-wide listener also hears other jobs' events (r15
+        review), and an alarm must never fire on someone else's
+        query."""
+        own = self._own_names()
         return {
             name: peak
             for name, peak in self._require_watchdog().peaks.items()
+            if name in own
+        }
+
+    def state_violations(self, max_rows: int) -> dict[str, int]:
+        """THIS job's queries whose all-time peak state exceeded
+        ``max_rows`` — the production state-growth alarm: a watermark
+        bug or key-space explosion surfaces as a named query here long
+        before the executor OOM would name it for you."""
+        return {
+            name: peak
+            for name, peak in self.state_peaks().items()
             if peak > max_rows
         }
 
@@ -172,12 +188,23 @@ class StreamingJob:
         telemetry.state_plateaus): state bounded away from the total
         key count means the watermark is actually evicting. Judged on
         the ring window — pair with :meth:`state_peaks` for the
-        all-time bound."""
-        from .telemetry import LAST_STATE, state_plateaus
+        all-time bound. Raises KeyError for a query the watchdog has
+        never observed (r15 review: an empty series vacuously
+        plateaus, so a typo'd name — or asking before the async
+        listener delivered anything — must be loud, not a silent
+        pass)."""
+        from .telemetry import state_plateaus
 
         self._require_watchdog()
-        series = LAST_STATE.get("live", {}).get(query_name, [])
-        return state_plateaus(series, total_keys, max_fraction)
+        if query_name not in self._state_store:
+            raise KeyError(
+                f"state watchdog has no series for {query_name!r} —"
+                " unknown query name, or no progress event delivered"
+                f" yet (observed: {sorted(self._state_store)})"
+            )
+        return state_plateaus(
+            self._state_store[query_name], total_keys, max_fraction
+        )
 
     def stop(self) -> None:
         for q in self.queries:
@@ -189,3 +216,4 @@ class StreamingJob:
             except Exception:
                 pass  # session already stopped — nothing to unhook
             self._listener = None
+            self._state_store.clear()  # a restarted job starts blind

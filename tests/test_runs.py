@@ -96,12 +96,30 @@ def test_run_root_day1_full_day2_incremental(spark, tmp_path):
     r3 = curate_run_root(spark, root, _docs(spark, DAY3), cfg)
     assert _kept_ids(spark, r3["dir"]) == [202]
 
-    # a benchmark on an incremental run is a usage error, not a surprise
-    with pytest.raises(ValueError, match="full-run"):
+    # a benchmark on an incremental run is a usage error, not a
+    # surprise — and (r15 review) the refusal happens BEFORE any
+    # staging, so no torn dir is left to block the corrected retry
+    import os as _os
+
+    from kcbdml9_big_data_processing_spark.jobs.runs import RunUsageError
+
+    with pytest.raises(RunUsageError, match="full-run"):
         curate_run_root(
             spark, root, _docs(spark, DAY3), cfg,
             benchmark=_docs(spark, DAY1).select("text"),
         )
+    with pytest.raises(RunUsageError, match="span/rarity"):
+        curate_run_root(
+            spark, root, _docs(spark, DAY3),
+            CurationConfig(min_rarity=0.01),
+        )
+    assert not _os.path.exists(R.run_dir(root, 4)), (
+        "a pure usage error staged a torn run dir"
+    )
+    day4 = [(301, "yet another brand new document with plenty of words",
+             "en", "e", 52)]
+    r4 = curate_run_root(spark, root, _docs(spark, day4), cfg)
+    assert (r4["run_id"], r4["mode"]) == (4, "incremental")  # no flags needed
 
 
 def test_run_root_torn_before_decisions_is_invisible(

@@ -272,11 +272,23 @@ def test_job_state_watchdog_surfaces_violations(spark, tmp_path):
         assert job.state_violations(10_000) == {}
         # live series is queryable through the plateau predicate too
         assert job.state_plateaus("watchdog_key_bytes", 10_000)
+        # r15 review: an unobserved name must be LOUD — an empty
+        # series vacuously plateaus, so a typo must not silently pass
+        import pytest
+
+        with pytest.raises(KeyError, match="no series"):
+            job.state_plateaus("watchdog_key_byts", 10_000)
+        # r15 review: the job keeps its OWN store, not the shared
+        # LAST_STATE['live'] — concurrent/restarted jobs can't
+        # cross-contaminate
+        assert "watchdog_key_bytes" not in telemetry.LAST_STATE.get(
+            "live", {}
+        )
     finally:
         job.stop()
         telemetry.LAST_STATE.pop("live", None)
-    # stop() unhooked the listener and dropped the handle
-    assert job._listener is None
+    # stop() unhooked the listener, dropped the handle, cleared state
+    assert job._listener is None and job._state_store == {}
 
     # watchdog off -> the API refuses instead of returning empties
     cold = StreamingJob(spark, StreamingJobConfig())
