@@ -336,3 +336,82 @@ def test_curate_cli_model_flag_sentinels(spark, tmp_path):
          "--min-model-mean-milli", "0"],
         spark=spark,
     ) == 2
+
+
+def test_run_root_shell_pipeline_with_ingested_epoch_ids(
+    spark, tmp_path, capsys
+):
+    """The full shell loop through the crash-safe mode with REAL
+    ingested ids: day-0 jsonl ingest (raw h48 ids) -> curate
+    --run-root (full) -> day-1 ingest --epoch 1 (prefixed ids,
+    monotonic vs day 0 by construction) -> curate --run-root
+    (incremental) -> export-shards from the published run's kept dir.
+    Pins that run-root composes with the ingest fronts' id recipe —
+    the library tests use small hand ids; this exercises 48-bit
+    content hashes and the epoch prefix end to end."""
+    import json as _json
+
+    from kcbdml9_big_data_processing_spark.__main__ import (
+        _curate_main,
+        _export_shards_main,
+        _ingest_main,
+    )
+
+    day0 = tmp_path / "day0.jsonl"
+    day0.write_text(
+        "\n".join(
+            _json.dumps({"text": t})
+            for t in (
+                "the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs today",
+                "sphinx of black quartz judge my vow said nobody",
+            )
+        )
+        + "\n"
+    )
+    day1 = tmp_path / "day1.jsonl"
+    day1.write_text(
+        "\n".join(
+            _json.dumps({"text": t})
+            for t in (
+                # dup of an archived day-0 doc -> must drop
+                "pack my box with five dozen liquor jugs today",
+                "a wholly new day one document with many fresh words",
+            )
+        )
+        + "\n"
+    )
+    d0, d1 = str(tmp_path / "docs0"), str(tmp_path / "docs1")
+    root = str(tmp_path / "corpus")
+    assert _ingest_main(["--jsonl", str(day0), "--out", d0], spark=spark) == 0
+    assert _curate_main(["--docs", d0, "--run-root", root], spark=spark) == 0
+    assert _ingest_main(
+        ["--jsonl", str(day1), "--out", d1, "--epoch", "1"], spark=spark
+    ) == 0
+    assert _curate_main(["--docs", d1, "--run-root", root], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "published run r2 (incremental)" in out
+
+    from kcbdml9_big_data_processing_spark.jobs.runs import (
+        latest_run, run_dir, standing_archive,
+    )
+
+    r2 = latest_run(spark, root)
+    assert r2["run_id"] == 2 and r2["dir"] == run_dir(root, 2)
+    kept2 = spark.read.parquet(f"{r2['dir']}/kept")
+    assert kept2.count() == 1  # the dup dropped via the stored map
+    texts = [r["text"] for r in kept2.collect()]
+    assert texts == ["a wholly new day one document with many fresh words"]
+    # epoch prefix held: day-1 ids live in the epoch-1 namespace
+    assert all(r["doc_id"] >> 48 == 1 for r in kept2.collect())
+    assert standing_archive(spark, root).count() == 4  # 3 + 1
+
+    # ship the increment: export the published run's kept set
+    shards = str(tmp_path / "shards")
+    assert _export_shards_main(
+        ["--input", f"{r2['dir']}/kept", "--out", shards,
+         "--n-shards", "2", "--salt", "1"],
+        spark=spark,
+    ) == 0
+    total = spark.read.parquet(shards).count()
+    assert total == 1
