@@ -186,6 +186,8 @@ def test_run_root_torn_mid_extend_requires_repair(
     monkeypatch.setattr(D, "extend_dedup_index", real_extend)
 
     assert latest_run(spark, root)["run_id"] == 1
+    st = R.run_status(spark, root)["torn"]
+    assert st["state"] == "partial_extend" and "--repair-index" in st["recovery"]
     # even an operator willing to discard the stage must be stopped:
     # the INDEX state is the problem, not the staged files
     with pytest.raises(TornRunError, match="repair-index"):
@@ -236,6 +238,8 @@ def test_run_root_crash_before_commit_auto_publishes(
     monkeypatch.setattr(R, "_commit", real_commit)
 
     assert latest_run(spark, root)["run_id"] == 1
+    st = R.run_status(spark, root)["torn"]
+    assert st["state"] == "complete" and "publishes as-is" in st["recovery"]
     r3 = curate_run_root(spark, root, _docs(spark, DAY3), cfg)
     # the torn day-2 run was published untouched, day 3 ran after it
     assert (r3["run_id"], r3["mode"]) == (3, "incremental")
