@@ -63,7 +63,6 @@ compact_dedup_index.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..fs import delete_recursive as _delete
 from ..fs import dir_has_parquet, exists as _exists
