@@ -1,10 +1,14 @@
 """Driver-side Hadoop FileSystem helpers — the single home for the
 ``jvm Path + getFileSystem(hadoopConfiguration)`` dance (r15 review:
 the pattern had accumulated five near-copies across dedup/similarity/
-shards and a sixth was about to land in jobs/runs.py). Using the
-Hadoop FS API (not os.path) keeps every existence/delete/marker
-check working on whatever filesystem the artifact lives on —
-local, HDFS, S3A — matching how the data itself is written.
+shards and a sixth was about to land in jobs/runs.py; all six now
+resolve through :func:`hadoop_path` — the one remaining raw
+``jvm...Path`` construction, the lock-steal tombstone in
+queries/similarity.py, builds a Path against an fs handle this
+module already resolved). Using the Hadoop FS API (not os.path)
+keeps every existence/delete/marker check working on whatever
+filesystem the artifact lives on — local, HDFS, S3A — matching how
+the data itself is written.
 """
 
 from __future__ import annotations

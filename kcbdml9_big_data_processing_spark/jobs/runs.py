@@ -343,7 +343,18 @@ def curate_run_root(
     mode = "full" if (prior is None or full) else "incremental"
     # EVERY usage refusal must precede the intent write — staging
     # anything on a flag mistake turns it into a torn-run recovery
-    # intervention (r15 review)
+    # intervention (r15 review). That includes MODE-INDEPENDENT config
+    # contradictions the curator itself would reject mid-pipeline
+    # (second review pass: the full-run drop-vs-scrub exclusivity
+    # raised AFTER the intent write, re-opening the exact hole).
+    if (
+        cfg.max_repeated_spans is not None
+        and cfg.scrub_repeated_spans
+    ):
+        raise RunUsageError(
+            "max_repeated_spans (drop policy) and scrub_repeated_spans"
+            " (transform policy) are mutually exclusive — pick one"
+        )
     if mode == "incremental":
         if benchmark is not None:
             raise RunUsageError(

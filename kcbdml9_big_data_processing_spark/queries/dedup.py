@@ -801,13 +801,12 @@ def _vacuum_dedup_index_impl(
     if meta is None:
         return
     cutoff = meta["version"] - retain + 1
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
+    from ..fs import hadoop_path
+
+    root_p, fs = hadoop_path(spark, path)
     import re
 
-    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+    for status in fs.listStatus(root_p):
         name = status.getPath().getName()
         if name == "postings":
             gen = 0

@@ -542,10 +542,10 @@ def _gen_meta_row(spark: SparkSession, path: str):
     lifetime, quietly serving stale pre-migration tables. An existing
     but empty sidecar (nothing ever committed) reads as None through
     the explicit schema, which is the correct legacy answer."""
+    from ..fs import hadoop_path
+
     meta_dir = f"{path}/gen_meta"
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(meta_dir)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    p, fs = hadoop_path(spark, meta_dir)
     if not fs.exists(p):
         return None
     return (
@@ -705,9 +705,9 @@ def scoped_writer_lock_ttl(ttl_sec: float | None):
 
 
 def _lock_handles(spark: SparkSession, root: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{root}/_writer.lock")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    from ..fs import hadoop_path
+
+    p, fs = hadoop_path(spark, f"{root}/_writer.lock")
     return fs, p
 
 
@@ -892,11 +892,10 @@ def vacuum_index_generations(
 
     from .dedup import _bucketed_table_name
 
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    for status in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+    from ..fs import hadoop_path
+
+    root_p, fs = hadoop_path(spark, path)
+    for status in fs.listStatus(root_p):
         name = status.getPath().getName()
         m = re.fullmatch(r"g(\d+)", name)
         doomed = m is not None and int(m.group(1)) < cutoff

@@ -128,9 +128,9 @@ def shard_assignments(
 
 
 def _meta_handles(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META_NAME}")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    from ..fs import hadoop_path
+
+    p, fs = hadoop_path(spark, f"{path}/{_META_NAME}")
     return fs, p
 
 

@@ -98,8 +98,13 @@ class StreamingJob:
         if cfg.state_watchdog and self._listener is None:
             from .telemetry import make_state_listener
 
+            # accept only THIS job's queries at the write (second r15
+            # review pass: read-side filtering alone still let foreign
+            # series fill the store and answer through state_plateaus)
             self._listener = make_state_listener(
-                cfg.state_watchdog_max_batches, store=self._state_store
+                cfg.state_watchdog_max_batches,
+                store=self._state_store,
+                accept=lambda name: name in self._own_names(),
             )
             self.spark.streams.addListener(self._listener)
         for key, tag in cfg.metrics:
@@ -154,7 +159,10 @@ class StreamingJob:
         return self._listener
 
     def _own_names(self) -> set[str]:
-        return {q.name for q in self.queries if q.name}
+        # mirror the listener's keying for NAMELESS queries (second
+        # r15 review pass: filtering on truthy q.name alone silently
+        # hid an unnamed own query's state peak from the alarm)
+        return {q.name or f"id_{q.id}" for q in self.queries}
 
     def state_peaks(self) -> dict[str, int]:
         """All-time peak summed state rows per query name, from the

@@ -510,6 +510,39 @@ def test_unique_doc_ids_broadcast_cap_falls_back_and_matches(
     assert has_broadcast_hash_join(unique_doc_ids(df))
 
 
+def test_unique_doc_ids_cleanup_persists_dup_ids(spark):
+    """The cache-handover seam (r15 review): with cleanup given, the
+    dup-id frame is persisted so the enforcement count and both joins
+    read ONE evaluation — caller unpersists; results identical; and
+    content_doc_ids threads the list through."""
+    from kcbdml9_big_data_processing_spark.sources.corpus import (
+        content_doc_ids,
+        unique_doc_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "bb"), (1, "aa"), (2, "solo")], "doc_id long, text string"
+    )
+    cleanup: list = []
+    got = sorted(
+        tuple(r) for r in unique_doc_ids(df, cleanup=cleanup).collect()
+    )
+    assert got == [(1, "aa"), (2, "solo")]
+    assert len(cleanup) == 1 and cleanup[0].is_cached
+    for f in cleanup:
+        f.unpersist()
+
+    threaded: list = []
+    texted = spark.createDataFrame(
+        [("one document text here",), ("one document text here",)],
+        "text string",
+    )
+    assert content_doc_ids(texted, epoch=1, cleanup=threaded).count() == 1
+    assert len(threaded) == 1 and threaded[0].is_cached
+    for f in threaded:
+        f.unpersist()
+
+
 def test_unique_doc_ids_collapses_null_id_group(spark):
     """r14 self-review: the violation-set rewrite must keep the NULL
     id group a GROUP (eqNullSafe join keys) — a plain join key treats
