@@ -115,7 +115,40 @@ def _parse_args(argv: list[str]):
         metavar="SEC",
         help="override $SPARK_GRAFT_WAIT_QUIET_SEC (0 disables waiting)",
     )
+    ap.add_argument(
+        "--out",
+        default=None,
+        metavar="PATH",
+        help=(
+            "record path (explicit --out BENCH_LOCAL.json is the only"
+            " way to overwrite an existing committed record)"
+        ),
+    )
     return ap.parse_args(argv)
+
+
+def _resolve_out_path(
+    out_arg: str | None, here: str, exists=os.path.exists
+) -> str:
+    """Where this sweep's record lands (r15 verdict #3 — bench.py
+    used to overwrite BENCH_LOCAL.json unconditionally, so one dirty
+    driver window silently replaced the committed clean record and
+    the verify recipe needed a copy-aside/git-checkout dance).
+
+    Policy: an explicit ``--out`` is honored verbatim (that INCLUDES
+    ``--out BENCH_LOCAL.json``, which is now the only way to clobber
+    the committed record). Without it, BENCH_LOCAL.json is written
+    only if it does not exist yet; otherwise the record goes to a
+    UTC-timestamped path under ``bench_records/`` (gitignored) and
+    the committed record is left untouched. The stdout JSON line is
+    printed either way — the driver parses stdout, not the sidecar."""
+    if out_arg:
+        return out_arg if os.path.isabs(out_arg) else os.path.join(here, out_arg)
+    canonical = os.path.join(here, "BENCH_LOCAL.json")
+    if not exists(canonical):
+        return canonical
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    return os.path.join(here, "bench_records", f"BENCH_LOCAL.{stamp}.json")
 
 
 def _start_load_gate(argv: list[str]) -> tuple[float | None, bool, float]:
@@ -168,16 +201,92 @@ def _start_load_gate(argv: list[str]) -> tuple[float | None, bool, float]:
             " proceed anyway.",
             file=sys.stderr,
         )
-        refuse = (
-            args.refuse_dirty
-            or os.environ.get("SPARK_GRAFT_REFUSE_DIRTY", "") == "1"
-        )
-        if refuse and not args.force:
+        if _refuse_requested(args):
             sys.exit(3)
     return load, dirty, waited
 
 
+def _refuse_requested(args) -> bool:
+    return (
+        args.refuse_dirty
+        or os.environ.get("SPARK_GRAFT_REFUSE_DIRTY", "") == "1"
+    ) and not args.force
+
+
+#: pre-sweep scheduling-calibration ratio above which the window is
+#: dirty even at loadavg ~0 (r15 verdict #5: the driver's BENCH_r15
+#: waited for loadavg < 1 and still ran in a calib_sched 0.839 window
+#: — ~2x the 0.39-0.46 clean baseline — because loadavg measures THIS
+#: guest's runnable queue, not the host neighbors stealing cycles).
+#: 1.5 sits between the clean band's spread (~1.2x) and the observed
+#: degraded windows (>=1.8x). Override $SPARK_GRAFT_MAX_CALIB_RATIO.
+_CALIB_DIRTY_RATIO = 1.5
+_CALIB_POLL_SEC = 30.0
+
+
+def _calib_quiet_gate(
+    probe,
+    baseline_sched: float | None,
+    budget: float,
+    ratio_limit: float,
+    sleep=time.sleep,
+    poll: float = _CALIB_POLL_SEC,
+) -> tuple[float | None, float, bool]:
+    """Second stage of the quiet gate, run AFTER Spark is up (the
+    probe needs a JVM) and BEFORE any timed row: measure the per-task
+    scheduling floor (the probe returns median seconds for 320
+    near-empty tasks) and compare it to the committed baseline's
+    ``calib_sched_sec``. Loadavg alone under-detects contention on
+    this multi-tenant host; the probe measures the symptom directly.
+
+    Returns (last_probe_sec, waited_sec, dirty_calib). No baseline or
+    a failed probe → gate can't judge, returns clean with whatever it
+    measured (the post-sweep calibration rows still stamp the window).
+    Above the ratio it waits — bounded by ``budget`` — re-probing each
+    ``poll`` seconds; a budget-exhausted exit returns dirty_calib=True
+    so the record self-disqualifies exactly like ``dirty_start``."""
+    try:
+        val = probe()
+    except Exception as e:
+        print(f"bench: pre-sweep calibration failed: {e}", file=sys.stderr)
+        return None, 0.0, False
+    if not (
+        isinstance(baseline_sched, (int, float)) and baseline_sched > 0
+    ):
+        return val, 0.0, False
+    waited = 0.0
+    limit = baseline_sched * ratio_limit
+    if val is not None and val > limit and budget > 0:
+        print(
+            f"bench: pre-sweep sched calibration {val:.3f}s >"
+            f" {ratio_limit}x baseline {baseline_sched:.3f}s — host"
+            f" contention at low loadavg; waiting up to {budget:.0f}s",
+            file=sys.stderr,
+        )
+        while val is not None and val > limit and waited < budget:
+            step = min(poll, budget - waited)
+            sleep(step)
+            waited += step
+            try:
+                val = probe()
+            except Exception as e:
+                print(
+                    f"bench: pre-sweep calibration failed: {e}",
+                    file=sys.stderr,
+                )
+                return None, waited, False
+        if val is not None and val <= limit:
+            print(
+                f"bench: calibration normalized after {waited:.0f}s"
+                f" ({val:.3f}s) — proceeding clean",
+                file=sys.stderr,
+            )
+    dirty = val is not None and val > limit
+    return val, waited, dirty
+
+
 def main() -> None:
+    args = _parse_args(sys.argv[1:])
     loadavg_at_start, dirty_start, wait_quiet_sec = _start_load_gate(
         sys.argv[1:]
     )
@@ -239,6 +348,42 @@ def main() -> None:
             except Exception as e:
                 print(f"warmup error {name}: {e}", file=sys.stderr)
             spark.catalog.clearCache()
+
+    # second quiet-gate stage (r15 verdict #5): loadavg was quiet but
+    # this host's noisy neighbors are invisible to it — probe the
+    # per-task scheduling floor directly, against the committed
+    # baseline's calib_sched_sec, and wait out a contended window
+    # with whatever budget the loadavg stage left unspent.
+    def _sched_probe() -> float:
+        s = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(0, 320, 1, 320).selectExpr("count(1) AS n").collect()
+            s.append(round(time.time() - t0, 3))
+        return sorted(s)[1]
+
+    total_budget = (
+        args.max_wait_quiet
+        if args.max_wait_quiet is not None
+        else _env_float("SPARK_GRAFT_WAIT_QUIET_SEC", _WAIT_QUIET_SEC)
+    )
+    calib_sched_pre, wait_calib_sec, dirty_calib = _calib_quiet_gate(
+        _sched_probe,
+        _baseline_calib()[1],
+        max(0.0, total_budget - wait_quiet_sec),
+        _env_float("SPARK_GRAFT_MAX_CALIB_RATIO", _CALIB_DIRTY_RATIO),
+    )
+    if dirty_calib:
+        print(
+            "bench: DIRTY CALIBRATION — pre-sweep sched probe"
+            f" {calib_sched_pre:.3f}s stayed above the baseline ratio"
+            " after an exhausted wait; this record carries"
+            " dirty_calib=true and is not comparable to clean-window"
+            " baselines.",
+            file=sys.stderr,
+        )
+        if _refuse_requested(args):
+            sys.exit(3)
 
     # median of N runs per query: a single timed run lands wherever
     # the JVM's per-plan codegen/JIT state happens to be (r5 recorded
@@ -325,6 +470,9 @@ def main() -> None:
         "loadavg_at_start": loadavg_at_start,
         "dirty_start": dirty_start,
         "wait_quiet_sec": round(wait_quiet_sec, 1),
+        "calib_sched_pre": calib_sched_pre,
+        "wait_calib_sec": round(wait_calib_sec, 1),
+        "dirty_calib": dirty_calib,
         "calib_cpu_sec": calib_cpu,
         "calib_cpu_samples": calib_cpu_samples,
         "calib_sched_sec": calib_sched,
@@ -334,11 +482,23 @@ def main() -> None:
     }
     # sidecar record the driver can't truncate: BENCH_r03.json lost its
     # parsed payload to the driver's 2000-char tail cap, which silently
-    # disarmed the regression gate for a round
+    # disarmed the regression gate for a round. Since r16 the sidecar
+    # NEVER clobbers an existing BENCH_LOCAL.json unless --out names it
+    # explicitly (_resolve_out_path) — one dirty driver window used to
+    # silently replace the committed clean record.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        out_path = _resolve_out_path(args.out, here)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
             json.dump(payload, f, indent=1)
+        if os.path.basename(out_path) != "BENCH_LOCAL.json":
+            print(
+                f"bench: record written to {out_path} (committed"
+                " BENCH_LOCAL.json left untouched; pass --out"
+                " BENCH_LOCAL.json to replace it)",
+                file=sys.stderr,
+            )
     except Exception:
         pass
     print(json.dumps(payload))

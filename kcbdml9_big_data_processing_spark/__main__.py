@@ -807,7 +807,10 @@ def _curate_main(argv: list[str], spark=None) -> int:
     (archive = prior kept set, index in lockstep). First run full,
     later runs incremental against the last PUBLISHED run; recovery
     flags --retry-torn / --repair-index; exit 4 = a torn prior
-    attempt needs one of them (stderr names which)."""
+    attempt needs one of them (stderr names which). ``--vacuum-runs``
+    (r16) reclaims run dirs superseded by the latest full run's
+    lineage, keeping ``--retain-runs`` (default 2) of them — meta
+    rows and the standing archive are never touched."""
     ap = argparse.ArgumentParser(prog="kcbdml9-spark curate")
     ap.add_argument(
         "--docs",
@@ -855,6 +858,22 @@ def _curate_main(argv: list[str], spark=None) -> int:
         action="store_true",
         help="RUN-ROOT: read-only — list published runs and name any"
         " torn attempt + its recovery; the first move after a crash",
+    )
+    ap.add_argument(
+        "--vacuum-runs",
+        action="store_true",
+        help="RUN-ROOT: delete run dirs superseded by the latest full"
+        " run's lineage, keeping --retain-runs most recent of them"
+        " (meta rows are never pruned; the standing archive is never"
+        " touched)",
+    )
+    ap.add_argument(
+        "--retain-runs",
+        type=int,
+        default=None,
+        metavar="N",
+        help="with --vacuum-runs: how many superseded run dirs to"
+        " retain as a rollback window (default 2)",
     )
     ap.add_argument(
         "--archive",
@@ -933,7 +952,26 @@ def _curate_main(argv: list[str], spark=None) -> int:
             "curate: --status inspects a --run-root", file=sys.stderr
         )
         return 2
-    if args.docs is None and not args.status:
+    if args.vacuum_runs and args.run_root is None:
+        print(
+            "curate: --vacuum-runs prunes a --run-root", file=sys.stderr
+        )
+        return 2
+    if args.retain_runs is not None and not args.vacuum_runs:
+        # inert-flag posture (the --writer-lock-ttl precedent): a
+        # retention knob that guards nothing is a usage error
+        print(
+            "curate: --retain-runs tunes --vacuum-runs", file=sys.stderr
+        )
+        return 2
+    if args.vacuum_runs and (args.status or args.docs is not None):
+        print(
+            "curate: --vacuum-runs is a standalone maintenance verb —"
+            " run it without --docs/--status",
+            file=sys.stderr,
+        )
+        return 2
+    if args.docs is None and not (args.status or args.vacuum_runs):
         print("curate: --docs is required", file=sys.stderr)
         return 2
     if args.run_root is not None:
@@ -1093,10 +1131,28 @@ def _curate_main(argv: list[str], spark=None) -> int:
                 run_status,
             )
 
+            if args.vacuum_runs:
+                from .jobs.runs import vacuum_runs
+
+                with lock_scope:
+                    deleted = vacuum_runs(
+                        spark,
+                        args.run_root,
+                        retain=(
+                            2 if args.retain_runs is None
+                            else args.retain_runs
+                        ),
+                    )
+                for d in deleted:
+                    print(f"vacuumed {d}")
+                print(f"vacuumed {len(deleted)} superseded run dir(s)")
+                return 0
+
             if args.status:
                 st = run_status(spark, args.run_root)
                 for r in st["runs"]:
-                    print(f"r{r['run_id']} ({r['mode']}) {r['dir']}")
+                    gone = "" if r.get("present", True) else " [vacuumed]"
+                    print(f"r{r['run_id']} ({r['mode']}) {r['dir']}{gone}")
                 if st["torn"] is not None:
                     t = st["torn"]
                     print(
@@ -1145,10 +1201,17 @@ def _curate_main(argv: list[str], spark=None) -> int:
                 .collect()
             ):
                 print(f"{r['reason']}: {r['n']}")
-            print(
-                f"published run r{summary['run_id']}"
-                f" ({summary['mode']}) at {summary['dir']}"
-            )
+            if summary.get("already_published"):
+                print(
+                    f"batch already published as r{summary['run_id']}"
+                    f" ({summary['mode']}) at {summary['dir']} —"
+                    " nothing recomputed"
+                )
+            else:
+                print(
+                    f"published run r{summary['run_id']}"
+                    f" ({summary['mode']}) at {summary['dir']}"
+                )
             return 0
         with lock_scope:
             docs = spark.read.parquet(args.docs)

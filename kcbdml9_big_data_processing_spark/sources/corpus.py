@@ -117,10 +117,17 @@ def unique_doc_ids(
     point (a landing area's redeliveries, a crawl's boilerplate
     collisions); a corpus where most ids collide should go through
     exact dedup's content keying instead. The contract is ENFORCED,
-    not assumed (r14 verdict): the violation set is COUNTED first
-    (one cheap action on the already-column-pruned aggregation — no
-    text is touched) and past ``max_broadcast_ids`` the pass warns
-    loudly and drops the hint, falling back to shuffle joins — slower
+    not assumed (r14 verdict), and since r16 enforcement is FREE in
+    the common case instead of a third lineage evaluation (r15
+    ADVICE): the violation set is fetched with ``take(cap + 1)`` —
+    one action on the already-column-pruned aggregation, no text
+    touched, driver memory bounded by the SAME cap the broadcast
+    itself implies (a broadcast collects to the driver anyway) — and
+    when it fits, BOTH joins run against the fetched ids as a local
+    relation, so ``df``'s aggregation lineage is evaluated exactly
+    ONCE per call (the old hinted path evaluated it twice, the r15
+    eager count three times). Past ``max_broadcast_ids`` the pass
+    warns loudly and falls back to lineage shuffle joins — slower
     (corpus text rides the exchange), but an upstream bug that
     duplicates most ids (a crawler stamping one id, an epoch
     mis-wiring) degrades to a shuffle instead of turning the
@@ -130,23 +137,23 @@ def unique_doc_ids(
     duplicate filter; above it, the fallback still collapses
     identically.
 
-    PRECONDITION — deterministic lineage (r14 ADVICE): the pass
-    evaluates ``df``'s lineage multiple times (the dup-id count, the
-    anti join, the semi join). A frame whose lineage is
-    non-deterministic across scans (rand()/uuid()-derived columns,
-    unstable upstream sampling) can present DIFFERENT dup_ids per
-    evaluation, silently dropping or double-keeping rows where the
-    old single-pass groupBy could not. Persist (or localCheckpoint)
-    such a frame before calling; every engine front satisfies the
-    precondition by construction (content-hash ids over stored
-    bytes).
+    PRECONDITION — deterministic lineage (r14 ADVICE): the pass may
+    evaluate ``df``'s lineage more than once (once below the cap; the
+    over-cap fallback adds the two join evaluations). A frame whose
+    lineage is non-deterministic across scans (rand()/uuid()-derived
+    columns, unstable upstream sampling) can present DIFFERENT rows
+    per evaluation, silently dropping or double-keeping rows where
+    the old single-pass groupBy could not. Persist (or
+    localCheckpoint) such a frame before calling; every engine front
+    satisfies the precondition by construction (content-hash ids over
+    stored bytes).
 
     ``cleanup`` (the repo's cache-handover convention — caller
-    unpersists): when given, the dup-id frame is persisted so the
-    enforcement count and BOTH joins read one evaluation of ``df``'s
-    pruned aggregation instead of three — worth passing when ``df``
-    is an expensive lineage rather than a scan; it also narrows the
-    lineage-determinism exposure above to one dup_ids evaluation."""
+    unpersists): only consulted on the over-cap FALLBACK path, where
+    the dup-id frame is persisted so the two shuffle joins read one
+    evaluation of ``df``'s pruned aggregation instead of two; below
+    the cap there is nothing to persist (the local relation IS the
+    one evaluation)."""
     others = [c for c in df.columns if c != "doc_id"]
     if not others:
         return df.dropDuplicates(["doc_id"])
@@ -156,26 +163,33 @@ def unique_doc_ids(
         .where(F.col("__n") > 1)
         .select(F.col("doc_id").alias("__dup_id"))
     )
-    if cleanup is not None and not df.isStreaming:
-        dup_ids = dup_ids.persist()
-        cleanup.append(dup_ids)
     small = True
-    if not df.isStreaming:  # a stream can't be counted at plan time
-        n_dups = dup_ids.count()
-        small = n_dups <= max_broadcast_ids
-        if not small:
+    if not df.isStreaming:  # a stream can't be fetched at plan time
+        fetched = dup_ids.take(max_broadcast_ids + 1)
+        small = len(fetched) <= max_broadcast_ids
+        if small:
+            # the fetched ids ARE the violation set: replan both joins
+            # against a local relation so the corpus aggregation never
+            # re-executes (r15 ADVICE — the eager count used to be a
+            # third full evaluation of df's pruned agg lineage)
+            dup_ids = df.sparkSession.createDataFrame(
+                fetched, schema=dup_ids.schema
+            )
+        else:
             import sys as _sys
 
             print(
-                f"unique_doc_ids: violation set has {n_dups} duplicate"
-                f" ids > broadcast cap {max_broadcast_ids} — an"
-                " upstream producer is mass-duplicating doc_ids;"
-                " falling back to shuffle joins (correct but"
-                " O(corpus) text movement). A mostly-colliding corpus"
-                " should be keyed by exact dedup's content hash, not"
-                " patched here.",
+                f"unique_doc_ids: violation set exceeds the broadcast"
+                f" cap {max_broadcast_ids} — an upstream producer is"
+                " mass-duplicating doc_ids; falling back to shuffle"
+                " joins (correct but O(corpus) text movement). A"
+                " mostly-colliding corpus should be keyed by exact"
+                " dedup's content hash, not patched here.",
                 file=_sys.stderr,
             )
+            if cleanup is not None:
+                dup_ids = dup_ids.persist()
+                cleanup.append(dup_ids)
     hinted = F.broadcast(dup_ids) if small else dup_ids
     # eqNullSafe, not plain equality: the ingest fronts never emit a
     # NULL doc_id (content_doc_ids refuses at execution), but this is
@@ -224,7 +238,7 @@ def content_doc_ids(
 
     NULL text is refused when the id expression first EXECUTES
     (``raise_error`` inside it). With ``unique=True`` that is AT CALL
-    — the uniqueness pass counts its violation set eagerly to enforce
+    — the uniqueness pass fetches its violation set eagerly to enforce
     the broadcast contract (see :func:`unique_doc_ids`), which also
     makes THIS front eager (one column-pruned job per call; its
     intended callers are micro-batch frames). With ``unique=False``

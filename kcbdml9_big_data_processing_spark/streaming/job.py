@@ -87,6 +87,13 @@ class StreamingJob:
         #: the shared LAST_STATE['live'] — a restarted or concurrent
         #: job can neither read this job's series nor pollute them
         self._state_store: dict[str, list[dict]] = {}
+        #: accepted query names, precomputed from config BEFORE any
+        #: query starts (r15 ADVICE): the old accept closure called
+        #: _own_names(), but queries land in self.queries only after
+        #: q.start() returns — a progress event delivered in that
+        #: window (plausible with availableNow on tiny sources) was
+        #: silently rejected, losing the first batch's state rows
+        self._accepted: set[str] = set()
 
     def start(self, source: DataFrame, metric_writer: BatchWriter) -> list[StreamingQuery]:
         """Start one foreachBatch metric query per configured (key,
@@ -100,11 +107,18 @@ class StreamingJob:
 
             # accept only THIS job's queries at the write (second r15
             # review pass: read-side filtering alone still let foreign
-            # series fill the store and answer through state_plateaus)
+            # series fill the store and answer through state_plateaus).
+            # The accepted set is knowable from config alone — every
+            # query this job starts is named (metric tags; archive's
+            # default queryName) — and is sealed BEFORE the first
+            # start(), so the listener can never miss an early event.
+            self._accepted = {tag for _, tag in cfg.metrics}
+            if cfg.archive_path:
+                self._accepted.add("archive")
             self._listener = make_state_listener(
                 cfg.state_watchdog_max_batches,
                 store=self._state_store,
-                accept=lambda name: name in self._own_names(),
+                accept=self._accepted.__contains__,
             )
             self.spark.streams.addListener(self._listener)
         for key, tag in cfg.metrics:
@@ -159,10 +173,13 @@ class StreamingJob:
         return self._listener
 
     def _own_names(self) -> set[str]:
-        # mirror the listener's keying for NAMELESS queries (second
-        # r15 review pass: filtering on truthy q.name alone silently
-        # hid an unnamed own query's state peak from the alarm)
-        return {q.name or f"id_{q.id}" for q in self.queries}
+        # the config-sealed accepted set, plus the live queries keyed
+        # the way the listener keys NAMELESS ones (second r15 review
+        # pass: filtering on truthy q.name alone silently hid an
+        # unnamed own query's state peak from the alarm)
+        return self._accepted | {
+            q.name or f"id_{q.id}" for q in self.queries
+        }
 
     def state_peaks(self) -> dict[str, int]:
         """All-time peak summed state rows per query name, from the
@@ -172,11 +189,11 @@ class StreamingJob:
         review), and an alarm must never fire on someone else's
         query."""
         own = self._own_names()
-        return {
-            name: peak
-            for name, peak in self._require_watchdog().peaks.items()
-            if name in own
-        }
+        # snapshot: the JVM listener thread inserts concurrently, and
+        # iterating the live dict can raise "dictionary changed size
+        # during iteration" (r15 ADVICE)
+        peaks = dict(self._require_watchdog().peaks)
+        return {name: peak for name, peak in peaks.items() if name in own}
 
     def state_violations(self, max_rows: int) -> dict[str, int]:
         """THIS job's queries whose all-time peak state exceeded
@@ -210,8 +227,10 @@ class StreamingJob:
                 " unknown query name, or no progress event delivered"
                 f" yet (observed: {sorted(self._state_store)})"
             )
+        # snapshot the series for the same reason state_peaks snapshots
+        # the peaks dict: the listener thread appends concurrently
         return state_plateaus(
-            self._state_store[query_name], total_keys, max_fraction
+            list(self._state_store[query_name]), total_keys, max_fraction
         )
 
     def stop(self) -> None:

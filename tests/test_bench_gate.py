@@ -252,3 +252,80 @@ def test_start_load_gate_rejects_unknown_flags(monkeypatch):
     with _pytest.raises(SystemExit) as e:
         bench._start_load_gate(["--refuse-dirt"])  # the typo'd flag
     assert e.value.code == 2
+
+
+def test_resolve_out_path_writes_canonical_when_absent():
+    p = bench._resolve_out_path(None, "/repo", exists=lambda _: False)
+    assert p == "/repo/BENCH_LOCAL.json"
+
+
+def test_resolve_out_path_never_clobbers_by_default():
+    """r15 verdict #3: an existing committed record routes the sweep
+    to a timestamped bench_records/ path instead of overwriting."""
+    p = bench._resolve_out_path(None, "/repo", exists=lambda _: True)
+    assert p.startswith("/repo/bench_records/BENCH_LOCAL.")
+    assert p.endswith("Z.json") and p != "/repo/BENCH_LOCAL.json"
+
+
+def test_resolve_out_path_explicit_out_is_honored():
+    p = bench._resolve_out_path("BENCH_LOCAL.json", "/repo", exists=lambda _: True)
+    assert p == "/repo/BENCH_LOCAL.json"  # the ONLY way to clobber
+    assert (
+        bench._resolve_out_path("/tmp/x.json", "/repo", exists=lambda _: True)
+        == "/tmp/x.json"
+    )
+
+
+def test_calib_quiet_gate_clean_window_no_wait():
+    val, waited, dirty = bench._calib_quiet_gate(
+        lambda: 0.42, baseline_sched=0.40, budget=600.0, ratio_limit=1.5
+    )
+    assert (val, waited, dirty) == (0.42, 0.0, False)
+
+
+def test_calib_quiet_gate_waits_then_clears():
+    """r15 verdict #5: loadavg-quiet but sched-contended window — the
+    gate re-probes until the calibration ratio normalizes."""
+    probes = iter([0.9, 0.85, 0.41])
+    slept = []
+    val, waited, dirty = bench._calib_quiet_gate(
+        lambda: next(probes),
+        baseline_sched=0.40,
+        budget=600.0,
+        ratio_limit=1.5,
+        sleep=slept.append,
+        poll=30.0,
+    )
+    assert dirty is False and val == 0.41
+    assert waited == 60.0 and slept == [30.0, 30.0]
+
+
+def test_calib_quiet_gate_exhausted_budget_marks_dirty():
+    slept = []
+    val, waited, dirty = bench._calib_quiet_gate(
+        lambda: 1.2,
+        baseline_sched=0.40,
+        budget=45.0,
+        ratio_limit=1.5,
+        sleep=slept.append,
+        poll=30.0,
+    )
+    assert dirty is True and waited == 45.0 and slept == [30.0, 15.0]
+
+
+def test_calib_quiet_gate_no_baseline_cannot_judge():
+    val, waited, dirty = bench._calib_quiet_gate(
+        lambda: 9.9, baseline_sched=None, budget=600.0, ratio_limit=1.5
+    )
+    assert (val, waited, dirty) == (9.9, 0.0, False)
+
+
+def test_calib_quiet_gate_probe_failure_is_not_dirty(capsys):
+    def boom():
+        raise RuntimeError("executor lost")
+
+    val, waited, dirty = bench._calib_quiet_gate(
+        boom, baseline_sched=0.40, budget=600.0, ratio_limit=1.5
+    )
+    assert (val, dirty) == (None, False)
+    assert "calibration failed" in capsys.readouterr().err

@@ -384,8 +384,26 @@ def test_unique_doc_ids_text_shuffles_only_for_duplicates(spark):
         "a text-carrying exchange outside the LeftSemi duplicate"
         " filter: full-corpus text is riding a shuffle again"
     )
-    # the duplicate-id detection exchange itself is text-free
-    assert any(not carries for carries, _ in exchanges)
+    # r16 (r15 ADVICE): below the cap the duplicate-id detection ran
+    # ONCE at call time (take) and both joins read the fetched ids as
+    # a LOCAL relation — the detection aggregation (the old text-free
+    # exchange) must no longer re-execute inside the consuming plan
+    assert all(carries for carries, _ in exchanges), (
+        "the dup-id detection exchange is back in the lazy plan: the"
+        " corpus aggregation re-executes on every downstream action"
+    )
+    from kcbdml9_big_data_processing_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    plan = physical_plan(out, "simple")
+    # createDataFrame(rows) parallelizes, so the fetched set shows as
+    # an ExistingRDD scan (a LocalTableScan if Spark ever constant-
+    # folds it) — either way it is driver-local data, not a replay of
+    # the corpus aggregation
+    assert "Scan ExistingRDD[__dup_id" in plan or "LocalTableScan" in plan, (
+        "expected the fetched violation set as driver-local data"
+    )
 
 
 def test_unique_doc_ids_survivor_rule_unchanged(spark):
@@ -504,6 +522,20 @@ def test_unique_doc_ids_broadcast_cap_falls_back_and_matches(
     )
     assert sorted(tuple(r) for r in fallback_df.collect()) == hinted
     assert hinted == [(1, "aaa"), (2, "solo"), (3, "aa")]
+    # the fallback keeps the dup-id detection as LINEAGE (it must
+    # re-execute per join) — its text-free exchange stays in the plan.
+    # Inspect a FRESH frame: collect() above finalized the adaptive
+    # plan, which hides the pre-AQE exchanges from the inspector.
+    from kcbdml9_big_data_processing_spark.plans.inspect import (
+        shuffle_exchanges_carrying,
+    )
+
+    fresh_fb = unique_doc_ids(df, max_broadcast_ids=1)
+    capsys.readouterr()  # drop the repeated fallback warning
+    assert any(
+        not carries
+        for carries, _ in shuffle_exchanges_carrying(fresh_fb, "text")
+    ), "fallback lost its detection aggregation exchange"
 
     # under the cap the hinted plan is unchanged (the enforced
     # contract costs one pruned count, not the broadcast shape)
@@ -511,10 +543,13 @@ def test_unique_doc_ids_broadcast_cap_falls_back_and_matches(
 
 
 def test_unique_doc_ids_cleanup_persists_dup_ids(spark):
-    """The cache-handover seam (r15 review): with cleanup given, the
-    dup-id frame is persisted so the enforcement count and both joins
-    read ONE evaluation — caller unpersists; results identical; and
-    content_doc_ids threads the list through."""
+    """The cache-handover seam, r16 shape (r15 ADVICE): below the cap
+    there is NOTHING to persist — the take() is the one evaluation and
+    both joins read the fetched ids as a local relation — so cleanup
+    stays empty; on the over-cap fallback the dup-id frame IS
+    persisted so the two shuffle joins read one evaluation of the
+    pruned aggregation instead of two — caller unpersists; results
+    identical either way. content_doc_ids threads the list through."""
     from kcbdml9_big_data_processing_spark.sources.corpus import (
         content_doc_ids,
         unique_doc_ids,
@@ -528,8 +563,16 @@ def test_unique_doc_ids_cleanup_persists_dup_ids(spark):
         tuple(r) for r in unique_doc_ids(df, cleanup=cleanup).collect()
     )
     assert got == [(1, "aa"), (2, "solo")]
-    assert len(cleanup) == 1 and cleanup[0].is_cached
-    for f in cleanup:
+    assert cleanup == []  # small path: local relation, nothing cached
+
+    fb: list = []
+    got_fb = sorted(
+        tuple(r)
+        for r in unique_doc_ids(df, max_broadcast_ids=0, cleanup=fb).collect()
+    )
+    assert got_fb == got
+    assert len(fb) == 1 and fb[0].is_cached
+    for f in fb:
         f.unpersist()
 
     threaded: list = []
@@ -538,9 +581,8 @@ def test_unique_doc_ids_cleanup_persists_dup_ids(spark):
         "text string",
     )
     assert content_doc_ids(texted, epoch=1, cleanup=threaded).count() == 1
-    assert len(threaded) == 1 and threaded[0].is_cached
-    for f in threaded:
-        f.unpersist()
+    assert threaded == []  # small path through the front: no cache
+
 
 
 def test_unique_doc_ids_collapses_null_id_group(spark):

@@ -419,3 +419,247 @@ def test_run_root_shell_pipeline_with_ingested_epoch_ids(
     ) == 0
     total = spark.read.parquet(shards).count()
     assert total == 1
+
+
+NEW_DOC = (
+    150,
+    "a brand new refreeze document carrying quite unusual content words",
+    "en", "e", 66,
+)
+
+
+def test_run_root_index_ahead_requires_repair(
+    spark, tmp_path, monkeypatch
+):
+    """r15 ADVICE (medium): a --full re-freeze crashing BETWEEN
+    build_dedup_index's internal generation commit and the index_done
+    marker leaves the index reflecting the UNPUBLISHED kept set. The
+    index_gen marker staged at run start catches it (index_ahead): a
+    plain --retry-torn refuses (an incremental redo would dedup the
+    batch against content absent from the published archive — silent
+    row loss), --repair-index rebuilds over the standing archive, and
+    a batch doc duplicating the torn run's phantom content is KEPT."""
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+    curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+
+    real_mark = R._mark
+
+    def crash_on_index_done(spark_, path):
+        if path.endswith("/index_done"):
+            raise RuntimeError("injected crash after build commit")
+        real_mark(spark_, path)
+
+    monkeypatch.setattr(R, "_mark", crash_on_index_done)
+    with pytest.raises(RuntimeError, match="injected"):
+        curate_run_root(
+            spark, root,
+            _docs(spark, DAY1 + DAY2 + [NEW_DOC]), cfg, full=True,
+        )
+    monkeypatch.setattr(R, "_mark", real_mark)
+
+    assert latest_run(spark, root)["run_id"] == 2  # torn r3 invisible
+    st = R.run_status(spark, root)["torn"]
+    assert st["state"] == "index_ahead"
+    assert "--repair-index" in st["recovery"]
+
+    # the poisoned generation is exactly why retry_torn must refuse
+    batch = [
+        (301, NEW_DOC[1], "en", "f", 66),  # dup of PHANTOM content only
+        (302, "another separate fresh document with distinct wording",
+         "en", "f", 54),
+    ]
+    with pytest.raises(TornRunError, match="COMMITTED a generation"):
+        curate_run_root(
+            spark, root, _docs(spark, batch), cfg, retry_torn=True
+        )
+    r3 = curate_run_root(
+        spark, root, _docs(spark, batch), cfg, repair_index=True
+    )
+    assert (r3["run_id"], r3["mode"]) == (3, "incremental")
+    # 301's text exists ONLY in the torn (unpublished) kept set: with
+    # the repaired index it must survive; the misclassified
+    # partial_stage redo would have silently dropped it
+    assert _kept_ids(spark, r3["dir"]) == [301, 302]
+
+
+def test_run_root_index_ahead_fresh_root_retry_suffices(
+    spark, tmp_path, monkeypatch
+):
+    """index_ahead on a root with NO committed runs: the redo is
+    necessarily full — its build supersedes the orphaned generation —
+    so plain retry_torn recovers (there is no standing archive to
+    repair from) and status says so."""
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    real_mark = R._mark
+
+    def crash_on_index_done(spark_, path):
+        if path.endswith("/index_done"):
+            raise RuntimeError("injected crash after build commit")
+        real_mark(spark_, path)
+
+    monkeypatch.setattr(R, "_mark", crash_on_index_done)
+    with pytest.raises(RuntimeError, match="injected"):
+        curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+    monkeypatch.setattr(R, "_mark", real_mark)
+
+    st = R.run_status(spark, root)["torn"]
+    assert st["state"] == "index_ahead"
+    assert "--retry-torn" in st["recovery"]
+    r1 = curate_run_root(
+        spark, root, _docs(spark, DAY1), cfg, retry_torn=True
+    )
+    assert (r1["run_id"], r1["mode"]) == (1, "full")
+    assert _kept_ids(spark, r1["dir"]) == [1, 2, 4]
+
+
+def test_run_root_auto_publish_same_batch_short_circuits(
+    spark, tmp_path, monkeypatch
+):
+    """r15 ADVICE (low): after auto-publishing a torn-but-complete
+    run, re-offering the SAME batch (the documented recovery: re-run
+    the same command) returns the published run with
+    already_published=True instead of re-curating into the
+    monotonic-id guard — one crash costs one intervention. A genuinely
+    NEW batch still curates as the next run."""
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+
+    real_commit = R._commit
+    monkeypatch.setattr(
+        R, "_commit",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+    monkeypatch.setattr(R, "_commit", real_commit)
+
+    # the SAME command again: publishes r2 and STOPS — no torn r3
+    out = curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+    assert out["already_published"] is True
+    assert (out["run_id"], out["mode"]) == (2, "incremental")
+    assert latest_run(spark, root)["run_id"] == 2
+    import os as _os
+
+    assert not _os.path.exists(R.run_dir(root, 3)), (
+        "the consumed batch re-curated and staged a new torn dir"
+    )
+    # a new batch afterwards proceeds normally
+    r3 = curate_run_root(spark, root, _docs(spark, DAY3), cfg)
+    assert (r3["run_id"], r3["mode"]) == (3, "incremental")
+    assert _kept_ids(spark, r3["dir"]) == [202]
+
+
+def test_vacuum_runs_retention(spark, tmp_path, capsys):
+    """r15 verdict #2: vacuum deletes run dirs superseded by the
+    latest full run's lineage, keeps the retain window + the standing
+    lineage, never prunes meta rows, and the day-N flow is oblivious.
+    --status marks vacuumed rows."""
+    from kcbdml9_big_data_processing_spark.jobs.runs import (
+        standing_archive, vacuum_runs,
+    )
+
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    r1 = curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+    r2 = curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+    r3 = curate_run_root(
+        spark, root, _docs(spark, DAY1 + DAY2), cfg, full=True
+    )
+    r4 = curate_run_root(spark, root, _docs(spark, DAY3), cfg)
+
+    # superseded = r1, r2 (before r3's full lineage); retain=1 keeps r2
+    assert vacuum_runs(spark, root, retain=1) == [r1["dir"]]
+    import os as _os
+
+    assert not _os.path.exists(r1["dir"])
+    assert _os.path.exists(r2["dir"])
+    # meta rows never pruned; status reflects presence
+    st = R.run_status(spark, root)
+    assert [r["run_id"] for r in st["runs"]] == [1, 2, 3, 4]
+    assert [r["present"] for r in st["runs"]] == [False, True, True, True]
+    # the standing archive (r3's lineage) is untouched
+    assert sorted(
+        r["doc_id"] for r in standing_archive(spark, root).collect()
+    ) == sorted(_kept_ids(spark, r3["dir"]) + _kept_ids(spark, r4["dir"]))
+    # idempotent; retain=0 then reclaims r2 as well
+    assert vacuum_runs(spark, root, retain=1) == []
+    assert vacuum_runs(spark, root, retain=0) == [r2["dir"]]
+    assert not _os.path.exists(r2["dir"])
+    with pytest.raises(ValueError, match="retain"):
+        vacuum_runs(spark, root, retain=-1)
+
+    # day-N incremental is oblivious to the vacuum
+    day5 = [(401, "one more entirely novel document with original words",
+             "en", "g", 53)]
+    r5 = curate_run_root(spark, root, _docs(spark, day5), cfg)
+    assert (r5["run_id"], r5["mode"]) == (5, "incremental")
+    assert _kept_ids(spark, r5["dir"]) == [401]
+
+    # CLI: the verb prints what it reclaimed; --status marks the gone
+    from kcbdml9_big_data_processing_spark.__main__ import _curate_main
+
+    assert _curate_main(
+        ["--run-root", root, "--vacuum-runs"], spark=spark
+    ) == 0
+    assert "0 superseded run dir(s)" in capsys.readouterr().out
+    assert _curate_main(["--run-root", root, "--status"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "r1 (full)" in out and "[vacuumed]" in out
+    # flag hygiene: standalone verb, root required, inert knob refused
+    assert _curate_main(["--vacuum-runs"], spark=spark) == 2
+    assert _curate_main(
+        ["--run-root", root, "--vacuum-runs", "--status"], spark=spark
+    ) == 2
+    assert _curate_main(
+        ["--run-root", root, "--retain-runs", "3"], spark=spark
+    ) == 2
+
+
+def test_run_root_writer_lock_enforced(spark, tmp_path):
+    """r15 verdict #3: with the opt-in lock layer armed,
+    curate_run_root holds {root}/_writer.lock for the whole
+    stage-to-publish span — a concurrent second curate refuses loudly
+    instead of interleaving into the same staged run dir; a stale
+    holder's lock is stolen past the TTL like the index locks.
+    Unlocked (default) behavior is unchanged."""
+    import os as _os
+    import time as _time
+
+    from kcbdml9_big_data_processing_spark.queries.similarity import (
+        IndexWriterLockError,
+        scoped_writer_lock_ttl,
+    )
+
+    root = str(tmp_path / "root")
+    cfg = CurationConfig()
+    # default: no lock file is ever created
+    curate_run_root(spark, root, _docs(spark, DAY1), cfg)
+    assert not _os.path.exists(f"{root}/_writer.lock")
+
+    with scoped_writer_lock_ttl(3600.0):
+        # plant a FRESH foreign holder -> loud refusal, nothing staged
+        with open(f"{root}/_writer.lock", "w"):
+            pass
+        with pytest.raises(IndexWriterLockError, match="locked"):
+            curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+        assert not _os.path.exists(R.run_dir(root, 2)), (
+            "a lock refusal must precede any staging"
+        )
+        # age it past the TTL -> the steal path acquires and curates
+        old = _time.time() - 7200
+        _os.utime(f"{root}/_writer.lock", (old, old))
+        r2 = curate_run_root(spark, root, _docs(spark, DAY2), cfg)
+        assert (r2["run_id"], r2["mode"]) == (2, "incremental")
+        assert _kept_ids(spark, r2["dir"]) == [102]
+        # released on exit; vacuum_runs holds it too (smoke)
+        assert not _os.path.exists(f"{root}/_writer.lock")
+        from kcbdml9_big_data_processing_spark.jobs.runs import (
+            vacuum_runs,
+        )
+
+        assert vacuum_runs(spark, root) == []
+    assert not _os.path.exists(f"{root}/_writer.lock")

@@ -273,6 +273,64 @@ def main() -> None:
 
         return n, one, lambda: None
 
+    def run_root_incremental_runner(mult):
+        """Fixed batch through curate_run_root (the crash-safe day-N
+        verb) vs a growing PUBLISHED standing archive — r15 verdict
+        'next round' #6: curator_vs_archive covers the library path;
+        this series adds the run-root machinery on top (torn-dir
+        check, intent/index_gen staging, kept+decisions parquet
+        writes, index extend, meta append). Expect ~flat like its
+        library sibling: the archive-side work is the stored-index
+        search; the staging writes are batch-sized.
+
+        Each timed run PUBLISHES a run, so consecutive runs use
+        disjoint ascending id offsets (the monotonic-id guard) and
+        the archive grows by one tiny batch per run — negligible vs
+        the corpus. Prepare (full curation + index build over the
+        inflated corpus) is untimed, its session footprint released
+        exactly like curator_vs_archive's."""
+        from kcbdml9_big_data_processing_spark.jobs.runs import (
+            curate_run_root,
+        )
+        from kcbdml9_big_data_processing_spark.jobs.training_data import (
+            CurationConfig,
+        )
+
+        cfg = CurationConfig()
+        corpus = _inflate(base, mult)
+        root = scratch_dir(f"probe_runroot_{mult}_")
+        curate_run_root(spark, root, corpus, cfg)  # untimed day-0 full
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        n = spark.read.parquet(
+            f"{root}/runs/r000001/kept"
+        ).count()
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        seq = {"k": 0}
+
+        def one():
+            # ids above every inflated-archive id (1e8 * mult + 65M)
+            # AND above every prior timed batch's — 2e8 per step keeps
+            # the k=2 run under the packed-pair 2^31 id bound
+            off = 1_000_000_000 + 200_000_000 * seq["k"]
+            seq["k"] += 1
+            batch = base.where(F.col("doc_id") % 16 == 1).select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                F.array_join(
+                    F.slice(
+                        toks, 1, F.greatest(F.size(toks) - 2, F.lit(1))
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            cleanup: list = []
+            curate_run_root(spark, root, batch, cfg, cleanup=cleanup)
+            for f in cleanup:
+                f.unpersist()
+
+        return n, one, lambda: None
+
     def inc_exact_stage_runner(mult):
         """Fixed batch through ONLY the incremental exact-dedup stage
         vs a growing archive's stored ``hashes`` map (r10 verdict #1):
@@ -705,6 +763,7 @@ def main() -> None:
         "curation_run_scrub": docs_op(curator_scrub),
         "dedup_vs_index": vs_index_runner,
         "curator_vs_archive": curator_vs_archive_runner,
+        "run_root_incremental": run_root_incremental_runner,
         "inc_exact_stage": inc_exact_stage_runner,
         "semantic_vs_index": semantic_vs_index_runner,
         "ivf_index_search": ivf_search_runner,
