@@ -582,24 +582,30 @@ _CONSTITUENTS: dict[str, list[str]] = {
 
 
 def _baseline_record() -> dict:
-    """The newest *parseable* recorded round's payload (queries +
-    calibration rows).
+    """The baseline payload (queries + calibration rows) the
+    regression and calibration gates compare against.
+
+    The committed BENCH_LOCAL.json wins whenever it parses: since the
+    r16 no-clobber policy it is only ever replaced DELIBERATELY
+    (--out BENCH_LOCAL.json) with a curated clean-window record,
+    whereas BENCH_r{N}.json is whatever window the driver's unattended
+    per-round run landed in — r15's was a calib_sched-0.839 degraded
+    window, and an mtime-based preference (the pre-r16 heuristic,
+    needed when every sweep overwrote BENCH_LOCAL) picked it over the
+    committed clean record by a 4-second checkout-order accident,
+    silently relaxing both gates by its inflated numbers.
 
     BENCH_r{N}.json files can have ``parsed: null`` (the driver's tail
     cap truncated the JSON line — happened in r3), which must not
     silently disarm the gate: walk newest-first and take the first file
-    whose parsed.queries is a non-empty dict. The untruncatable
-    BENCH_LOCAL.json sidecar written by this script is preferred when
-    it is newer than the newest round file.
+    whose parsed.queries is a non-empty dict.
     """
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     candidates = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True)
     local = os.path.join(here, "BENCH_LOCAL.json")
-    if os.path.exists(local) and (
-        not candidates or os.path.getmtime(local) > os.path.getmtime(candidates[0])
-    ):
+    if os.path.exists(local):
         candidates.insert(0, local)
     for path in candidates:
         try:

@@ -329,3 +329,33 @@ def test_calib_quiet_gate_probe_failure_is_not_dirty(capsys):
     )
     assert (val, dirty) == (None, False)
     assert "calibration failed" in capsys.readouterr().err
+
+
+def test_baseline_prefers_committed_local_over_round_files(
+    tmp_path, monkeypatch
+):
+    """r16: the committed BENCH_LOCAL.json IS the baseline whenever it
+    parses — a driver round record with a newer mtime must not win
+    (r15's was a degraded-window 76 s record that silently relaxed
+    both gates by checkout-order mtime accident). Round files remain
+    the fallback, newest-first, skipping truncated ones."""
+    import json as _json
+    import os as _os
+
+    import bench as _bench
+
+    local = tmp_path / "BENCH_LOCAL.json"
+    local.write_text(_json.dumps({"queries": {"q": 1.0}, "value": 60.0}))
+    r15 = tmp_path / "BENCH_r15.json"
+    r15.write_text(
+        _json.dumps({"parsed": {"queries": {"q": 2.0}, "value": 76.0}})
+    )
+    _os.utime(local, (1_000, 1_000))  # OLDER than the round file
+    monkeypatch.setattr(
+        _bench.os.path, "abspath", lambda _: str(tmp_path / "bench.py")
+    )
+    assert _bench._baseline_record()["value"] == 60.0
+    local.unlink()  # no committed record -> newest parseable round file
+    assert _bench._baseline_record()["value"] == 76.0
+    r15.write_text("{not json")  # truncated/corrupt round file -> {}
+    assert _bench._baseline_record() == {}
