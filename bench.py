@@ -369,7 +369,7 @@ def main() -> None:
     )
     calib_sched_pre, wait_calib_sec, dirty_calib = _calib_quiet_gate(
         _sched_probe,
-        _baseline_calib()[1],
+        _baseline_sched_floor(),
         max(0.0, total_budget - wait_quiet_sec),
         _env_float("SPARK_GRAFT_MAX_CALIB_RATIO", _CALIB_DIRTY_RATIO),
     )
@@ -635,6 +635,28 @@ def _baseline_calib() -> tuple[float | None, float | None]:
         cpu if isinstance(cpu, (int, float)) and cpu > 0 else None,
         sched if isinstance(sched, (int, float)) and sched > 0 else None,
     )
+
+
+def _baseline_sched_floor() -> float | None:
+    """The baseline window's BEST sched evidence — min of its
+    pre-sweep probe (calib_sched_pre, r16+) and post-sweep row
+    (calib_sched_sec) — for the PRE-sweep quiet gate's reference.
+
+    The two probes bracket the sweep, and a burst can hit either end
+    while the timed rows stayed clean (the r16 committed record is
+    exactly that: rows zero-flag, pre 0.430, post 1.472 from a tail
+    burst). Deriving the gate threshold from the inflated end made it
+    lax enough to wave a 1.095 s contended window through — observed
+    live on the sweep this function exists to prevent. min() is the
+    honest window-speed estimate; the symmetric post-vs-post
+    normalization inside _regressions keeps using calib_sched_sec."""
+    rec = _baseline_record()
+    vals = [
+        v
+        for v in (rec.get("calib_sched_pre"), rec.get("calib_sched_sec"))
+        if isinstance(v, (int, float)) and v > 0
+    ]
+    return min(vals) if vals else None
 
 
 def _prior_for(

@@ -359,3 +359,24 @@ def test_baseline_prefers_committed_local_over_round_files(
     assert _bench._baseline_record()["value"] == 76.0
     r15.write_text("{not json")  # truncated/corrupt round file -> {}
     assert _bench._baseline_record() == {}
+
+
+def test_baseline_sched_floor_takes_best_bracket(monkeypatch):
+    """r16: the pre-sweep gate references the baseline window's BEST
+    sched evidence — a tail burst inflating calib_sched_sec must not
+    relax the gate when the pre-probe recorded the clean window
+    (observed live: threshold 2.2 from an inflated 1.472 waved a
+    1.095 contended window through)."""
+    import bench as _bench
+
+    monkeypatch.setattr(
+        _bench, "_baseline_record",
+        lambda: {"calib_sched_pre": 0.43, "calib_sched_sec": 1.472},
+    )
+    assert _bench._baseline_sched_floor() == 0.43
+    monkeypatch.setattr(
+        _bench, "_baseline_record", lambda: {"calib_sched_sec": 0.394}
+    )
+    assert _bench._baseline_sched_floor() == 0.394  # pre-r16 records
+    monkeypatch.setattr(_bench, "_baseline_record", lambda: {})
+    assert _bench._baseline_sched_floor() is None
