@@ -58,7 +58,7 @@ from ..sinks.shards import (
     shard_sql,
     write_training_shards,
 )
-from ..sources.parquet import read_table
+from ..sources.parquet import read_table, spread_scan
 from .dedup import _truncate_lineage
 from .registry import register
 from .text import _SW_ARR_SQL, _tokens_sql
@@ -227,7 +227,7 @@ def quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor count, zero shuffle, zero Python rows; the model rides
     as a plan literal (~dim longs per executor, the broadcast-variable
     shape), so inference cost is exactly one corpus scan."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread_scan(read_table(spark, sf_dir, "documents"))
     return classifier_score(docs, _CLF_WEIGHTS)
 
 
@@ -697,7 +697,10 @@ def curation_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         # signals, content hashing, shingling, the final kept-join and
         # decision branches) — persist the synthetic corpus once so
         # each consumer reads the cache instead of re-deriving the
-        # 3-way union from the parquet scan
+        # 3-way union from the parquet scan. r16: spread_scan was
+        # A/B'd here (32 and 8) and LOST — the pipeline's dozens of
+        # small stages multiply per-task overhead faster than the <=3
+        # heavy map tasks gain; see OPTIMIZATION_r16.md.
         .persist()
     )
     # stage caches (quality flags, hash-tagged frame) collect here; the
@@ -802,6 +805,14 @@ def span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
+    # r16: spread AFTER the union, not at the read — the operator
+    # derives three consumers from its input, and a spread at the read
+    # is re-planned per union branch with different pushed filters
+    # below it (non-reusable exchanges: pinned count went 2 -> 7);
+    # spreading the assembled corpus keeps the subtree identical in
+    # every consumer, so exchange reuse executes it once (guide §2.5,
+    # §2.4). The window-fingerprint chains then run 32-way instead of
+    # as ONE task over the single-row-group input.
     return remove_repeated_spans(
-        docs.unionAll(copies), span_tokens=_SPAN_TOKENS
+        spread_scan(docs.unionAll(copies)), span_tokens=_SPAN_TOKENS
     ).where(F.col("doc_id") < _SPAN_COPY_OFFSET)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg, davg_sql, dsum, dsum_sql
-from ..sources.parquet import read_table
+from ..sources.parquet import read_table, spread_scan
 from .registry import register
 
 #: whitespace tokenizer shared by every query (and its oracle).
@@ -275,8 +275,12 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure overhead; Catalyst cannot eliminate a self-join). Each
     constituent stays importable individually. (The @register lives
     below redact_pii so the oracle fragments exist at decoration
-    time.)"""
-    docs = read_table(spark, sf_dir, "documents")
+    time.)
+
+    r16: the scan is spread (spread_scan) before the projection — the
+    single-row-group input otherwise runs the whole MD5-shingle +
+    regex-redaction projection as ONE task (guide §2.5)."""
+    docs = spread_scan(read_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         *_text_metric_cols(),
@@ -463,7 +467,9 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     score arithmetic still executes fully every call."""
 
     def build() -> DataFrame:
-        docs = read_table(spark, sf_dir, "documents")
+        # r16: spread the single-row-group scan — the ten-profile
+        # score arithmetic otherwise runs as ONE task (guide §2.5)
+        docs = spread_scan(read_table(spark, sf_dir, "documents"))
         toks = _tokens()
         grams = F.expr(
             "array_distinct(transform(sequence(1, greatest(length(text) - 1, 1)),"

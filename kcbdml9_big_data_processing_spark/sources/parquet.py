@@ -16,6 +16,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: measurement hook (tools/ab_spread.py): True turns every
+#: spread_scan into identity so interleaved same-session A/B runs can
+#: separate the spread's effect from host-window noise.
+_SPREAD_DISABLED = False
+
+
+def spread_scan(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
+    """Round-robin-spread a scan whose INPUT LAYOUT yields fewer tasks
+    than the session has cores (optimization guide §2.5 "input skew:
+    one huge unsplittable file — repartition immediately after the
+    read", §1.2 step 1).
+
+    Parquet cannot split below row-group granularity, and a
+    single-row-group file scans as ONE task no matter the cluster
+    size — so every downstream per-row expression (tokenization,
+    shingle fingerprinting, regex redaction, MD5 chains) runs on one
+    core while the rest idle. The driver's testdata tables are exactly
+    this shape (one file, one row group, verified with pyarrow); r16
+    measured the expression-heavy document queries spending 100 % of
+    their runtime in that single task.
+
+    Scale-adaptive, NOT a local-mode constant: the gate reads the
+    scan's actual split count (``df.rdd.getNumPartitions()`` — the
+    planner's real file splits) and only repartitions when it is below
+    the session's core budget. At 100 TB a healthy layout yields
+    thousands of splits and this is a no-op (zero added exchange); it
+    fires only for pathological layouts (giant single row groups,
+    gzip), where the one extra exchange moves exactly the input that
+    was already the bottleneck — the guide's prescribed remedy.
+
+    Round-robin (no key): even spread regardless of key skew; Spark's
+    sort-before-repartition keeps retries deterministic over the
+    deterministic scan."""
+    if _SPREAD_DISABLED:
+        return df
+    spark = df.sparkSession
+    if min_tasks is None:
+        min_tasks = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_tasks:
+        return df
+    return df.repartition(min_tasks)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 
