@@ -399,7 +399,10 @@ def main() -> None:
         if name in EXCLUDE:
             continue
         samples: list[float] = []
-        for _ in range(runs):
+        for run_i in range(runs):
+            # guide §1.5: label the timed jobs so a UI/event-log view
+            # of a sweep attributes every job to its query and run
+            spark.sparkContext.setJobDescription(f"bench:{name}#{run_i}")
             t0 = time.time()
             try:
                 spec.fn(spark, sf_dir).write.mode("overwrite").format(
@@ -411,6 +414,7 @@ def main() -> None:
                 samples = []
                 break
             finally:
+                spark.sparkContext.setJobDescription(None)
                 # isolate runs AND queries: several persist()
                 # intermediates (dedup signatures, LSH features) as
                 # part of their plan; left cached they pile up across
