@@ -85,6 +85,30 @@ def _bounded_session(spark: SparkSession) -> SparkSession:
         bs.conf.set(
             "spark.sql.shuffle.partitions", str(_BOUNDED_STATE_PARTITIONS)
         )
+        # r16: state-store maintenance (snapshot + old-delta cleanup,
+        # default every 60s) is pure overhead for a BOUNDED replay —
+        # its checkpoint is abandoned at drain, so snapshot-bounded
+        # recovery time protects nothing, while each fire iterates
+        # every provider loaded in the process and stalls in-flight
+        # micro-batch commits. Measured (tools/ fixed-code probes,
+        # sf0.1): stream_join_suite runs read a stable 3.5-3.8 s until
+        # the first fire ~60 s after the process's first state store
+        # loads, then 2-8x blowups (13.9/22.2/30.2/36.8 s observed)
+        # with recovery after the fire — the mechanism behind the
+        # bench's bouncing stream rows. 600 s puts the first fire an
+        # order of magnitude past any replay's drain while still
+        # reclaiming dead providers in a long-lived session (a paused
+        # or hour-scale interval would let abandoned replay providers
+        # accumulate in executor memory). The interval is pinned
+        # process-wide by the FIRST store load
+        # (StateStore.startMaintenanceIfNeeded), so a production
+        # stream started later in the same process inherits it —
+        # acceptable: production jobs (streaming/job.py) own their
+        # process, and 600 s only defers snapshot compaction, never
+        # state correctness.
+        bs.conf.set(
+            "spark.sql.streaming.stateStore.maintenanceInterval", "600s"
+        )
         spark._kcbdml9_bounded_session = bs
     return bs
 

@@ -761,6 +761,31 @@ def test_stream_join_suite_equals_batch(spark):
     assert enrich == want_e
 
 
+def test_bounded_session_defers_state_maintenance(spark):
+    """r16: bounded replays set a 600s state-store maintenance
+    interval on the DEDICATED CHILD session (their checkpoints are
+    abandoned at drain, so the default 60s snapshot/cleanup fire is
+    pure overhead that measurably stalls in-flight commits — 2-8x
+    run blowups in the fixed-code probes, OPTIMIZATION_r16.md). Pin
+    (1) the child carries the conf, (2) the caller's session keeps
+    the engine default (production streams must not silently inherit
+    a deferred maintenance schedule from merely importing this
+    module), (3) the child still pins the bounded partition count."""
+    from kcbdml9_big_data_processing_spark.queries.stream import (
+        _BOUNDED_STATE_PARTITIONS,
+        _bounded_session,
+    )
+
+    key = "spark.sql.streaming.stateStore.maintenanceInterval"
+    bs = _bounded_session(spark)
+    assert bs.conf.get(key) == "600s"
+    assert bs.conf.get("spark.sql.shuffle.partitions") == str(
+        _BOUNDED_STATE_PARTITIONS
+    )
+    # the caller's session is untouched: engine default (60s), not 600s
+    assert spark.conf.get(key) != "600s"
+
+
 def test_bounded_replay_concurrent_with_batch_at_200_partitions(spark):
     """r7 verdict #5: the bounded replays no longer scope
     spark.sql.shuffle.partitions on the caller's session — they run on
