@@ -187,6 +187,18 @@ def _stored_shingled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..tmpdirs import scratch_dir
 
         path = scratch_dir("shingled_corpus_")
+        # r17: a multi-file store write (spread_scan before the write,
+        # so the steady-state scan parallelizes by file count with no
+        # read-side exchange — r16 verdict #3) was process-level
+        # A/B'd and REVERTED: ngram 2.28 -> 4.12 s, clusters 3.08 ->
+        # 3.69, semantic 1.95 -> 2.75 (OPTIMIZATION_r17.md) — the
+        # 32-way scan multiplies every downstream stage's task count
+        # on KB-scale partitions. At any healthy production layout the
+        # build plan is already >= cores-way parallel, so the write
+        # inherits that file count and the scan parallelizes WITHOUT
+        # this — the single-file store is the testdata pathology, and
+        # paying real seconds here to simulate scale hygiene the
+        # layout provides for free is a bad trade.
         _shingled_corpus(spark, sf_dir).write.mode("overwrite").parquet(path)
         _SHINGLED_STORE[key] = path
     return spark.read.schema("doc_id bigint, sh array<bigint>").parquet(path)
@@ -1372,6 +1384,8 @@ def _stored_minhash_bands(
 
         path = scratch_dir("minhash_bands_")
         cleanup: list[DataFrame] = []
+        # r17: multi-file write A/B'd and reverted — see
+        # _stored_shingled_corpus
         _minhash_banded(prepped, cleanup=cleanup).write.mode(
             "overwrite"
         ).parquet(path)
@@ -1444,6 +1458,8 @@ def _stored_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     0L, (a, b) -> a + b))"""
         )
         path = scratch_dir("simhash_sigs_")
+        # r17: multi-file write A/B'd and reverted — see
+        # _stored_shingled_corpus
         corpus.select("doc_id", sig.alias("simhash")).write.mode(
             "overwrite"
         ).parquet(path)
@@ -1628,6 +1644,20 @@ def _truncate_lineage(
     return df.localCheckpoint(eager=eager)
 
 
+#: r17 measurement hooks (tools/ab_flags.py): restore the r16 eager
+#: barriers / per-round convergence collects for interleaved A/Bs.
+#: Decomposed interleaved A/Bs (OPTIMIZATION_r17.md): dropping the
+#: curator's prepped.count LOST (~0.8 s — the shingle cache races its
+#: two pair-stage consumers), so that barrier stays (default True);
+#: fusing two CC rounds per convergence collect read flat-to-slightly-
+#:negative across three A/Bs, so the per-round check stays the
+#: default (the fused path remains available for deployments whose
+#: driver round-trips dominate, e.g. high-latency cluster drivers).
+_EAGER_EDGE_FILL = False
+_EAGER_PREPPED_FILL = True
+_CC_ROUNDS_PER_CHECK = 1
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -1683,9 +1713,16 @@ def connected_components(
         .select("e.src", "e.dst")
         .persist()
     )
-    # one eager materialization of the pair pipeline into the cache;
-    # every loop round (two subtrees each) then reads cached blocks
-    edges.count()
+    # r17: no eager count barrier — the first loop collect materializes
+    # the pair pipeline into the cache. Every reference to ``edges``
+    # inside that job is the SAME persisted Dataset (one RDD), so the
+    # DAGScheduler dedups its shuffle stages by RDD identity and the
+    # expensive pair join still executes once; only post-shuffle map
+    # partitions can race, and those are cheap. Dropping the count
+    # removes one driver action + its Catalyst/AQE gap per CC call
+    # (guide §1.2-1: fewer passes; A/B'd in OPTIMIZATION_r17.md).
+    if _EAGER_EDGE_FILL:
+        edges.count()
     # round 1, fused into initialization: under identity labels the
     # neighbor message for dst is just src, so the first propagation
     # needs no join and no distinct — ONE shuffle (the groupBy) builds
@@ -1720,12 +1757,13 @@ def connected_components(
     # free. Measured: CC on the curation graph drops from 3 driver
     # round-trips to 2 (~0.4-0.6 s/call at bench scale).
     null_own = F.lit(None).cast("long")
-    for _ in range(max_rounds - 1):
-        neighbor_msgs = labels.join(edges, labels.doc_id == edges.src).select(
+
+    def _propagate(cur: DataFrame) -> DataFrame:
+        neighbor_msgs = cur.join(edges, cur.doc_id == edges.src).select(
             F.col("dst").alias("doc_id"), "canonical_id", null_own.alias("own")
         )
-        updated = _truncate_lineage(
-            labels.select(
+        return _truncate_lineage(
+            cur.select(
                 "doc_id", "canonical_id", F.col("canonical_id").alias("own")
             )
             .unionAll(neighbor_msgs)
@@ -1737,6 +1775,29 @@ def connected_components(
             reliable_checkpoint,
             eager=False,
         )
+
+    # r17: _CC_ROUNDS_PER_CHECK propagation rounds share ONE driver
+    # convergence collect. ``own`` in the group's last round is the
+    # label after the previous round, and min-propagation is monotone,
+    # so "the final round changed nothing" (new_sum == old_sum) is
+    # still exactly the fixpoint test. For the even-diameter graphs
+    # dup clusters produce, total propagation compute is IDENTICAL to
+    # the per-round-check loop (the old loop also ran the final
+    # no-change round as its convergence proof) at HALF the driver
+    # barriers; odd-diameter graphs pay at most one extra round of
+    # edge-incident-scale shuffle — the trade goes to fewer barriers,
+    # which bound this loop at bench scale and are the measured source
+    # of its contention sensitivity (guide §1.2-1; A/B'd in
+    # OPTIMIZATION_r17.md). A deployment whose per-round shuffle
+    # dwarfs driver latency sets _CC_ROUNDS_PER_CHECK = 1.
+    rounds_left = max_rounds - 1
+    fuse = max(1, _CC_ROUNDS_PER_CHECK)
+    while rounds_left > 0:
+        updated = _propagate(labels)
+        rounds_left -= 1
+        for _ in range(min(fuse - 1, rounds_left)):
+            updated = _propagate(updated.select("doc_id", "canonical_id"))
+            rounds_left -= 1
         sums = updated.agg(
             F.sum("canonical_id").alias("new_sum"), F.sum("own").alias("old_sum")
         ).collect()[0]

@@ -48,6 +48,50 @@ def _prepared_plan(spark: SparkSession, name: str, sf_dir: str, build) -> DataFr
     return df
 
 
+def _prepared_lifecycle_plan(
+    spark: SparkSession, name: str, sf_dir: str, build
+) -> "tuple[DataFrame, tuple[DataFrame, ...]]":
+    """The cache-manager-aware prepared variant for queries whose
+    per-call persist/unpersist lifecycle is load-bearing (the case
+    ``register(prepare=True)`` forbids — see :func:`register`).
+
+    ``build`` returns ``(out, frames)``: the result plan plus the
+    frames the query persists per call. Construction + Catalyst
+    ANALYSIS run once per (app, sf_dir); the caller then, per call,
+    (1) re-persists each returned frame — registering a fresh
+    InMemoryRelation with the cache manager, (2) eagerly materializes
+    the returned plan, and (3) unpersists every frame, so no data
+    rides in executor memory between calls.
+
+    The returned plan is ``out.select("*")`` — a NEW Dataset, hence a
+    new QueryExecution whose withCachedData lookup resolves against
+    the CURRENT call's cache registrations. That is what makes this
+    cache-manager-aware: reusing the first call's *physical* plan
+    (what the plain prepared cache would pin) would keep executing its
+    first-call InMemoryRelation, whose re-filled blocks detach from
+    the cache manager and leak across calls. Only the analyzed
+    logical plan is reused — optimization, physical planning, and the
+    full scan/shuffle execution happen per call."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, name, sf_dir)
+    with _PREPARED_LOCK:
+        for k in [k for k in _PREPARED_ARTIFACTS if k[0] != app_id]:
+            del _PREPARED_ARTIFACTS[k]
+        pair = _PREPARED_ARTIFACTS.get(key)
+    if pair is None:
+        out, frames = build()
+        out.schema  # force analysis at preparation time
+        with _PREPARED_LOCK:
+            pair = _PREPARED_ARTIFACTS.setdefault(key, (out, tuple(frames)))
+    out, frames = pair
+    return out.select("*"), frames
+
+
+#: generic per-process artifact cache behind _prepared_lifecycle_plan
+#: (same keying + eviction as _PREPARED_PLANS)
+_PREPARED_ARTIFACTS: dict[tuple[str, str, str], tuple] = {}
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str

@@ -1720,6 +1720,9 @@ def _stored_near_dup_prepped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         planes = _planes()
         path = scratch_dir("near_dup_prepped_")
+        # r17: multi-file write A/B'd and reverted — see
+        # dedup._stored_shingled_corpus (semantic_dedup_clusters read
+        # 1.95 -> 2.75 s with a 32-file store)
         base.unionAll(perturbed).select(
             "vec_id",
             "label",

@@ -18,13 +18,41 @@ from conftest import SF_SMOKE
 def test_spreads_single_split_scan_to_core_count(spark):
     """The driver testdata tables are one file / one row group — the
     scan is ONE task; spread_scan must rebalance it to the session's
-    parallelism."""
+    parallelism, bounded by the size-aware cap (r17): never more
+    tasks than ceil(input bytes / _SPREAD_MIN_BYTES_PER_TASK)."""
+    import os
+
     docs = read_table(spark, SF_SMOKE, "documents")
     assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
     out = spread_scan(docs)
-    assert (
-        out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
-    )
+    nbytes = os.path.getsize(os.path.join(SF_SMOKE, "documents.parquet"))
+    cap = -(-nbytes // P._SPREAD_MIN_BYTES_PER_TASK)
+    expected = min(spark.sparkContext.defaultParallelism, cap)
+    assert out.rdd.getNumPartitions() == expected
+
+
+def test_size_cap_never_binds_at_bench_scale(spark):
+    """At the driver's benched SF (0.1) the cap must NOT bind at any
+    core count the driver uses (32 or 8): sf0.1 documents are ~594 KB,
+    far above 32 x _SPREAD_MIN_BYTES_PER_TASK — pinning that the r17
+    cap leaves every r16 bench-scale spread byte-identical."""
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "documents.parquet")):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    nbytes = os.path.getsize(os.path.join(sf01, "documents.parquet"))
+    assert -(-nbytes // P._SPREAD_MIN_BYTES_PER_TASK) >= 32
+
+
+def test_explicit_min_tasks_bypasses_size_cap(spark):
+    """An explicit min_tasks is the caller's decision — the size cap
+    applies only to the derived (defaultParallelism) target."""
+    docs = read_table(spark, SF_SMOKE, "documents")
+    want = spark.sparkContext.defaultParallelism
+    assert spread_scan(docs, want).rdd.getNumPartitions() == want
 
 
 def test_noop_when_scan_already_parallel(spark):
