@@ -51,10 +51,30 @@ from .registry import register
 #: A/B steady state ~3.9 vs ~3.6. The ~6-8% edge at 16 is inside
 #: window noise and this session is SHARED — 16 costs join_suite
 #: 1.6x — so 8 stays the pinned default for every bounded replay.
-_BOUNDED_STATE_PARTITIONS = 8
+#:
+#: r17: re-probed 8-vs-4 under the r16 maintenance deferral with
+#: fresh-process interleaved A/Bs (tools/ab_process.py, 3 legs x 3
+#: runs): the window-agg replays all prefer 4 — stream_join_suite
+#: 4.60 -> 3.33 (1.38x), stream_bytes_90s 2.45 -> 2.17,
+#: stream_curated_ingest 1.63 -> 1.45, stream_dedup_events 1.15 ->
+#: 1.07 — consistent with the r8 series' 4-is-fastest that "headroom"
+#: had overridden; the stall mode that argued for headroom is gone.
+#: The applyInPandasWithState runner moves the OTHER way (same
+#: protocol: 4.70 @ 8 vs 5.31 @ 4 — per-key Python invocation wants
+#: the parallelism), so it keeps 8 on its own child session
+#: (_RT_STATE_PARTITIONS below; _bounded_session is keyed by count).
+#: A 16-partition rt variant was also probed and shipped briefly:
+#: its isolated series read 14% better but TWO in-path interleaved
+#: A/Bs said wash-to-worse, so 8 stands.
+_BOUNDED_STATE_PARTITIONS = 4
+
+#: state partitions for stream_running_totals only (see above).
+_RT_STATE_PARTITIONS = 8
 
 
-def _bounded_session(spark: SparkSession) -> SparkSession:
+def _bounded_session(
+    spark: SparkSession, partitions: int | None = None
+) -> SparkSession:
     """Dedicated child session (shared SparkContext, own conf/catalog)
     for the bounded replays, with shuffle partitions pinned to
     _BOUNDED_STATE_PARTITIONS (r7 ADVICE-adjacent verdict #5: the old
@@ -66,14 +86,23 @@ def _bounded_session(spark: SparkSession) -> SparkSession:
     anything running on it concurrently — keeps its own partitioning
     end to end (pinned in tests/test_streaming.py).
 
-    The child is cached on the parent session object (one per parent,
-    created lazily): memory-sink tables re-register per call exactly
+    Children are cached on the parent session object — one per
+    (parent, partition count), created lazily; the per-count keying is
+    r17, letting the applyInPandasWithState runner use its own probed
+    count (_RT_STATE_PARTITIONS) while everything else shares the
+    default: memory-sink tables re-register per call exactly
     as they previously did on the parent, so driver-heap behavior is
     unchanged. Explicitly-set spark.sql.* confs are copied from the
     parent at creation (session time zone, legacy parquet nanos, ...)
     because newSession() starts from the static SparkConf, not the
     parent's runtime conf."""
-    bs = getattr(spark, "_kcbdml9_bounded_session", None)
+    if partitions is None:
+        partitions = _BOUNDED_STATE_PARTITIONS
+    sessions = getattr(spark, "_kcbdml9_bounded_sessions", None)
+    if sessions is None:
+        sessions = {}
+        spark._kcbdml9_bounded_sessions = sessions
+    bs = sessions.get(partitions)
     if bs is None:
         bs = spark.newSession()
         for r in spark.sql("SET").collect():
@@ -82,9 +111,7 @@ def _bounded_session(spark: SparkSession) -> SparkSession:
                     bs.conf.set(r["key"], r["value"])
                 except Exception:
                     pass
-        bs.conf.set(
-            "spark.sql.shuffle.partitions", str(_BOUNDED_STATE_PARTITIONS)
-        )
+        bs.conf.set("spark.sql.shuffle.partitions", str(partitions))
         # r16: state-store maintenance (snapshot + old-delta cleanup,
         # default every 60s) is pure overhead for a BOUNDED replay —
         # its checkpoint is abandoned at drain, so snapshot-bounded
@@ -109,7 +136,7 @@ def _bounded_session(spark: SparkSession) -> SparkSession:
         bs.conf.set(
             "spark.sql.streaming.stateStore.maintenanceInterval", "600s"
         )
-        spark._kcbdml9_bounded_session = bs
+        sessions[partitions] = bs
     return bs
 
 
@@ -556,7 +583,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.stateful import running_totals
 
-    spark = _bounded_session(spark)
+    spark = _bounded_session(spark, partitions=_RT_STATE_PARTITIONS)
     src_path = _running_totals_source(spark, sf_dir)
     src = (
         spark.readStream.schema("key string, cents long")

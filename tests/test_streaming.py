@@ -784,6 +784,22 @@ def test_bounded_session_defers_state_maintenance(spark):
     )
     # the caller's session is untouched: engine default (60s), not 600s
     assert spark.conf.get(key) != "600s"
+    # r17: the applyInPandasWithState runner keeps its own probed
+    # partition count on a SEPARATE child session (per-count keying);
+    # it must carry the same maintenance deferral, cache per count,
+    # and leave the shared child untouched.
+    from kcbdml9_big_data_processing_spark.queries.stream import (
+        _RT_STATE_PARTITIONS,
+    )
+
+    rt = _bounded_session(spark, partitions=_RT_STATE_PARTITIONS)
+    assert rt is not bs
+    assert rt.conf.get(key) == "600s"
+    assert rt.conf.get("spark.sql.shuffle.partitions") == str(
+        _RT_STATE_PARTITIONS
+    )
+    assert _bounded_session(spark) is bs
+    assert _bounded_session(spark, partitions=_RT_STATE_PARTITIONS) is rt
 
 
 def test_bounded_replay_concurrent_with_batch_at_200_partitions(spark):

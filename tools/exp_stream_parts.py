@@ -47,6 +47,12 @@ def _child_session(parent, parts: str):
             except Exception:
                 pass
     bs.conf.set("spark.sql.shuffle.partitions", parts)
+    # r17: probe under the shipping condition — the bounded-session
+    # maintenance deferral (stream.py r16) must cover the probe's own
+    # sessions too, or the 60s engine default contaminates the series
+    # with the very stall mode the fix removed (the interval is pinned
+    # process-wide by the FIRST store load).
+    bs.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     return bs
 
 
