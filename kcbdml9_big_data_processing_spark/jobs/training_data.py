@@ -295,6 +295,7 @@ class TrainingDataCurator:
         label_col: str = "label",
         emb_col: str = "emb",
         materialize: bool = True,
+        prepared_pairs: DataFrame | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """SemDeDup-style embedding near-dedup (Abbas et al. 2023):
         cluster docs whose embedding cosine >= ``cos_min`` — pairs
@@ -314,25 +315,39 @@ class TrainingDataCurator:
         them instead of recomputing norm + plane signature per call;
         a caller whose prepped corpus is durable (the per-process
         scratch store behind queries/similarity.semantic_dedup_clusters)
-        passes ``materialize=False`` to skip the persist barrier too."""
+        passes ``materialize=False`` to skip the persist barrier too.
+
+        ``prepared_pairs`` (r17) lets such a caller hand in the
+        (doc_a, doc_b) pair plan it prepared once per process
+        (registry._prepared_plan) instead of re-constructing +
+        re-analyzing the band-join/cosine tree per call — valid only
+        when the pair plan is fully static (no per-call persist in its
+        tree, i.e. built with ``materialize=False`` over a durable
+        corpus). Execution is unchanged: the pairs still scan, join,
+        and filter in full every call."""
         from ..queries.similarity import embedding_near_dup_pairs
 
-        sel = [
-            F.col(id_col).alias("vec_id"),
-            F.col(label_col).alias("label"),
-            F.col(emb_col).alias("emb"),
-        ]
-        if {"nf", "sig"}.issubset(docs.columns):
-            sel += [F.col("nf"), F.col("sig")]
-        corpus = docs.select(*sel)
         cleanup: list[DataFrame] = []
         try:
-            pairs = embedding_near_dup_pairs(
-                corpus,
-                cos_min=cos_min,
-                cleanup=cleanup,
-                materialize=materialize,
-            ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+            if prepared_pairs is not None:
+                pairs = prepared_pairs
+            else:
+                sel = [
+                    F.col(id_col).alias("vec_id"),
+                    F.col(label_col).alias("label"),
+                    F.col(emb_col).alias("emb"),
+                ]
+                if {"nf", "sig"}.issubset(docs.columns):
+                    sel += [F.col("nf"), F.col("sig")]
+                corpus = docs.select(*sel)
+                pairs = embedding_near_dup_pairs(
+                    corpus,
+                    cos_min=cos_min,
+                    cleanup=cleanup,
+                    materialize=materialize,
+                ).select(
+                    F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+                )
             labels = connected_components(
                 docs.select(F.col(id_col).alias("doc_id")),
                 pairs,

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import read_table
-from .registry import register
+from .registry import _prepared_plan, register
 from .similarity import locked_writer
 
 #: id offset for the duplicated copy of the corpus
@@ -1855,10 +1855,22 @@ def dedup_clusters(
     (_stored_shingled_corpus — the same standing index the ngram and
     minhash rows scan) instead of re-shingling + persisting per call;
     the postings self-join and the CC loop still execute fully every
-    call."""
-    pairs = _exact_jaccard_pairs(
-        _stored_shingled_corpus(spark, sf_dir)
-    ).select("doc_a", "doc_b")
+    call.
+
+    r17: the pair pipeline is a pure static plan over that store (no
+    per-call persist anywhere in its tree — the broadcast-stop shape
+    holds no cache), so its construction + Catalyst analysis are
+    prepared once per (app, sf_dir); the CC loop still builds its
+    per-round plans fresh (they wrap per-round checkpoints by nature)
+    and every call executes the full scan/join/loop."""
+    pairs = _prepared_plan(
+        spark,
+        "dedup_clusters:pairs",
+        sf_dir,
+        lambda: _exact_jaccard_pairs(
+            _stored_shingled_corpus(spark, sf_dir)
+        ).select("doc_a", "doc_b"),
+    )
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     nodes = docs.unionAll(docs.select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id")))
     return connected_components(

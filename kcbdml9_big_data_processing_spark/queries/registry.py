@@ -33,7 +33,16 @@ _PREPARED_PLANS: dict[tuple[str, str, str], DataFrame] = {}
 _PREPARED_LOCK = threading.Lock()
 
 
+#: r17 measurement hook (tools/ab_flags.py): True makes _prepared_plan
+#: and _prepared_lifecycle_plan call build() every time (the
+#: rebuild-per-call behavior), so interleaved A/Bs can isolate what
+#: plan preparation is worth for a given query.
+_PREPARE_DISABLED = False
+
+
 def _prepared_plan(spark: SparkSession, name: str, sf_dir: str, build) -> DataFrame:
+    if _PREPARE_DISABLED:
+        return build()
     app_id = spark.sparkContext.applicationId
     key = (app_id, name, sf_dir)
     with _PREPARED_LOCK:
@@ -72,6 +81,9 @@ def _prepared_lifecycle_plan(
     the cache manager and leak across calls. Only the analyzed
     logical plan is reused — optimization, physical planning, and the
     full scan/shuffle execution happen per call."""
+    if _PREPARE_DISABLED:
+        out, frames = build()
+        return out, tuple(frames)
     app_id = spark.sparkContext.applicationId
     key = (app_id, name, sf_dir)
     with _PREPARED_LOCK:

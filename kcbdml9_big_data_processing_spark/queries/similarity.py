@@ -1796,12 +1796,35 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_near_dup scans (_stored_near_dup_prepped — emb + norm +
     LSH signature, materialized once per process), so the per-call
     cost is the honest decision work: the band→join→cosine pair stage
-    and the checkpointed CC loop, both executed fully every call."""
+    and the checkpointed CC loop, both executed fully every call.
+
+    r17: the pair plan — static over the durable store, no per-call
+    persist in its tree (materialize=False) — is prepared once per
+    (app, sf_dir), the same _prepared_plan posture the sibling
+    embedding_near_dup row has used since r10; the CC loop still
+    builds its per-round plans fresh and every call executes the full
+    band join + cosine + loop."""
     from ..jobs.training_data import TrainingDataCurator
 
     corpus = _stored_near_dup_prepped(spark, sf_dir)
+    pairs = _prepared_plan(
+        spark,
+        "semantic_dedup_clusters:pairs",
+        sf_dir,
+        lambda: embedding_near_dup_pairs(
+            corpus.select("vec_id", "label", "emb", "nf", "sig"),
+            cos_min=_NEAR_DUP_COS,
+            materialize=False,
+        ).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+    )
     kept, dropped = TrainingDataCurator().semantic_dedup(
-        corpus, cos_min=_NEAR_DUP_COS, id_col="vec_id", materialize=False
+        corpus,
+        cos_min=_NEAR_DUP_COS,
+        id_col="vec_id",
+        materialize=False,
+        prepared_pairs=pairs,
     )
     return kept.select(
         "vec_id", F.col("vec_id").alias("canonical_id")

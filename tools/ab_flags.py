@@ -34,6 +34,13 @@ def main() -> None:
                     help="module.attr=VALUE for the OFF arm")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument(
+        "--keep-prepared",
+        action="store_true",
+        help="do NOT clear the prepared-plan cache between runs (for"
+        " A/Bs OF plan preparation itself, where the OFF arm bypasses"
+        " the cache via registry._PREPARE_DISABLED)",
+    )
+    ap.add_argument(
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     args = ap.parse_args()
@@ -54,7 +61,8 @@ def main() -> None:
     def one(name: str, off: bool) -> float:
         for mod, attr, ship, offv in flags:
             setattr(mod, attr, offv if off else ship)
-        registry._PREPARED_PLANS.clear()
+        if not args.keep_prepared:
+            registry._PREPARED_PLANS.clear()
         t0 = time.time()
         QUERIES[name].fn(spark, args.sf).write.mode("overwrite").format(
             "noop"
