@@ -71,6 +71,10 @@ _BOUNDED_STATE_PARTITIONS = 4
 #: state partitions for stream_running_totals only (see above).
 _RT_STATE_PARTITIONS = 8
 
+#: r17 measurement hook (tools/ab_process.py): "true" restores
+#: core-count-first AQE coalescing on the bounded child sessions.
+_BOUNDED_PARALLELISM_FIRST = "false"
+
 
 def _bounded_session(
     spark: SparkSession, partitions: int | None = None
@@ -135,6 +139,24 @@ def _bounded_session(
         # state correctness.
         bs.conf.set(
             "spark.sql.streaming.stateStore.maintenanceInterval", "600s"
+        )
+        # r17: within the bounded replays, coalesce post-shuffle
+        # partitions by the advisory SIZE target instead of stopping
+        # at the core count (parallelismFirst=false — the setting
+        # Spark's own docs recommend for size-respecting coalescing).
+        # A replay's non-stateful stages are KB-scale: coalescing them
+        # to one task removes pure dispatch overhead. Measured via a
+        # full-sweep experiment (this conf set GLOBALLY read -0.5 to
+        # -0.95 s on the stream rows but +2.5 to +5.3 s on the dedup
+        # pair joins, whose post-shuffle stages are compute-dense —
+        # so it ships ONLY here, on the child session the bounded
+        # replays own; fresh-process interleaved A/B in
+        # OPTIMIZATION_r17.md). Scale-neutral: at production replay
+        # sizes post-shuffle partitions exceed the advisory target
+        # and the setting is a no-op.
+        bs.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            _BOUNDED_PARALLELISM_FIRST,
         )
         sessions[partitions] = bs
     return bs
